@@ -1,0 +1,36 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "osmspark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Session with AQE, Arrow, and sane local-mode memory settings.
+
+    On a real cluster these configs ride through spark-submit unchanged;
+    shuffle partitions default to cluster parallelism (AQE coalesces down).
+    """
+    master = master or os.environ.get("OSMSPARK_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master == "local[*]" and cpus:
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or os.cpu_count() or 32))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("OSMSPARK_DRIVER_MEM", "24g"))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
