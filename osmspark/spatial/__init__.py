@@ -1,0 +1,11 @@
+from .knn import knn_bruteforce, knn_join
+from .pip import pip_join, pip_join_bbox, polygon_cover_cells, ray_cast_contains
+from .tiles import (
+    hex_to_raster,
+    raster_tile_counts,
+    raster_to_points,
+    rollup,
+    tile_counts,
+    with_hex_cell,
+    with_s2_cell,
+)

@@ -1,0 +1,139 @@
+"""Point-in-polygon join: grid-cell prefilter + broadcast + ray-cast refine.
+
+North-rule operator. Spark-first construction (SURVEY.md §7.3):
+
+1. Cover each polygon's bbox with hex cells at a chosen resolution
+   (driver-side or UDF — the polygon layer is the *small* side).
+2. ``F.explode`` the cover cells → (cell, poly) table; ``F.broadcast`` it
+   (admin-boundary layers are ~10³-10⁵ polys — always broadcastable).
+3. Points get the same cell id (vectorized UDF) and equi-join on cell —
+   Catalyst executes this as a BroadcastHashJoin: no shuffle of the big
+   (point) side at all, which is the whole game at 10^12 rows.
+4. Exact ray-cast refine in a vectorized pandas UDF over the surviving
+   (point, poly) candidate pairs only.
+
+The ray-cast is the classic even-odd crossing rule; the bbox prefilter is
+also exposed standalone (``pip_join_bbox``) because it is fully
+SQL-expressible for the DuckDB oracle (rectangle polygons make refine ==
+bbox, giving an end-to-end oracle of the broadcast path too).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..grid import hexgrid
+
+__all__ = ["polygon_cover_cells", "pip_join", "pip_join_bbox",
+           "ray_cast_contains"]
+
+
+def ray_cast_contains(lat: np.ndarray, lon: np.ndarray,
+                      ring_lat: np.ndarray, ring_lon: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast, vectorized over points for one ring.
+
+    Edges are iterated in Python (rings are small); points are NumPy.
+    Boundary points follow the half-open convention (consistent, so join
+    output is deterministic)."""
+    inside = np.zeros(lat.shape, dtype=bool)
+    n = len(ring_lat)
+    j = n - 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(n):
+            yi, xi = ring_lat[i], ring_lon[i]
+            yj, xj = ring_lat[j], ring_lon[j]
+            # horizontal edges: (yi>lat)!=(yj>lat) is False, so the div-by-
+            # zero intersection never contributes
+            crosses = ((yi > lat) != (yj > lat)) & (
+                lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)
+            inside ^= crosses
+            j = i
+    return inside
+
+
+def polygon_cover_cells(polys: pd.DataFrame, res: int) -> pd.DataFrame:
+    """Polygon bbox → covering hex cells. Returns (poly_id, cell) rows.
+
+    Cover = all cells whose center lies within the bbox expanded by one
+    cell edge — with cube-rounding this is a superset of cells that any
+    bbox point can hash to."""
+    rows_poly, rows_cell = [], []
+    edge = hexgrid.edge_deg(res)
+    for _, p in polys.iterrows():
+        # margin: hex circumradius so boundary points' cells are included
+        min_lat, max_lat = p.min_lat - edge, p.max_lat + edge
+        min_lon, max_lon = p.min_lon - edge, p.max_lon + edge
+        # enumerate axial coords spanned by the bbox corners
+        corners_q, corners_r = hexgrid._latlon_to_axial(
+            np.array([min_lat, min_lat, max_lat, max_lat]),
+            np.array([min_lon, max_lon, min_lon, max_lon]), res)
+        q_lo, q_hi = int(np.floor(corners_q.min())) - 1, int(np.ceil(corners_q.max())) + 1
+        r_lo, r_hi = int(np.floor(corners_r.min())) - 1, int(np.ceil(corners_r.max())) + 1
+        qs = np.arange(q_lo, q_hi + 1, dtype=np.int64)
+        rs = np.arange(r_lo, r_hi + 1, dtype=np.int64)
+        qq, rr = np.meshgrid(qs, rs)
+        cells = hexgrid.pack(res, qq.ravel(), rr.ravel())
+        # keep cells whose center is inside the expanded bbox
+        clat, clon = hexgrid.cell_to_center(cells)
+        keep = ((clat >= min_lat - edge) & (clat <= max_lat + edge)
+                & (clon >= min_lon - edge) & (clon <= max_lon + edge))
+        cells = cells[keep]
+        rows_poly.extend([p.poly_id] * len(cells))
+        rows_cell.extend(cells.tolist())
+    return pd.DataFrame({"poly_id": rows_poly, "cell": rows_cell})
+
+
+def pip_join(points: DataFrame, polys_pdf: pd.DataFrame, res: int = 7,
+             lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """points × polygons containment join → points + poly_id.
+
+    ``polys_pdf`` is a *driver-side* pandas polygon layer with columns
+    (poly_id, name, min_lat, min_lon, max_lat, max_lon, ring_lat: list,
+    ring_lon: list) — the broadcastable small side.
+    """
+    spark = points.sparkSession
+    cover = spark.createDataFrame(polygon_cover_cells(polys_pdf, res))
+
+    from .tiles import with_hex_cell
+
+    pts = with_hex_cell(points, res, lat_col, lon_col, out="cell")
+    # BroadcastHashJoin on cell: the 10^12-row side never shuffles
+    cand = pts.join(F.broadcast(cover), "cell", "inner")
+
+    rings = {
+        int(p.poly_id): (np.asarray(p.ring_lat, dtype=np.float64),
+                         np.asarray(p.ring_lon, dtype=np.float64))
+        for _, p in polys_pdf.iterrows()
+    }
+
+    @F.pandas_udf(T.BooleanType())
+    def refine(lat: pd.Series, lon: pd.Series, poly_id: pd.Series) -> pd.Series:
+        la = lat.to_numpy()
+        lo = lon.to_numpy()
+        pid = poly_id.to_numpy()
+        out = np.zeros(len(la), dtype=bool)
+        for p in np.unique(pid):
+            m = pid == p
+            rl, rlo = rings[int(p)]
+            out[m] = ray_cast_contains(la[m], lo[m], rl, rlo)
+        return pd.Series(out)
+
+    return (cand.filter(refine(F.col(lat_col), F.col(lon_col), F.col("poly_id")))
+            .drop("cell"))
+
+
+def pip_join_bbox(points: DataFrame, polys: DataFrame,
+                  lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Rectangle (bbox) containment join — pure Spark range predicates.
+
+    Catalyst plans this as BroadcastNestedLoopJoin with the polygon side
+    broadcast; fully SQL-expressible (oracle: BETWEEN)."""
+    return points.join(
+        F.broadcast(polys),
+        (F.col(lat_col) >= polys.min_lat) & (F.col(lat_col) <= polys.max_lat)
+        & (F.col(lon_col) >= polys.min_lon) & (F.col(lon_col) <= polys.max_lon),
+        "inner",
+    )

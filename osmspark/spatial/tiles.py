@@ -1,0 +1,165 @@
+"""Tile aggregation: raster (z/x/y web-mercator) ↔ vector (hex / S2 cells).
+
+North-rule operator "raster↔vector tile aggregation producing per-cell
+counts". All aggregation is plain DataFrame groupBy (map-side partial agg +
+final hash agg — Catalyst handles the two-phase plan); only the cell-id
+encode itself runs in a vectorized pandas UDF (NumPy, Arrow batches).
+The raster (z/x/y) variant is pure Spark expressions, fully SQL-expressible
+for the DuckDB oracle.
+
+Scale notes: groupBy(cell) shuffles on the cell key; dense city cells are
+the skew axis — ``tile_counts`` therefore supports two-phase salted
+aggregation (partial count on (cell, salt) → final sum on cell), which
+turns one hot reducer into ``n_salts`` parallel ones. Rollup to a coarser
+resolution re-aggregates *tile counts* (tiny), never the raw points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..grid import hexgrid, s2
+
+__all__ = ["with_hex_cell", "with_s2_cell", "tile_counts", "rollup",
+           "raster_tile_counts", "hex_to_raster", "raster_to_points"]
+
+
+def _hex_udf(res: int):
+    @F.pandas_udf(T.LongType())
+    def enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(hexgrid.cell_id(lat.to_numpy(), lon.to_numpy(), res))
+    return enc
+
+
+def _s2_udf(level: int):
+    @F.pandas_udf(T.LongType())
+    def enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        # store as signed int64 (Spark has no uint64); bit pattern preserved
+        return pd.Series(
+            s2.cell_id(lat.to_numpy(), lon.to_numpy(), level).astype(np.int64))
+    return enc
+
+
+def with_hex_cell(df: DataFrame, res: int, lat_col: str = "lat",
+                  lon_col: str = "lon", out: str = "cell") -> DataFrame:
+    return df.withColumn(out, _hex_udf(res)(F.col(lat_col), F.col(lon_col)))
+
+
+def with_s2_cell(df: DataFrame, level: int, lat_col: str = "lat",
+                 lon_col: str = "lon", out: str = "cell") -> DataFrame:
+    return df.withColumn(out, _s2_udf(level)(F.col(lat_col), F.col(lon_col)))
+
+
+def tile_counts(df: DataFrame, res: int, grid: str = "hex",
+                lat_col: str = "lat", lon_col: str = "lon",
+                salt: int = 0) -> DataFrame:
+    """Per-cell counts + centroid at one resolution.
+
+    ``salt > 0`` → two-phase agg: partial on (cell, salt) then final on
+    cell. With map-side combine the partial pass is nearly free and the
+    final pass sees ≤ salt rows per hot cell.
+    """
+    cell_fn = _hex_udf(res) if grid == "hex" else _s2_udf(res)
+    with_cell = df.withColumn("cell", cell_fn(F.col(lat_col), F.col(lon_col)))
+    aggs = [
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(lat_col).alias("_sum_lat"),
+        F.sum(lon_col).alias("_sum_lon"),
+    ]
+    if salt > 0:
+        partial = (with_cell
+                   .withColumn("_salt", F.pmod(F.hash(lat_col, lon_col), F.lit(salt)))
+                   .groupBy("cell", "_salt").agg(*aggs))
+        grouped = partial.groupBy("cell").agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("_sum_lat").alias("_sum_lat"),
+            F.sum("_sum_lon").alias("_sum_lon"))
+    else:
+        grouped = with_cell.groupBy("cell").agg(*aggs)
+    return (grouped
+            .withColumn("centroid_lat", F.col("_sum_lat") / F.col("n_points"))
+            .withColumn("centroid_lon", F.col("_sum_lon") / F.col("n_points"))
+            .drop("_sum_lat", "_sum_lon")
+            .withColumn("res", F.lit(res)))
+
+
+def rollup(tiles: DataFrame, parent_res: int, grid: str = "hex") -> DataFrame:
+    """Re-aggregate per-cell counts to a coarser resolution.
+
+    Operates on the (small) tile table, not raw points: parent ids come
+    from a vectorized UDF over cell ids; counts sum exactly (child counts
+    partition parent counts — pinned by tests)."""
+    if grid == "hex":
+        @F.pandas_udf(T.LongType())
+        def par(cell: pd.Series) -> pd.Series:
+            return pd.Series(hexgrid.parent(cell.to_numpy(), parent_res))
+    else:
+        @F.pandas_udf(T.LongType())
+        def par(cell: pd.Series) -> pd.Series:
+            return pd.Series(
+                s2.parent(cell.to_numpy().astype(np.uint64), parent_res)
+                .astype(np.int64))
+    return (tiles
+            .withColumn("parent_cell", par(F.col("cell")))
+            .groupBy("parent_cell")
+            .agg(F.sum("n_points").alias("n_points"))
+            .withColumnRenamed("parent_cell", "cell")
+            .withColumn("res", F.lit(parent_res)))
+
+
+def raster_tile_counts(df: DataFrame, zoom: int,
+                       lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Web-mercator z/x/y raster tile counts — pure Spark expressions.
+
+    x = floor((lon+180)/360·2^z); y from the mercator formula. Clamps to
+    the mercator latitude domain. SQL-expressible → DuckDB oracle.
+    """
+    n = float(1 << zoom)
+    lat = F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), F.col(lat_col)))
+    lat_rad = F.radians(lat)
+    x = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    y = F.floor((F.lit(1.0) - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad))
+                 / F.lit(float(np.pi))) / F.lit(2.0) * F.lit(n))
+    x = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), x.cast("long")))
+    y = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), y.cast("long")))
+    return (df.withColumn("tile_x", x).withColumn("tile_y", y)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .withColumn("zoom", F.lit(zoom)))
+
+
+def hex_to_raster(tiles: DataFrame, zoom: int) -> DataFrame:
+    """Vector→raster: map each hex cell's centroid into a z/x/y tile and
+    re-aggregate counts (classic rasterization of a vector layer)."""
+    @F.pandas_udf("lat double, lon double")
+    def center(cell: pd.Series) -> pd.DataFrame:
+        lat, lon = hexgrid.cell_to_center(cell.to_numpy())
+        return pd.DataFrame({"lat": lat, "lon": lon})
+
+    with_center = tiles.withColumn("_c", center(F.col("cell")))
+    pts = with_center.select(
+        F.col("_c.lat").alias("lat"), F.col("_c.lon").alias("lon"),
+        F.col("n_points"))
+    n = float(1 << zoom)
+    lat = F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), F.col("lat")))
+    lat_rad = F.radians(lat)
+    x = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    y = F.floor((F.lit(1.0) - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad))
+                 / F.lit(float(np.pi))) / F.lit(2.0) * F.lit(n)).cast("long")
+    return (pts.withColumn("tile_x", x).withColumn("tile_y", y)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.sum("n_points").alias("n_points"))
+            .withColumn("zoom", F.lit(zoom)))
+
+
+def raster_to_points(raster: DataFrame, zoom: int) -> DataFrame:
+    """Raster→vector: tile centers as weighted points (inverse mercator)."""
+    n = float(1 << zoom)
+    lon = (F.col("tile_x") + F.lit(0.5)) / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+    yy = F.lit(float(np.pi)) * (F.lit(1.0) - F.lit(2.0) * (F.col("tile_y") + F.lit(0.5)) / F.lit(n))
+    lat = F.degrees(F.atan(F.sinh(yy)))
+    return raster.select(lat.alias("lat"), lon.alias("lon"),
+                         F.col("n_points").alias("weight"))

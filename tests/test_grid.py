@@ -1,0 +1,127 @@
+"""Grid encoder invariants (no Spark): S2 round-trip/hierarchy/Hilbert
+adjacency + hexgrid hierarchy/k-ring, plus pinned regression ids (our
+determinism contract — SURVEY.md §7.4)."""
+
+import numpy as np
+
+from osmspark.grid import hexgrid as H
+from osmspark.grid import s2 as S
+
+
+def _haversine_m(lat1, lng1, lat2, lng2):
+    R = 6371000.0
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    a = (np.sin((p2 - p1) / 2) ** 2
+         + np.cos(p1) * np.cos(p2) * np.sin(np.radians(lng2 - lng1) / 2) ** 2)
+    return 2 * R * np.arcsin(np.sqrt(a))
+
+
+def test_s2_leaf_roundtrip():
+    rng = np.random.default_rng(1)
+    lat = rng.uniform(-89.9, 89.9, 5000)
+    lng = rng.uniform(-180, 180, 5000)
+    clat, clng = S.cell_center_latlng(S.leaf_cell_id(lat, lng))
+    assert _haversine_m(lat, lng, clat, clng).max() < 0.02  # leaf ≈ 1cm
+
+
+def test_s2_hierarchy_and_ranges():
+    rng = np.random.default_rng(2)
+    lat = rng.uniform(-89.9, 89.9, 5000)
+    lng = rng.uniform(-180, 180, 5000)
+    leaf = S.leaf_cell_id(lat, lng)
+    for level in (4, 9, 14):
+        c = S.cell_id(lat, lng, level)
+        assert np.array_equal(c, S.parent(S.cell_id(lat, lng, level + 1), level))
+        assert np.all(S.level_of(c) == level)
+        rmin, rmax = S.range_min_max(c)
+        assert np.all((leaf >= rmin) & (leaf <= rmax))
+
+
+def test_s2_hilbert_adjacency():
+    """Consecutive curve positions are adjacent cells — pins the traversal
+    tables (a wrong table breaks locality, the whole point of S2)."""
+    face = np.zeros(4096, dtype=np.int64)
+    pos = np.arange(4096, dtype=np.int64) << (2 * (30 - 6))
+    i, j = S._pos_to_face_ij(face, pos)
+    i >>= (30 - 6)
+    j >>= (30 - 6)
+    steps = np.abs(np.diff(i)) + np.abs(np.diff(j))
+    assert steps.max() == 1
+
+
+def test_s2_center_reencodes():
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-80, 80, 2000)
+    lng = rng.uniform(-180, 180, 2000)
+    c = S.cell_id(lat, lng, 10)
+    clat, clng = S.cell_center_latlng(c)
+    assert np.mean(S.cell_id(clat, clng, 10) == c) > 0.999
+
+
+def test_s2_pinned_regression():
+    """Determinism pin: these ids must never change across refactors."""
+    lat = np.array([51.5074089, 40.7128, -33.8688, 0.0, 89.0])
+    lng = np.array([-0.1080108, -74.0060, 151.2093, 0.0, 135.0])
+    got = S.cell_id(lat, lng, 12).tolist()
+    assert got == S.cell_id(lat, lng, 12).tolist()  # stable
+    # regression values captured from this implementation
+    expected = [5221365971943424000, 9926595690882924544,
+                7715420632820744192, 1152921573326323712,
+                6533508030246420480]
+    assert got == expected, got
+
+
+def test_hex_roundtrip_and_hierarchy():
+    rng = np.random.default_rng(4)
+    lat = rng.uniform(-85, 85, 10000)
+    lon = rng.uniform(-180, 180, 10000)
+    for res in (5, 7, 9):
+        c = H.cell_id(lat, lon, res)
+        assert np.all(H.resolution_of(c) == res)
+        clat, clon = H.cell_to_center(c)
+        assert np.array_equal(H.cell_id(clat, clon, res), c)
+        assert np.abs(clat - lat).max() < H.edge_deg(res) * 1.2
+        p = H.parent(c, res - 1)
+        assert np.array_equal(p, H.cell_id(clat, clon, res - 1))
+
+
+def test_hex_kring_and_neighbors():
+    rng = np.random.default_rng(5)
+    c = H.cell_id(rng.uniform(-60, 60, 100), rng.uniform(-170, 170, 100), 7)
+    ring = H.k_ring(c, 2)
+    assert ring.shape == (100, 19)  # 3k(k+1)+1
+    assert np.all(H.hex_distance(np.repeat(c, 19), ring.ravel()) <= 2)
+    nb = H.neighbors(c)
+    assert np.all(H.hex_distance(np.repeat(c, 6), nb.ravel()) == 1)
+    # self always in own ring
+    assert np.all((ring == c[:, None]).sum(axis=1) == 1)
+
+
+def test_hex_kring_covers_disk():
+    """Geometric guarantee used by knn_join: any point within
+    (1.5·ring − 0.5)·edge of the query is inside the ring's cells."""
+    rng = np.random.default_rng(6)
+    res, ring_k = 6, 2
+    edge = H.edge_deg(res)
+    guar = (1.5 * ring_k - 0.5) * edge
+    qlat = rng.uniform(-60, 60, 200)
+    qlon = rng.uniform(-170, 170, 200)
+    qcell = H.cell_id(qlat, qlon, res)
+    rings = H.k_ring(qcell, ring_k)
+    theta = rng.uniform(0, 2 * np.pi, 200)
+    rad = rng.uniform(0, guar, 200)
+    plat = qlat + rad * np.sin(theta)
+    plon = qlon + rad * np.cos(theta)
+    pcell = H.cell_id(plat, plon, res)
+    assert np.all((rings == pcell[:, None]).any(axis=1))
+
+
+def test_hex_pinned_regression():
+    lat = np.array([51.5074089, 40.7128, -33.8688])
+    lon = np.array([-0.1080108, -74.0060, 151.2093])
+    got = H.cell_id(lat, lon, 8).tolist()
+    # regression values captured from this implementation (res ≥ 8 sets
+    # bit 63 → negative int64; still unique and invertible)
+    expected = [-8646915726084399052, -8646925797782709899,
+                -8646885867471770925]
+    assert got == expected, got

@@ -1,0 +1,150 @@
+"""Spatial operator tests through Spark: tiles, rollup, PIP, kNN."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from osmspark.spatial import (
+    knn_bruteforce,
+    knn_join,
+    pip_join,
+    pip_join_bbox,
+    raster_tile_counts,
+    ray_cast_contains,
+    rollup,
+    tile_counts,
+)
+
+N = 8000
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rng = np.random.default_rng(3)
+    lat = np.concatenate([51.5 + rng.normal(0, 0.05, N // 2),
+                          rng.uniform(-60, 70, N // 2)])
+    lon = np.concatenate([-0.12 + rng.normal(0, 0.05, N // 2),
+                          rng.uniform(-179, 179, N // 2)])
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(N), "lat": lat, "lon": lon})).cache()
+    df.count()
+    return df, lat, lon
+
+
+def test_hex_tiles_preserve_total(pts):
+    df, _, _ = pts
+    tiles = tile_counts(df, 7, grid="hex")
+    assert tiles.agg(F.sum("n_points")).collect()[0][0] == N
+
+
+def test_hex_tiles_salted_equals_unsalted(pts):
+    df, _, _ = pts
+    a = {(r.cell, r.n_points) for r in tile_counts(df, 7).collect()}
+    b = {(r.cell, r.n_points) for r in tile_counts(df, 7, salt=8).collect()}
+    assert a == b
+
+
+def test_s2_rollup_exactly_nested(pts):
+    df, _, _ = pts
+    t10 = tile_counts(df, 10, grid="s2")
+    up = rollup(t10, 9, grid="s2")
+    direct = tile_counts(df, 9, grid="s2")
+    mismatches = (up.alias("a").join(direct.alias("b"), "cell", "full")
+                  .filter(F.coalesce(F.col("a.n_points"), F.lit(0))
+                          != F.coalesce(F.col("b.n_points"), F.lit(0))).count())
+    assert mismatches == 0
+
+
+def test_hex_rollup_preserves_total(pts):
+    df, _, _ = pts
+    up = rollup(tile_counts(df, 7), 6)
+    assert up.agg(F.sum("n_points")).collect()[0][0] == N
+
+
+def test_raster_tiles(pts):
+    df, lat, lon = pts
+    r = raster_tile_counts(df, 6)
+    assert r.agg(F.sum("n_points")).collect()[0][0] == N
+    # every tile coordinate in range
+    bad = r.filter((F.col("tile_x") < 0) | (F.col("tile_x") > 63)
+                   | (F.col("tile_y") < 0) | (F.col("tile_y") > 63)).count()
+    assert bad == 0
+
+
+def test_pip_rectangle_exact(spark, pts):
+    df, lat, lon = pts
+    polys = pd.DataFrame([{
+        "poly_id": 1, "name": "london_box",
+        "min_lat": 51.4, "min_lon": -0.3, "max_lat": 51.6, "max_lon": 0.1,
+        "ring_lat": [51.4, 51.4, 51.6, 51.6],
+        "ring_lon": [-0.3, 0.1, 0.1, -0.3]}])
+    got = pip_join(df, polys, res=6).count()
+    expected = int(np.sum((lat >= 51.4) & (lat <= 51.6)
+                          & (lon >= -0.3) & (lon <= 0.1)))
+    # ray-cast half-open boundary vs closed bbox can differ only on exact
+    # boundary hits — absent in continuous random data
+    assert got == expected
+
+
+def test_pip_nonconvex_matches_numpy_oracle(spark, pts):
+    df, lat, lon = pts
+    ring_lat = [51.3, 51.3, 51.5, 51.5, 51.7, 51.7]
+    ring_lon = [-0.5, 0.2, 0.2, -0.1, -0.1, -0.5]
+    polys = pd.DataFrame([{
+        "poly_id": 2, "name": "L",
+        "min_lat": 51.3, "min_lon": -0.5, "max_lat": 51.7, "max_lon": 0.2,
+        "ring_lat": ring_lat, "ring_lon": ring_lon}])
+    got = pip_join(df, polys, res=6).count()
+    expected = int(ray_cast_contains(
+        lat, lon, np.array(ring_lat), np.array(ring_lon)).sum())
+    assert got == expected
+
+
+def test_pip_broadcast_plan(spark, pts):
+    """The candidate join must be a BroadcastHashJoin (big side unshuffled)."""
+    df, _, _ = pts
+    polys = pd.DataFrame([{
+        "poly_id": 1, "name": "b", "min_lat": 51.4, "min_lon": -0.3,
+        "max_lat": 51.6, "max_lon": 0.1,
+        "ring_lat": [51.4, 51.4, 51.6, 51.6],
+        "ring_lon": [-0.3, 0.1, 0.1, -0.3]}])
+    plan = pip_join(df, polys, res=6)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pip_bbox_join(spark, pts):
+    df, lat, lon = pts
+    polys = spark.createDataFrame(pd.DataFrame([
+        {"poly_id": 1, "min_lat": 51.4, "min_lon": -0.3,
+         "max_lat": 51.6, "max_lon": 0.1}]))
+    got = pip_join_bbox(df, polys).count()
+    expected = int(np.sum((lat >= 51.4) & (lat <= 51.6)
+                          & (lon >= -0.3) & (lon <= 0.1)))
+    assert got == expected
+
+
+def test_knn_matches_bruteforce(spark, pts):
+    df, _, _ = pts
+    rng = np.random.default_rng(9)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": np.arange(40),
+        "lat": 51.5 + rng.normal(0, 0.05, 40),
+        "lon": -0.12 + rng.normal(0, 0.05, 40)}))
+    bf = {tuple(r) for r in
+          knn_bruteforce(df, queries, 5).select("q_id", "p_id", "rank").collect()}
+    kr = {tuple(r) for r in
+          knn_join(df, queries, 5, res=6, ring=2).select("q_id", "p_id", "rank").collect()}
+    assert bf == kr
+
+
+def test_knn_sparse_region_fallback(spark, pts):
+    """Queries in empty ocean cells exercise the brute-force repair path."""
+    df, _, _ = pts
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": [1, 2], "lat": [-80.0, -75.0], "lon": [170.0, -120.0]}))
+    bf = {tuple(r) for r in
+          knn_bruteforce(df, queries, 3).select("q_id", "p_id", "rank").collect()}
+    kr = {tuple(r) for r in
+          knn_join(df, queries, 3, res=6, ring=1).select("q_id", "p_id", "rank").collect()}
+    assert bf == kr
