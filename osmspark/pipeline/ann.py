@@ -1,0 +1,159 @@
+"""Approximate nearest neighbor over embedding columns.
+
+* ``ann_bruteforce_topk`` — exact cosine top-k (oracle-checkable baseline;
+  the query side broadcasts, the corpus side never shuffles).
+* ``ann_lsh_topk`` — random-hyperplane LSH buckets: corpus and queries hash
+  to sign-bit buckets, candidates only within a bucket (multi-probe via
+  several independent tables). The 10^12-row scale path: bucket join is an
+  equi-join on (table, bucket), no cross product.
+* ``ivf_assign`` / ``ann_ivf_topk`` — IVF coarse quantizer: seeded kmeans
+  centroids (driver numpy on a sample), points partition by nearest
+  centroid, queries probe the ``nprobe`` nearest lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["ann_bruteforce_topk", "ann_lsh_topk", "train_ivf_centroids",
+           "ivf_assign", "ann_ivf_topk"]
+
+
+def _cosine_cols():
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def ann_bruteforce_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine; returns (q_id, p_id, rank).
+
+    broadcast(queries) × corpus: the big side streams through a single
+    map stage; only |Q|·k rows shuffle for the final window."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("va"))
+    c = corpus.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("vb"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .withColumn("cosine", _cosine_cols())
+              .filter(F.col("q_id") != F.col("p_id")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("p_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "p_id", "rank"))
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def _bucket_udf(planes: np.ndarray):
+    n_tables, n_bits, _ = planes.shape
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        out = []
+        codes = np.zeros((len(mat), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            proj = mat @ planes[t].T  # (n, n_bits)
+            bits = (proj > 0).astype(np.int64)
+            code = np.zeros(len(mat), dtype=np.int64)
+            for b in range(n_bits):
+                code = (code << 1) | bits[:, b]
+            codes[:, t] = code + (t << np.int64(40))  # table id in high bits
+        out = list(codes)
+        return pd.Series(out)
+
+    return buckets
+
+
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                 n_bits: int = 4, n_tables: int = 24,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 64, seed: int = 42) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets, exact rerank in-bucket."""
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    bud = _bucket_udf(planes)
+    c = (corpus.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("vb"))
+         .withColumn("bucket", F.explode(bud(F.col("vb")))))
+    q = (queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("va"))
+         .withColumn("bucket", F.explode(bud(F.col("va")))))
+    cand = (c.join(q, "bucket")
+            .filter(F.col("q_id") != F.col("p_id"))
+            .select("q_id", "p_id", "va", "vb").distinct()
+            .withColumn("cosine", _cosine_cols()))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("p_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "p_id", "rank"))
+
+
+def train_ivf_centroids(corpus: DataFrame, n_lists: int, dim: int = 64,
+                        vec_col: str = "embedding", sample: int = 4096,
+                        iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample → (n_lists, dim).
+
+    At 10^12 scale the sample is a tiny limit-pushdown scan; training cost
+    is O(sample · n_lists · iters) on the driver, broadcast afterwards."""
+    pdf = corpus.select(vec_col).limit(sample).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), n_lists, replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, out: str = "list_id",
+               vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid lists."""
+    cent = centroids
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return df.withColumn(out, assign(F.col(vec_col)))
+
+
+def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                 n_lists: int = 16, nprobe: int = 8,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 64, seed: int = 42) -> DataFrame:
+    """IVF ANN: corpus partitioned by nearest centroid; queries probe the
+    nprobe nearest lists; exact rerank within probed lists."""
+    cent = train_ivf_centroids(corpus, n_lists, dim, vec_col, seed=seed)
+    c = (ivf_assign(corpus, cent, "lists", vec_col, nprobe=1)
+         .select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("vb"),
+                 F.explode("lists").alias("list_id")))
+    q = (ivf_assign(queries, cent, "lists", vec_col, nprobe=nprobe)
+         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("va"),
+                 F.explode("lists").alias("list_id")))
+    cand = (c.join(q, "list_id")
+            .filter(F.col("q_id") != F.col("p_id"))
+            .select("q_id", "p_id", "va", "vb").distinct()
+            .withColumn("cosine", _cosine_cols()))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("p_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "p_id", "rank"))

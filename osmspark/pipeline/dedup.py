@@ -1,0 +1,227 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design: every operator is a shuffle-on-key DataFrame plan —
+* exact:   groupBy(md5)                       — one shuffle, map-side combine
+* jaccard: explode(ngrams) self-equi-join     — shuffle on ngram, the
+           classic inverted-index join; the LSH variants exist precisely to
+           replace its quadratic candidate blow-up at 10^12 docs
+* minhash: signature UDF (vectorized) → explode(bands) → groupBy(band
+           bucket) — candidates only within buckets; tunable (b, r)
+* simhash: 64-bit signature → 4×16-bit chunk buckets (Hamming ≤ 3 ⇒ ≥ 1
+           identical chunk by pigeonhole) → verify distance in-bucket
+* cosine:  brute-force pair join (oracle-checkable) — the ANN module owns
+           the bucketed scale path
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["exact_dedup", "ngram_jaccard_pairs", "minhash_signatures",
+           "lsh_candidate_pairs", "simhash_signatures", "simhash_pairs",
+           "cosine_neardup_pairs"]
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per distinct content hash."""
+    return (df
+            .groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index join)
+# --------------------------------------------------------------------------
+
+def _ngrams_col(text_col: str, n: int):
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+                                          for j in range(n)])))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """All (a < b) pairs with n-gram Jaccard ≥ threshold.
+
+    Plan: distinct-ngram explode → self equi-join on ngram → count
+    intersections → Jaccard from |A|+|B|−|∩|. Pure Spark, SQL-expressible.
+    """
+    grams = (df.select(F.col(id_col).alias("id"),
+                       _ngrams_col(text_col, n).alias("grams"))
+             .withColumn("n_grams", F.size("grams"))
+             .withColumn("gram", F.explode("grams"))
+             .drop("grams"))
+    a = grams.select(F.col("id").alias("a"), F.col("n_grams").alias("na"), "gram")
+    b = grams.select(F.col("id").alias("b"), F.col("n_grams").alias("nb"), "gram")
+    inter = (a.join(b, "gram")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b", "na", "nb")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (inter.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _minhash_params(n_hashes: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, n_hashes, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct token n-grams → uint64 base hashes (FNV-1a, from-scratch)."""
+    toks = text.split()
+    grams = {" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
+    out = np.empty(max(1, len(grams)), dtype=np.uint64)
+    if not grams:
+        out[0] = np.uint64(0)
+        return out
+    with np.errstate(over="ignore"):  # FNV wraps mod 2^64 by design
+        for k, g in enumerate(grams):
+            h = np.uint64(14695981039346656037)
+            for ch in g.encode("utf-8"):
+                h ^= np.uint64(ch)
+                h = h * np.uint64(1099511628211)
+            out[k] = h
+    return out
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = 64, ngram: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       seed: int = 42) -> DataFrame:
+    """(id, signature array<long>) via vectorized universal hashing:
+    min over shingles of ((a·h + b) mod 2^61−1)."""
+    a_par, b_par = _minhash_params(n_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = _shingle_hashes(t, ngram) & _MERSENNE  # keep < 2^61
+            # (n_shingles, n_hashes) universal hash, min over shingles
+            vals = (h[:, None] * a_par[None, :] + b_par[None, :]) % _MERSENNE
+            out.append(vals.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"),
+                     sig(F.col(text_col)).alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket are candidates.
+
+    (b bands × r rows): P(candidate) = 1 − (1 − j^r)^b. The bucket join is
+    a groupBy on (band_idx, band_hash) — no all-pairs shuffle.
+    """
+    n_hashes = 64  # matches minhash_signatures default
+    r = n_hashes // bands
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(
+                    F.slice(F.col("signature"), bi * r + 1, r).cast("string")),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(F.col("id").alias("a"), "band_idx", "band_hash")
+    b = banded.select(F.col("id").alias("b"), "band_idx", "band_hash")
+    return (a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over token hashes (vectorized bit-vote)."""
+
+    @F.pandas_udf(T.LongType())
+    def sim(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            hs = _shingle_hashes(t, 1)  # unigram hashes
+            bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            votes = bits.sum(axis=0) * 2 - len(hs)  # +1/−1 vote per token
+            sig = np.uint64(0)
+            for k in range(64):
+                if votes[k] > 0:
+                    sig |= np.uint64(1) << np.uint64(k)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit chunk
+    bucketing (pigeonhole: ≤3 differing bits ⇒ ≥1 identical chunk)."""
+    chunks = F.array(*[
+        F.struct(F.lit(i).alias("chunk_idx"),
+                 F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+        for i in range(4)
+    ])
+    exploded = sigs.select("id", "simhash", F.explode(chunks).alias("c")) \
+                   .select("id", "simhash", "c.chunk_idx", "c.chunk")
+    a = exploded.select(F.col("id").alias("a"), F.col("simhash").alias("sa"),
+                        "chunk_idx", "chunk")
+    b = exploded.select(F.col("id").alias("b"), F.col("simhash").alias("sb"),
+                        "chunk_idx", "chunk")
+    cand = (a.join(b, ["chunk_idx", "chunk"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sa", "sb").distinct())
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup (brute-force pair join)
+# --------------------------------------------------------------------------
+
+def cosine_neardup_pairs(emb: DataFrame, threshold: float,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(a < b) pairs with cosine ≥ threshold. Pure Spark expressions
+    (zip_with + aggregate) so DuckDB's list_cosine_similarity can oracle
+    it. Quadratic — the ANN module's LSH path is the 10^12-row variant."""
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return (pairs.withColumn("cosine", F.round(dot / (na * nb), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine"))

@@ -1,0 +1,105 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+Everything here is pure ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage codegen — no Python on the hot path), so each operator is also
+expressible in ANSI SQL for the DuckDB oracle. Double-valued outputs are
+rounded (both sides) so distributed summation order can't flip the value
+hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["with_token_count", "with_quality", "with_lang_guess",
+           "with_fingerprint", "STOPWORDS"]
+
+STOPWORDS = ["the", "a"]
+
+# tiny per-language marker lists for the n-gram/stopword language guesser
+# (the synthetic corpus is English-ish for all langs; the operator is the
+# deliverable, pinned by determinism tests)
+LANG_MARKERS = {
+    "en": ["the", "a", "value", "fast"],
+    "de": ["der", "die", "und", "nicht"],
+    "fr": ["le", "la", "et", "pas"],
+    "es": ["el", "la", "y", "no"],
+    "zh": ["shi", "bu", "wo", "de"],
+}
+
+
+def _tokens(col):
+    return F.split(F.trim(col), " +")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy count
+    (4-chars-per-token heuristic over non-space characters)."""
+    toks = _tokens(F.col(text_col))
+    n_chars_nospace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    return (df
+            .withColumn("n_tokens", F.size(toks))
+            .withColumn("n_subwords",
+                        F.ceil(n_chars_nospace.cast("double") / F.lit(4.0))
+                        .cast("long")))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: mean word length, stopword ratio, alpha ratio.
+
+    All ratios rounded to 6 dp so Spark/DuckDB double noise can't differ.
+    """
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    mean_wlen = (F.length(F.regexp_replace(F.col(text_col), " ", ""))
+                 .cast("double") / n_tok.cast("double"))
+    alpha_ratio = (F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+                   .cast("double") / F.length(F.col(text_col)).cast("double"))
+    return (df
+            .withColumn("mean_word_len", F.round(mean_wlen, 6))
+            .withColumn("stopword_ratio",
+                        F.round(stop_hits.cast("double") / n_tok.cast("double"), 6))
+            .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+            .withColumn("quality_score",
+                        F.round(F.least(F.lit(1.0),
+                                        alpha_ratio * F.lit(0.5)
+                                        + F.lit(0.5) * F.least(F.lit(1.0),
+                                                               n_tok / F.lit(50.0))), 6)))
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic class). Deterministic
+    argmax with fixed tie order."""
+    toks = _tokens(F.col(text_col))
+
+    def marker_count(words):
+        # single-arg lambda: Spark's HOF factory passes one Column per param
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = [marker_count(words).alias(lang)
+              for lang, words in LANG_MARKERS.items()]
+    struct = F.array(*[
+        F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang"))
+        for lang, s in zip(LANG_MARKERS, scores)
+    ])
+    best = F.array_max(struct)  # struct compare: score, then lang
+    return df.withColumn("lang_guess", best["lang"]) \
+             .withColumn("lang_guess_score", best["score"])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 (exact content id) + a 64-bit rolling
+    polynomial hash over tokens (shift-resistant; xxhash64 of each token
+    folded with position weights — pure JVM expressions)."""
+    toks = _tokens(F.col(text_col))
+    # modular polynomial rolling hash (mod 1e9+7 keeps ANSI-safe int64 range)
+    mod = F.lit(1_000_000_007).cast("long")
+    rolling = F.aggregate(
+        toks,
+        F.lit(5381).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(31) + F.pmod(F.xxhash64(t), mod), mod),
+    )
+    return (df
+            .withColumn("fingerprint_md5", F.md5(F.col(text_col)))
+            .withColumn("fingerprint_roll", rolling))
