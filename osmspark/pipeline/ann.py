@@ -50,6 +50,46 @@ def ann_bruteforce_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .select("q_id", "p_id", "rank"))
 
 
+def ann_bruteforce_topk_np(corpus: DataFrame, queries_pdf: pd.DataFrame, k: int,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k, vectorized: the query matrix broadcasts into a
+    mapInPandas closure; each partition emits its LOCAL top-k per query
+    (matmul, O(n·|Q|·d) BLAS), then one global window merges partition
+    winners — shuffle volume is partitions·|Q|·k rows, never n·|Q|.
+
+    This is the throughput path; ``ann_bruteforce_topk`` (pure SQL
+    expressions) is the oracle-parity path."""
+    q_ids = queries_pdf[id_col].to_numpy()
+    q_mat = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+
+    def local_topk(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ q_mat.T  # (n, |Q|)
+            p_ids = pdf[id_col].to_numpy()
+            # mask self-matches
+            sims[p_ids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(k, len(p_ids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, |Q|)
+            rows = {
+                "q_id": np.tile(q_ids, kk),
+                "p_id": p_ids[top].ravel(),
+                "cosine": np.take_along_axis(sims, top, axis=0).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[np.isfinite(out["cosine"])]
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, "q_id long, p_id long, cosine double")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("p_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "p_id", "rank"))
+
+
 def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42):
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim))

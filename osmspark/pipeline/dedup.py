@@ -89,22 +89,32 @@ def _minhash_params(n_hashes: int, seed: int = 42):
     return a, b
 
 
+def _fnv1a_batch(strings: list[bytes]) -> np.ndarray:
+    """FNV-1a over many byte strings, vectorized: pad into a (n, max_len)
+    uint8 matrix and fold char positions with masked updates — max_len
+    vectorized passes instead of a per-char Python loop."""
+    n = len(strings)
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    max_len = int(lens.max()) if n else 0
+    mat = np.zeros((n, max_len), dtype=np.uint8)
+    for i, s in enumerate(strings):
+        mat[i, : lens[i]] = np.frombuffer(s, dtype=np.uint8)
+    h = np.full(n, 14695981039346656037, dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):  # FNV wraps mod 2^64 by design
+        for pos in range(max_len):
+            active = lens > pos
+            h[active] = (h[active] ^ mat[active, pos].astype(np.uint64)) * prime
+    return h
+
+
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
     """Distinct token n-grams → uint64 base hashes (FNV-1a, from-scratch)."""
     toks = text.split()
     grams = {" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
-    out = np.empty(max(1, len(grams)), dtype=np.uint64)
     if not grams:
-        out[0] = np.uint64(0)
-        return out
-    with np.errstate(over="ignore"):  # FNV wraps mod 2^64 by design
-        for k, g in enumerate(grams):
-            h = np.uint64(14695981039346656037)
-            for ch in g.encode("utf-8"):
-                h ^= np.uint64(ch)
-                h = h * np.uint64(1099511628211)
-            out[k] = h
-    return out
+        return np.zeros(1, dtype=np.uint64)
+    return _fnv1a_batch([g.encode("utf-8") for g in grams])
 
 
 def minhash_signatures(df: DataFrame, n_hashes: int = 64, ngram: int = 3,

@@ -67,7 +67,11 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     pts = (with_hex_cell(points, res, out="cell")
            .select(F.col(point_id).alias("p_id"),
                    F.col("lat").alias("p_lat"),
-                   F.col("lon").alias("p_lon"), "cell"))
+                   F.col("lon").alias("p_lon"), "cell")
+           # stage split: keep the encode UDF out of the join+window stage
+           # (two fused python evals oversubscribe CPUs — see pip.py note);
+           # at scale this is the stored cell-bucketed point table
+           .localCheckpoint(eager=False))
 
     ring_size = 3 * ring * (ring + 1) + 1
 
@@ -91,19 +95,22 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     topk = (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "p_id", "dist2", "rank"))
+    # topk is tiny (|Q|·k) but sits on the big join — cache it so the
+    # good/repair branches below don't re-execute the join
+    topk = topk.cache()
 
     # exactness repair: queries whose ring didn't provably contain their
     # kNN — including queries with ZERO candidates (absent from topk), so
-    # flag by anti-joining against the provably-complete set
+    # flag by anti-joining against the provably-complete set. Fully lazy:
+    # when no query needs repair the brute-force branch joins against an
+    # empty (broadcast) set and AQE collapses it.
     per_q = topk.groupBy("q_id").agg(F.count("*").alias("n_cand"),
                                      F.max("dist2").alias("kth_dist2"))
     good_q = per_q.filter((F.col("n_cand") >= k)
                           & (F.col("kth_dist2") <= F.lit(guarantee2))).select("q_id")
-    bad_q = queries.select("q_id").join(good_q, "q_id", "left_anti")
-    n_bad = bad_q.count()
-    if n_bad == 0:
-        return topk
-    good = topk.join(good_q, "q_id", "left_semi")
-    redo = knn_bruteforce(points, queries.join(bad_q, "q_id", "left_semi"),
+    bad_q = queries.select("q_id").join(F.broadcast(good_q), "q_id", "left_anti")
+    good = topk.join(F.broadcast(good_q), "q_id", "left_semi")
+    redo = knn_bruteforce(points,
+                          queries.join(F.broadcast(bad_q), "q_id", "left_semi"),
                           k, point_id)
     return good.unionByName(redo)

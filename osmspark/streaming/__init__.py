@@ -1,0 +1,1 @@
+from .source import stream_nodes, stream_pages, stream_tile_counts
