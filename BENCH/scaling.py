@@ -110,7 +110,7 @@ def worker(n_threads: int) -> None:
     tile_counts(wpts, 7, grid="hex").count()
     raster_tile_counts(wpts, 8).count()
     pip_join(wpts, polys, res=6).count()
-    knn_join(wpts, queries_df.limit(2), 3, res=7, ring=2).count()
+    knn_join(wpts, queries_df.limit(2), 3).count()
     wpts.unpersist()
 
     stages = {
@@ -118,7 +118,7 @@ def worker(n_threads: int) -> None:
         "hex_tiles": lambda: tile_counts(points, 7, grid="hex").count(),
         "raster_tiles": lambda: raster_tile_counts(points, 8).count(),
         "pip_join": lambda: pip_join(points, polys, res=6).count(),
-        "knn": lambda: knn_join(points, queries_df, 10, res=7, ring=2).count(),
+        "knn": lambda: knn_join(points, queries_df, 10).count(),
     }
     out = {}
     for name, fn in stages.items():

@@ -111,7 +111,7 @@ def run_bench(master: str, sf_dir: str) -> dict:
     pip_join(warm_pts, _warm_polys, res=6).count()
     _warm_q = spark.createDataFrame(pd.DataFrame(
         {"q_id": [0, 1], "lat": [51.5, 48.85], "lon": [-0.12, 2.35]}))
-    knn_join(warm_pts, _warm_q, 3, res=7, ring=2).count()
+    knn_join(warm_pts, _warm_q, 3).count()
     warm_pts.unpersist()
 
     # 1. decode: pages → nodes (the reference's entire job, parallelized)
@@ -182,7 +182,7 @@ def run_bench(master: str, sf_dir: str) -> dict:
                                2.35 + rng.normal(0, 0.03, 128)])})
     queries_df = spark.createDataFrame(qpdf)
     counters["n_knn_rows"] = timed(
-        "knn_k10", lambda: knn_join(points, queries_df, 10, res=7, ring=2).count())
+        "knn_k10", lambda: knn_join(points, queries_df, 10).count())
 
     # 8. dedup + ANN over the driver tables at this sf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

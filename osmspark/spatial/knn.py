@@ -1,35 +1,56 @@
-"""kNN join: hex k-ring expansion equi-join + window top-k, with an exact
-brute-force fallback for under-served queries.
+"""kNN join: hex k-ring candidate join + partial top-k, exact via repair.
 
 North-rule operator "grid-partitioned kNN via H3 k-ring expansion with a
-sort-merge refine step". Construction (SURVEY.md §7.3):
+sort-merge refine step". Scale-first construction (SURVEY.md §7.3):
 
-1. queries explode to their k-ring cells (ring_k × |Q| rows — queries are
-   the small side).
-2. equi-join points on cell — a hash/sort-merge join on the cell key; the
-   point side can be pre-bucketed by cell so repeated kNN runs co-locate.
-3. per-query ``row_number() over (partition by q_id order by dist, id)``
-   ≤ k — the sort-merge refine.
+``knn_join`` (the 10^12-point path):
+
+1. points get a hex cell id via a pure-SQL expression (JVM codegen — no
+   Python, see grid/hexgrid_sql.py).
+2. queries explode to their k-ring cells via a pure-SQL array expression
+   and are **broadcast** — the candidate join is a BroadcastHashJoin, so
+   the big (point) side never shuffles. This is the whole game at scale:
+   the only data movement is candidates, a ~1e-4 fraction of points at
+   res 9.
+3. distance is a SQL expression; a map-side **partial top-k**
+   (``mapInPandas``, one Python stage fused after the JVM join) reduces
+   each partition's candidates to ≤ |Q|·k rows before the final
+   ``row_number() over (partition by q_id order by dist2, p_id)`` — the
+   sort-merge refine now sorts ~parts·|Q|·k rows instead of all
+   candidates.
 4. EXACTNESS GUARD: a point outside the k-ring at hex edge ``e`` is at
-   planar distance ≥ (1.5·ring − 0.5)·e from the query (hex-center
-   geometry). Queries whose k-th candidate lies beyond that bound (or with
-   < k candidates) are re-run brute-force and unioned back, so the result
-   equals the exact brute-force join — which is what the DuckDB oracle
-   checks via ``knn_bruteforce``.
+   planar distance ≥ (1.5·ring − 0.5)·e from the query. Queries whose
+   k-th candidate lies beyond that bound (or with < k candidates) are
+   re-run through ``knn_broadcast`` and unioned back, so the result
+   equals the exact brute-force join — which the DuckDB oracle checks.
 
-Distance = squared planar degrees, written with identical expression shape
-in Spark and the oracle SQL so float64 results agree bit-for-bit.
+``knn_broadcast`` (exact, O(|P|·|Q|) work but map-only): queries ride to
+every partition in the UDF closure; each Arrow batch emits a superset of
+its local top-k (ties at the k-th distance kept, so the global merge is
+exact); a final window over the tiny union picks the true top-k. No
+shuffle of points, near-perfect scaling — the right tool when |Q| is
+small and the guarantee radius can't be tuned.
+
+``knn_bruteforce`` (crossJoin + window) stays as the oracle-shaped
+reference implementation for small inputs.
+
+Distance = squared planar degrees, written with identical expression
+shape in Spark SQL and the oracle SQL so float64 results agree
+bit-for-bit.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql import types as T
 
 from ..grid import hexgrid
+from ..grid.hexgrid_sql import hex_cell_col, hex_kring_explode
 
-__all__ = ["knn_join", "knn_bruteforce"]
+__all__ = ["knn_join", "knn_broadcast", "knn_bruteforce"]
+
+_OUT_SCHEMA = "q_id long, p_id long, dist2 double"
 
 
 def _dist2(qlat, qlon, plat, plon):
@@ -37,12 +58,19 @@ def _dist2(qlat, qlon, plat, plon):
     return (qlat - plat) * (qlat - plat) + (qlon - plon) * (qlon - plon)
 
 
+def _topk_window(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("p_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "p_id", "dist2", "rank"))
+
+
 def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int,
                    point_id: str = "id") -> DataFrame:
-    """Exact kNN by cross join + window — the oracle-checkable baseline.
+    """Exact kNN by cross join + window — the oracle-shaped baseline.
 
-    O(|P|·|Q|): fine when one side is small (it is broadcast); the scale
-    path is ``knn_join``."""
+    O(|P|·|Q|) rows through a window sort: only for small inputs; the
+    scale paths are ``knn_join`` / ``knn_broadcast``."""
     p = points.select(F.col(point_id).alias("p_id"),
                       F.col("lat").alias("p_lat"), F.col("lon").alias("p_lon"))
     q = queries.select(F.col("q_id"), F.col("lat").alias("q_lat"),
@@ -50,67 +78,158 @@ def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int,
     joined = q.crossJoin(p).withColumn(
         "dist2", _dist2(F.col("q_lat"), F.col("q_lon"),
                         F.col("p_lat"), F.col("p_lon")))
-    w = Window.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("p_id").asc())
-    return (joined.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "p_id", "dist2", "rank"))
+    return _topk_window(joined, k)
+
+
+def knn_broadcast(points: DataFrame, queries_pdf: pd.DataFrame, k: int,
+                  point_id: str = "id", q_chunk: int = 256,
+                  p_chunk: int = 16384) -> DataFrame:
+    """Exact kNN, queries broadcast in-closure, map-side partial top-k.
+
+    ``queries_pdf`` is a driver-side pandas frame (q_id, lat, lon) — the
+    documented small side (≤ ~10^5 queries). Each Arrow batch of points
+    computes a chunked distance matrix and emits every row whose distance
+    is ≤ its query's local k-th smallest (ties kept → exact superset);
+    the final window over ~batches·|Q|·k rows picks the true top-k.
+    """
+    if len(queries_pdf) == 0:
+        spark = points.sparkSession
+        return spark.createDataFrame([], _OUT_SCHEMA + ", rank int")
+    q_id = queries_pdf["q_id"].to_numpy()
+    q_lat = queries_pdf["lat"].to_numpy(dtype=np.float64)
+    q_lon = queries_pdf["lon"].to_numpy(dtype=np.float64)
+
+    def local_topk(batches):
+        for pdf in batches:
+            p_id = pdf["p_id"].to_numpy()
+            p_lat = pdf["p_lat"].to_numpy(dtype=np.float64)
+            p_lon = pdf["p_lon"].to_numpy(dtype=np.float64)
+            n = len(p_id)
+            if n == 0:
+                continue
+            out_q, out_p, out_d = [], [], []
+            for ps in range(0, n, p_chunk):
+                pe = min(ps + p_chunk, n)
+                pla, plo = p_lat[ps:pe], p_lon[ps:pe]
+                for qs in range(0, len(q_id), q_chunk):
+                    qe = min(qs + q_chunk, len(q_id))
+                    dla = q_lat[qs:qe][None, :] - pla[:, None]
+                    dlo = q_lon[qs:qe][None, :] - plo[:, None]
+                    d2 = dla * dla + dlo * dlo
+                    kk = min(k, d2.shape[0])
+                    kth = np.partition(d2, kk - 1, axis=0)[kk - 1]
+                    rows, cols = np.nonzero(d2 <= kth[None, :])
+                    out_q.append(q_id[qs + cols])
+                    out_p.append(p_id[ps + rows])
+                    out_d.append(d2[rows, cols])
+            yield pd.DataFrame({
+                "q_id": np.concatenate(out_q),
+                "p_id": np.concatenate(out_p),
+                "dist2": np.concatenate(out_d)})
+
+    pts = points.select(F.col(point_id).alias("p_id"),
+                        F.col("lat").alias("p_lat"),
+                        F.col("lon").alias("p_lon"))
+    local = pts.mapInPandas(local_topk, _OUT_SCHEMA)
+    return _topk_window(local, k)
+
+
+def _ring_pass(pts: DataFrame, queries: DataFrame, k: int, res: int,
+               ring: int, partial_topk: bool) -> DataFrame:
+    """One k-ring candidate pass → per-query top-k (possibly incomplete)."""
+    q_cells = (hex_kring_explode(queries, "lat", "lon", res, ring, out="cell")
+               .select(F.col("q_id"), F.col("lat").alias("q_lat"),
+                       F.col("lon").alias("q_lon"), "cell"))
+
+    # broadcast the exploded query side: BroadcastHashJoin — the point
+    # side is scanned in place, never shuffled
+    cand = (pts.join(F.broadcast(q_cells), "cell", "inner")
+            .withColumn("dist2", _dist2(F.col("q_lat"), F.col("q_lon"),
+                                        F.col("p_lat"), F.col("p_lon")))
+            .select("q_id", "p_id", "dist2"))
+
+    if partial_topk:
+        # map-side reduction: each partition keeps ≤ |Q|·k candidate rows
+        # before the window, so the final sort shuffles parts·|Q|·k rows,
+        # not all candidates. Worth it only when candidates per partition
+        # vastly exceed |Q|·k (a Python hop costs ~1-2s here; off by
+        # default at test scale, on for warehouse-scale candidate sets).
+        def local_topk(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                d2 = pdf["dist2"].to_numpy()
+                order = np.lexsort((pdf["p_id"].to_numpy(), d2,
+                                    pdf["q_id"].to_numpy()))
+                qs = pdf["q_id"].to_numpy()[order]
+                starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+                rank = np.arange(len(qs)) - np.repeat(
+                    starts, np.diff(np.r_[starts, len(qs)]))
+                yield pdf.iloc[order[rank < k]]
+
+        cand = cand.mapInPandas(local_topk, _OUT_SCHEMA)
+
+    return _topk_window(cand, k)
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
-             res: int = 6, ring: int = 2, point_id: str = "id") -> DataFrame:
-    """Exact kNN via k-ring candidate join + brute-force repair pass."""
-    from .tiles import with_hex_cell
+             res: int = 9, ring: int = 1, point_id: str = "id",
+             partial_topk: bool = False, max_passes: int = 3,
+             ring_growth: int = 3) -> DataFrame:
+    """Exact kNN via iterative k-ring candidate passes + top-k refine.
 
+    ``res``/``ring`` tune the first-pass radius: guarantee radius is
+    (1.5·ring − 0.5)·edge_deg(res); pick it to likely contain k neighbors
+    at your point density — too coarse explodes candidates (a res-7/ring-2
+    first pass produced 39M candidate rows for 128 city-center queries;
+    res 9/ring 1 produces ~450k), too fine routes more queries into later
+    passes (correct either way).
+
+    Exactness: a point outside the k-ring at hex edge ``e`` is at planar
+    distance ≥ (1.5·ring − 0.5)·e. Queries whose k-th candidate is inside
+    that bound are provably complete and retire; the rest re-run with the
+    ring widened ×``ring_growth`` (only the unresolved queries — each
+    pass re-scans points but touches few cells), and any query still
+    unresolved after ``max_passes`` falls back to the exact
+    ``knn_broadcast``. Result rows equal the brute-force join.
+    """
+    spark = points.sparkSession
     edge = hexgrid.edge_deg(res)
-    guarantee2 = ((1.5 * ring - 0.5) * edge) ** 2
+    pts = points.select(F.col(point_id).alias("p_id"),
+                        F.col("lat").alias("p_lat"),
+                        F.col("lon").alias("p_lon"),
+                        hex_cell_col(F.col("lat"), F.col("lon"), res).alias("cell"))
 
-    pts = (with_hex_cell(points, res, out="cell")
-           .select(F.col(point_id).alias("p_id"),
-                   F.col("lat").alias("p_lat"),
-                   F.col("lon").alias("p_lon"), "cell")
-           # stage split: keep the encode UDF out of the join+window stage
-           # (two fused python evals oversubscribe CPUs — see pip.py note);
-           # at scale this is the stored cell-bucketed point table
-           .localCheckpoint(eager=False))
+    # queries are the contract's small side: per-query completeness
+    # bookkeeping runs on the driver (one toPandas per pass — the frame is
+    # |Q_remaining| rows), so each pass costs ONE Spark job over the
+    # cached top-k instead of a chain of semi/anti joins and counts
+    remaining = queries.select("q_id", "lat", "lon").toPandas()
+    parts: list[DataFrame] = []
+    ring_i = ring
+    for _ in range(max_passes):
+        if len(remaining) == 0:
+            break
+        guarantee2 = ((1.5 * ring_i - 0.5) * edge) ** 2
+        topk = _ring_pass(pts, spark.createDataFrame(remaining), k, res,
+                          ring_i, partial_topk).cache()
+        per_q = (topk.groupBy("q_id")
+                 .agg(F.count("*").alias("n_cand"),
+                      F.max("dist2").alias("kth_dist2")).toPandas())
+        good = per_q[(per_q["n_cand"] >= k)
+                     & (per_q["kth_dist2"] <= guarantee2)]["q_id"]
+        good_ids = set(good.tolist())
+        if good_ids:
+            parts.append(topk.filter(F.col("q_id").isin(good_ids)))
+        else:
+            topk.unpersist()
+        remaining = remaining[~remaining["q_id"].isin(good_ids)]
+        ring_i *= ring_growth
 
-    ring_size = 3 * ring * (ring + 1) + 1
+    if len(remaining):
+        parts.append(knn_broadcast(points, remaining, k, point_id))
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def kring_udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        cells = hexgrid.cell_id(lat.to_numpy(), lon.to_numpy(), res)
-        rings = hexgrid.k_ring(cells, ring)
-        return pd.Series(list(rings))
-
-    q = queries.select("q_id", F.col("lat").alias("q_lat"),
-                       F.col("lon").alias("q_lon"))
-    q_cells = (q.withColumn("cell", F.explode(kring_udf(F.col("q_lat"),
-                                                        F.col("q_lon")))))
-
-    # queries-side exploded table is |Q|·ring_size rows; points side only
-    # shuffles on cell (and can be bucketed by cell to avoid even that)
-    cand = (q_cells.join(pts, "cell", "inner")
-            .withColumn("dist2", _dist2(F.col("q_lat"), F.col("q_lon"),
-                                        F.col("p_lat"), F.col("p_lon"))))
-    w = Window.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("p_id").asc())
-    topk = (cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "p_id", "dist2", "rank"))
-    # topk is tiny (|Q|·k) but sits on the big join — cache it so the
-    # good/repair branches below don't re-execute the join
-    topk = topk.cache()
-
-    # exactness repair: queries whose ring didn't provably contain their
-    # kNN — including queries with ZERO candidates (absent from topk), so
-    # flag by anti-joining against the provably-complete set. Fully lazy:
-    # when no query needs repair the brute-force branch joins against an
-    # empty (broadcast) set and AQE collapses it.
-    per_q = topk.groupBy("q_id").agg(F.count("*").alias("n_cand"),
-                                     F.max("dist2").alias("kth_dist2"))
-    good_q = per_q.filter((F.col("n_cand") >= k)
-                          & (F.col("kth_dist2") <= F.lit(guarantee2))).select("q_id")
-    bad_q = queries.select("q_id").join(F.broadcast(good_q), "q_id", "left_anti")
-    good = topk.join(F.broadcast(good_q), "q_id", "left_semi")
-    redo = knn_bruteforce(points,
-                          queries.join(F.broadcast(bad_q), "q_id", "left_semi"),
-                          k, point_id)
-    return good.unionByName(redo)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

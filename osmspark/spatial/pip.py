@@ -99,13 +99,11 @@ def pip_join(points: DataFrame, polys_pdf: pd.DataFrame, res: int = 7,
 
     from .tiles import with_hex_cell
 
+    # encode is a pure SQL expression (JVM codegen) — the refine UDF below
+    # is then the ONLY Python operator in the stage, so no fused-double-UDF
+    # CPU oversubscription (the old pandas-UDF encode forced a
+    # localCheckpoint stage split here; measured 34s vs 4s on local[16])
     pts = with_hex_cell(points, res, lat_col, lon_col, out="cell")
-    # Materialize the cell-encoded points before the join: otherwise the
-    # encode UDF and the refine UDF fuse into ONE stage with two python
-    # workers per task — 2-3× CPU oversubscription (measured 34s vs 4s on
-    # local[16]). At warehouse scale this boundary is the stored
-    # cell-partitioned table (encode once, join many times).
-    pts = pts.localCheckpoint(eager=False)
     # BroadcastHashJoin on cell: the 10^12-row side never shuffles
     cand = pts.join(F.broadcast(cover), "cell", "inner")
 

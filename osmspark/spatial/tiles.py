@@ -22,12 +22,15 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from ..grid import hexgrid, s2
+from ..grid.hexgrid_sql import hex_cell_col
 
 __all__ = ["with_hex_cell", "with_s2_cell", "tile_counts", "rollup",
            "raster_tile_counts", "hex_to_raster", "raster_to_points"]
 
 
 def _hex_udf(res: int):
+    """pandas-UDF hex encode — kept for cross-checking hex_cell_col in
+    tests; production paths use the pure-SQL expression (JVM codegen)."""
     @F.pandas_udf(T.LongType())
     def enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
         return pd.Series(hexgrid.cell_id(lat.to_numpy(), lon.to_numpy(), res))
@@ -45,7 +48,9 @@ def _s2_udf(level: int):
 
 def with_hex_cell(df: DataFrame, res: int, lat_col: str = "lat",
                   lon_col: str = "lon", out: str = "cell") -> DataFrame:
-    return df.withColumn(out, _hex_udf(res)(F.col(lat_col), F.col(lon_col)))
+    """Hex encode as a pure SQL expression — whole-stage codegen, no
+    Python worker (bit-identical to hexgrid.cell_id; pinned by tests)."""
+    return df.withColumn(out, hex_cell_col(F.col(lat_col), F.col(lon_col), res))
 
 
 def with_s2_cell(df: DataFrame, level: int, lat_col: str = "lat",
@@ -62,8 +67,11 @@ def tile_counts(df: DataFrame, res: int, grid: str = "hex",
     cell. With map-side combine the partial pass is nearly free and the
     final pass sees ≤ salt rows per hot cell.
     """
-    cell_fn = _hex_udf(res) if grid == "hex" else _s2_udf(res)
-    with_cell = df.withColumn("cell", cell_fn(F.col(lat_col), F.col(lon_col)))
+    if grid == "hex":
+        cell = hex_cell_col(F.col(lat_col), F.col(lon_col), res)
+    else:
+        cell = _s2_udf(res)(F.col(lat_col), F.col(lon_col))
+    with_cell = df.withColumn("cell", cell)
     aggs = [
         F.count(F.lit(1)).alias("n_points"),
         F.sum(lat_col).alias("_sum_lat"),

@@ -125,3 +125,27 @@ def test_hex_pinned_regression():
     expected = [-8646915726084399052, -8646925797782709899,
                 -8646885867471770925]
     assert got == expected, got
+
+
+def test_hex_sql_expr_matches_numpy(spark):
+    """hex_cell_col / hex_kring_array_col are bit-identical to the numpy
+    kernels — the production encode path is the SQL expression."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osmspark.grid import hexgrid as H
+    from osmspark.grid.hexgrid_sql import hex_cell_col, hex_kring_array_col
+
+    rng = np.random.default_rng(99)
+    lat = rng.uniform(-89.9, 89.9, 5000)
+    lon = rng.uniform(-180, 180, 5000)
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    for res in (0, 5, 7, 9, 12):
+        got = np.array([r[0] for r in df.select(
+            hex_cell_col(F.col("lat"), F.col("lon"), res)).collect()])
+        assert np.array_equal(got, H.cell_id(lat, lon, res)), res
+    for res, k in ((7, 1), (9, 2)):
+        got = np.array([r[0] for r in df.limit(200).select(
+            hex_kring_array_col(F.col("lat"), F.col("lon"), res, k)).collect()])
+        want = H.k_ring(H.cell_id(lat[:200], lon[:200], res), k)
+        assert np.array_equal(np.sort(got, axis=1), np.sort(want, axis=1))

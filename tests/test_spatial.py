@@ -148,3 +148,20 @@ def test_knn_sparse_region_fallback(spark, pts):
     kr = {tuple(r) for r in
           knn_join(df, queries, 3, res=6, ring=1).select("q_id", "p_id", "rank").collect()}
     assert bf == kr
+
+
+def test_knn_broadcast_matches_bruteforce(spark, pts):
+    import pandas as pd
+
+    from osmspark.spatial import knn_broadcast
+
+    df, _, _ = pts
+    qpdf = pd.DataFrame({"q_id": [0, 1, 2],
+                         "lat": [51.5, 48.86, 0.0],
+                         "lon": [-0.12, 2.35, 0.0]})
+    queries = spark.createDataFrame(qpdf)
+    bf = {(r.q_id, r.p_id, r.rank) for r in
+          knn_bruteforce(df, queries, 5).select("q_id", "p_id", "rank").collect()}
+    bc = {(r.q_id, r.p_id, r.rank) for r in
+          knn_broadcast(df, qpdf, 5).select("q_id", "p_id", "rank").collect()}
+    assert bf == bc
