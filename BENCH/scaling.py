@@ -5,14 +5,22 @@ executors. This sandbox has no cluster; the documented proxy is the same
 job at two local parallelism levels (driver instruction / SURVEY.md §6).
 
 Measurement protocol (this VM is HOSTILE to timing):
-* nproc=32 but a calibration burn shows only ~15-20 effective cores, so
-  we measure N=4 → 4N=16 (4N ≤ effective cores keeps the host out of the
-  equation — the rule's "e.g. … or N and 4N cores").
+* nproc=32; a pinned-thread pure-python burn scales 1→4→16→32 procs at
+  4.0×/13.7×/24× (0.86 efficiency at 4→16), so we measure N=4 → 4N=16
+  — the host itself sustains ≥0.8 over that span, anything below is
+  ours (the rule's "e.g. … or N and 4N cores").
 * host CPU throughput fluctuates (Firecracker neighbors): identical
   NumPy kernels vary 10-200× run to run. Each (level, rep) runs in its
   own subprocess and reps are INTERLEAVED (4,16,4,16,…); per-stage MIN
   over reps is the steady-state estimate both levels get fairly.
-* every subprocess warms all python workers + codegen before timing.
+* every subprocess warms all python workers + codegen before timing,
+  then each stage runs once UNTIMED (codegen/broadcast/UDF-pickle
+  warm-up — those are per-query fixed costs, not throughput) and the
+  recorded figure is the min of 2 subsequent timed runs. The workload
+  (12M nodes) is sized so the timed stages are compute-dominated: at
+  the old 1.5M-node size, ~1s stages measured nothing but task-launch
+  overhead, which GROWS with parallelism (more workers to pickle to)
+  and reported fake negative scaling.
 
 Usage: python BENCH/scaling.py [--levels 4,16] [--reps 3] [--json-out F]
 """
@@ -28,7 +36,7 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
-N_PAGES = 384
+N_PAGES = 3072
 NODES_PER_PAGE = 4000
 CACHE = f"/tmp/osmspark_scaling/p{N_PAGES}_n{NODES_PER_PAGE}"
 
@@ -96,10 +104,11 @@ def worker(n_threads: int) -> None:
             pid += 1
     polys = pd.DataFrame(polys)
     rng = np.random.default_rng(7)
+    n_q = 4096
     qpdf = pd.DataFrame({
-        "q_id": np.arange(128),
-        "lat": 51.5 + rng.normal(0, 0.03, 128),
-        "lon": -0.12 + rng.normal(0, 0.03, 128)})
+        "q_id": np.arange(n_q),
+        "lat": 51.5 + rng.normal(0, 0.03, n_q),
+        "lon": -0.12 + rng.normal(0, 0.03, n_q)})
     queries_df = spark.createDataFrame(qpdf)
 
     # JVM/codegen warm for each stage shape on small slices
@@ -113,18 +122,26 @@ def worker(n_threads: int) -> None:
     knn_join(wpts, queries_df.limit(2), 3).count()
     wpts.unpersist()
 
+    # (stage, repeats-per-timed-run): sub-second stages loop so the
+    # recorded figure is throughput, not single-job launch latency (which
+    # GROWS with worker count and would fake negative scaling)
     stages = {
-        "decode": lambda: nodes_from_pages(pages).count(),
-        "hex_tiles": lambda: tile_counts(points, 7, grid="hex").count(),
-        "raster_tiles": lambda: raster_tile_counts(points, 8).count(),
-        "pip_join": lambda: pip_join(points, polys, res=6).count(),
-        "knn": lambda: knn_join(points, queries_df, 10).count(),
+        "decode": (lambda: nodes_from_pages(pages).count(), 1),
+        "hex_tiles": (lambda: tile_counts(points, 7, grid="hex").count(), 6),
+        "raster_tiles": (lambda: raster_tile_counts(points, 8).count(), 6),
+        "pip_join": (lambda: pip_join(points, polys, res=6).count(), 3),
+        "knn": (lambda: knn_join(points, queries_df, 10).count(), 1),
     }
     out = {}
-    for name, fn in stages.items():
-        t0 = time.time()
-        fn()
-        out[name] = round(time.time() - t0, 3)
+    for name, (fn, repeats) in stages.items():
+        fn()  # untimed warm run: codegen + broadcast + UDF pickle
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            for _ in range(repeats):
+                fn()
+            best = min(best, (time.time() - t0) / repeats)
+        out[name] = round(best, 3)
     spark.stop()
     print("SCALING_RESULT " + json.dumps(out))
 

@@ -41,6 +41,45 @@ _EVENT_POINTS_SQL = """
 """
 
 
+def _hex_tiles_oracle_sql(res: int) -> str:
+    """DuckDB oracle for the hex tile aggregation — the full encoder
+    (axial transform, cube rounding, bit pack; osmspark/grid/hexgrid.py)
+    re-expressed in ANSI SQL. ``round_even`` == np.round == Spark rint;
+    float constants are inlined via repr() so all three engines evaluate
+    the identical IEEE-754 expression and cell ids match bit-for-bit."""
+    from osmspark.grid import hexgrid
+    from osmspark.grid.hexgrid_sql import _SQRT3_3
+
+    size = hexgrid.edge_deg(res)
+    off = 1 << 29
+    res_bits = (int(res) << 60) & ((1 << 64) - 1)
+    if res_bits >= 1 << 63:
+        res_bits -= 1 << 64
+    return f"""
+      WITH pts AS ({_EVENT_POINTS_SQL}),
+      ax AS (
+        SELECT ({_SQRT3_3!r} * lon - lat / 3.0) / {size!r} AS qf,
+               (2.0 / 3.0 * lat) / {size!r} AS rf
+        FROM pts),
+      rounded AS (
+        SELECT qf, rf, -qf - rf AS sf,
+               round_even(qf, 0) AS q, round_even(rf, 0) AS r,
+               round_even(-qf - rf, 0) AS s
+        FROM ax),
+      fixed AS (
+        SELECT CASE WHEN abs(q - qf) > abs(r - rf) AND abs(q - qf) > abs(s - sf)
+                    THEN -r - s ELSE q END AS q2,
+               CASE WHEN NOT (abs(q - qf) > abs(r - rf) AND abs(q - qf) > abs(s - sf))
+                         AND abs(r - rf) > abs(s - sf)
+                    THEN -q - s ELSE r END AS r2
+        FROM rounded)
+      SELECT {res_bits} + (q2::BIGINT + {off}) * 1073741824
+                        + (r2::BIGINT + {off}) AS cell,
+             count(*) AS n_points
+      FROM fixed GROUP BY 1 ORDER BY cell
+    """
+
+
 def _lineitem_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     key = F.col("l_orderkey") * 7919 + F.col("l_linenumber")
@@ -400,8 +439,19 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_media_decode(spark, sf_dir):
-    from osmspark.pipeline.multimodal import decode_media_metadata, synthesize_media
-    media = synthesize_media(spark, 90)
+    """Media plumbing on real driver data: payload = utf-8 text bytes from
+    ``documents`` (kind round-robins on doc_id), through the same
+    Arrow-batched stub-decode path — which makes the sha256-derived dims
+    reproducible in the DuckDB oracle (sha256(VARCHAR) hashes the same
+    utf-8 bytes)."""
+    from osmspark.pipeline.multimodal import decode_media_metadata
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kinds[(F.col("doc_id") % 3).cast("int")].alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"))
     return (decode_media_metadata(media)
             .select("media_id", "kind", "width", "height", "duration_ms")
             .orderBy("media_id"))
@@ -642,7 +692,47 @@ def oracle_sql() -> dict[str, str]:
           SELECT q_id, p_id, rank FROM ranked WHERE rank <= 10
           ORDER BY q_id, rank
         """,
-        # minhash_lsh_candidates, simhash_pairs, lang_guess_counts,
-        # ann_topk_lsh, media_decode_meta, hex_tiles_r7, s2_tiles_l10:
-        # engine-defined (hash/grid internals) → rows-only checks.
+        "hex_tiles_r7": _hex_tiles_oracle_sql(7),
+        # osmspark/pipeline/textstats.py with_lang_guess: marker-count
+        # argmax; DuckDB list_max over (score, lang) structs has the same
+        # tie order as Spark array_max (field-lexicographic)
+        "lang_guess_counts": """
+          WITH toks AS (
+            SELECT string_split_regex(trim(text), ' +') AS t FROM documents),
+          scored AS (
+            SELECT list_max([
+              {'score': len(list_filter(t, x -> x IN ('the','a','value','fast')))::BIGINT, 'lang': 'en'},
+              {'score': len(list_filter(t, x -> x IN ('der','die','und','nicht')))::BIGINT, 'lang': 'de'},
+              {'score': len(list_filter(t, x -> x IN ('le','la','et','pas')))::BIGINT, 'lang': 'fr'},
+              {'score': len(list_filter(t, x -> x IN ('el','la','y','no')))::BIGINT, 'lang': 'es'},
+              {'score': len(list_filter(t, x -> x IN ('shi','bu','wo','de')))::BIGINT, 'lang': 'zh'}
+            ]) AS best FROM toks)
+          SELECT best['lang'] AS lang_guess, count(*) AS n_docs
+          FROM scored GROUP BY 1 ORDER BY lang_guess
+        """,
+        # pipeline/multimodal.py _stub_dims: sha256(payload) digest bytes →
+        # dims; DuckDB sha256(VARCHAR) hashes the same utf-8 bytes, hex
+        # substrings recover the digest bytes
+        "media_decode_meta": """
+          WITH d AS (
+            SELECT doc_id AS media_id,
+                   ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS kind,
+                   sha256(text) AS h
+            FROM documents),
+          dims AS (
+            SELECT media_id, kind,
+                   64 + ('0x' || substr(h, 1, 2))::INT % 192 AS w,
+                   64 + ('0x' || substr(h, 3, 2))::INT % 192 AS h_,
+                   1000 + (('0x' || substr(h, 5, 2))::INT * 256
+                           + ('0x' || substr(h, 7, 2))::INT) % 59000 AS dur
+            FROM d)
+          SELECT media_id, kind,
+                 CASE WHEN kind = 'audio' THEN NULL ELSE w END AS width,
+                 CASE WHEN kind = 'audio' THEN NULL ELSE h_ END AS height,
+                 CASE WHEN kind = 'image' THEN NULL ELSE dur END AS duration_ms
+          FROM dims ORDER BY media_id
+        """,
+        # minhash_lsh_candidates, simhash_pairs, ann_topk_lsh,
+        # s2_tiles_l10: engine-defined (hash internals / S2 Hilbert curve)
+        # → rows-only checks.
     }

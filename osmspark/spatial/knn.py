@@ -134,9 +134,14 @@ def knn_broadcast(points: DataFrame, queries_pdf: pd.DataFrame, k: int,
     return _topk_window(local, k)
 
 
-def _ring_pass(pts: DataFrame, queries: DataFrame, k: int, res: int,
-               ring: int, partial_topk: bool) -> DataFrame:
+def _ring_pass(points: DataFrame, queries: DataFrame, k: int, res: int,
+               ring: int, partial_topk: bool, point_id: str = "id",
+               guarantee2: float | None = None) -> DataFrame:
     """One k-ring candidate pass → per-query top-k (possibly incomplete)."""
+    pts = points.select(F.col(point_id).alias("p_id"),
+                        F.col("lat").alias("p_lat"),
+                        F.col("lon").alias("p_lon"),
+                        hex_cell_col(F.col("lat"), F.col("lon"), res).alias("cell"))
     q_cells = (hex_kring_explode(queries, "lat", "lon", res, ring, out="cell")
                .select(F.col("q_id"), F.col("lat").alias("q_lat"),
                        F.col("lon").alias("q_lon"), "cell"))
@@ -147,6 +152,15 @@ def _ring_pass(pts: DataFrame, queries: DataFrame, k: int, res: int,
             .withColumn("dist2", _dist2(F.col("q_lat"), F.col("q_lon"),
                                         F.col("p_lat"), F.col("p_lon")))
             .select("q_id", "p_id", "dist2"))
+
+    if guarantee2 is not None:
+        # the k-ring contains EVERY point within the guarantee radius, so
+        # candidates ≤ guarantee² are a complete ball around the query:
+        # if ≥ k survive, their top-k is the exact global top-k. The
+        # filter runs map-side inside the scan stage and cuts the window
+        # input ~6× (ring-disk area vs guarantee-disk area) — measured
+        # 50M → 8M rows for 2048 city-core queries at res 9.
+        cand = cand.filter(F.col("dist2") <= F.lit(guarantee2))
 
     if partial_topk:
         # map-side reduction: each partition keeps ≤ |Q|·k candidate rows
@@ -174,9 +188,8 @@ def _ring_pass(pts: DataFrame, queries: DataFrame, k: int, res: int,
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
              res: int = 9, ring: int = 1, point_id: str = "id",
-             partial_topk: bool = False, max_passes: int = 3,
-             ring_growth: int = 3) -> DataFrame:
-    """Exact kNN via iterative k-ring candidate passes + top-k refine.
+             partial_topk: bool = False, max_passes: int = 4) -> DataFrame:
+    """Exact kNN via hierarchical k-ring candidate passes + top-k refine.
 
     ``res``/``ring`` tune the first-pass radius: guarantee radius is
     (1.5·ring − 0.5)·edge_deg(res); pick it to likely contain k neighbors
@@ -185,20 +198,27 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     res 9/ring 1 produces ~450k), too fine routes more queries into later
     passes (correct either way).
 
-    Exactness: a point outside the k-ring at hex edge ``e`` is at planar
-    distance ≥ (1.5·ring − 0.5)·e. Queries whose k-th candidate is inside
-    that bound are provably complete and retire; the rest re-run with the
-    ring widened ×``ring_growth`` (only the unresolved queries — each
-    pass re-scans points but touches few cells), and any query still
-    unresolved after ``max_passes`` falls back to the exact
-    ``knn_broadcast``. Result rows equal the brute-force join.
+    Exactness: the k-ring at hex edge ``e`` contains EVERY point within
+    planar distance (1.5·ring − 0.5)·e, so candidates inside that radius
+    are a complete ball — if ≥ k survive the in-scan distance filter, the
+    windowed top-k is provably the global top-k and the query retires.
+    Unresolved queries escalate to a COARSER resolution (aperture-7
+    hierarchy: same constant-size ring, ×7 candidate area per res step —
+    unlike growing the ring, whose O(ring²) offset array blew up Catalyst
+    analysis time). The escalation target is DENSITY-ADAPTIVE: pass 0's
+    candidate count is a local density estimate, so each unresolved query
+    jumps straight to the res whose guarantee ball should hold ≥ k points
+    (one extra pass for the whole group at the coarsest such res, instead
+    of walking res−1, res−2, … with ~2 Spark jobs of launch latency per
+    walk step). Queries still unresolved after ``max_passes`` fall back
+    to the exact ``knn_broadcast``. Result rows equal the brute-force
+    join.
+
+    At warehouse scale, store the point table partitioned by a coarse
+    cell prefix: the first (finest) pass then prunes partitions, and only
+    escalation passes — a tiny query fraction — scan wider.
     """
     spark = points.sparkSession
-    edge = hexgrid.edge_deg(res)
-    pts = points.select(F.col(point_id).alias("p_id"),
-                        F.col("lat").alias("p_lat"),
-                        F.col("lon").alias("p_lon"),
-                        hex_cell_col(F.col("lat"), F.col("lon"), res).alias("cell"))
 
     # queries are the contract's small side: per-query completeness
     # bookkeeping runs on the driver (one toPandas per pass — the frame is
@@ -206,25 +226,44 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     # cached top-k instead of a chain of semi/anti joins and counts
     remaining = queries.select("q_id", "lat", "lon").toPandas()
     parts: list[DataFrame] = []
-    ring_i = ring
-    for _ in range(max_passes):
-        if len(remaining) == 0:
+    factor = 1.5 * ring - 0.5
+    res_i = res
+    for i in range(max_passes):
+        if len(remaining) == 0 or res_i < 0:
             break
-        guarantee2 = ((1.5 * ring_i - 0.5) * edge) ** 2
-        topk = _ring_pass(pts, spark.createDataFrame(remaining), k, res,
-                          ring_i, partial_topk).cache()
+        guarantee = factor * hexgrid.edge_deg(res_i)
+        topk = _ring_pass(points, spark.createDataFrame(remaining), k, res_i,
+                          ring, partial_topk, point_id,
+                          guarantee2=guarantee * guarantee).cache()
+        # candidates are pre-filtered to the guarantee ball (a complete
+        # neighborhood), so n_cand ≥ k alone proves exactness
         per_q = (topk.groupBy("q_id")
-                 .agg(F.count("*").alias("n_cand"),
-                      F.max("dist2").alias("kth_dist2")).toPandas())
-        good = per_q[(per_q["n_cand"] >= k)
-                     & (per_q["kth_dist2"] <= guarantee2)]["q_id"]
-        good_ids = set(good.tolist())
+                 .agg(F.count("*").alias("n_cand")).toPandas())
+        good_ids = set(per_q[per_q["n_cand"] >= k]["q_id"].tolist())
+        bad_ids = [q for q in remaining["q_id"].tolist() if q not in good_ids]
         if good_ids:
-            parts.append(topk.filter(F.col("q_id").isin(good_ids)))
+            # exclude the (small) unresolved set rather than filtering by
+            # the large resolved set — a 2k-element isin() cost 1.6s of
+            # expression evaluation per job
+            parts.append(topk.filter(~F.col("q_id").isin(bad_ids))
+                         if bad_ids else topk)
         else:
             topk.unpersist()
-        remaining = remaining[~remaining["q_id"].isin(good_ids)]
-        ring_i *= ring_growth
+        remaining = remaining[remaining["q_id"].isin(bad_ids)]
+
+        if len(remaining):
+            # density-adaptive escalation: ball of radius g held n < k
+            # points → a ball expected to hold k needs radius about
+            # g·sqrt(k/n); 1.5× safety, n floored at 0.5 for empty balls
+            counts = dict(zip(per_q["q_id"], per_q["n_cand"]))
+            worst = max(guarantee * np.sqrt(k / max(counts.get(q, 0), 0.5)) * 1.5
+                        for q in remaining["q_id"])
+            need_edge = worst / factor
+            # coarsest res whose edge covers the needed radius
+            next_res = res_i - 1
+            while next_res > 0 and hexgrid.edge_deg(next_res) < need_edge:
+                next_res -= 1
+            res_i = next_res
 
     if len(remaining):
         parts.append(knn_broadcast(points, remaining, k, point_id))
