@@ -16,11 +16,15 @@ Measurement protocol (this VM is HOSTILE to timing):
 * every subprocess warms all python workers + codegen before timing,
   then each stage runs once UNTIMED (codegen/broadcast/UDF-pickle
   warm-up — those are per-query fixed costs, not throughput) and the
-  recorded figure is the min of 2 subsequent timed runs. The workload
-  (12M nodes) is sized so the timed stages are compute-dominated: at
-  the old 1.5M-node size, ~1s stages measured nothing but task-launch
-  overhead, which GROWS with parallelism (more workers to pickle to)
-  and reported fake negative scaling.
+  recorded figure is the min of 2 subsequent timed runs. Workloads are
+  sized so the timed stages are compute-dominated: at a 1.5M-node size,
+  ~1s stages measured nothing but task-launch overhead, which GROWS
+  with parallelism (more workers to pickle to) and reported fake
+  negative scaling. Decode runs on the 12M-node pages table (the
+  decode itself is the expensive part); the spatial stages run on a
+  160M-point table synthesized once in PURE SQL (hash-uniforms +
+  Box-Muller around the same skewed city mixture — no Python, fast to
+  regenerate, deterministic).
 
 Usage: python BENCH/scaling.py [--levels 4,16] [--reps 3] [--json-out F]
 """
@@ -39,8 +43,54 @@ REPO = os.path.dirname(HERE)
 N_PAGES = 3072
 NODES_PER_PAGE = 4000
 CACHE = f"/tmp/osmspark_scaling/p{N_PAGES}_n{NODES_PER_PAGE}"
+N_BIG = 80_000_000
+BIG_CACHE = f"/tmp/osmspark_scaling/points{N_BIG}"
 
 STAGES = ["decode", "hex_tiles", "raster_tiles", "pip_join", "knn"]
+
+
+def build_big_points(spark, path: str, n: int) -> None:
+    """160M clustered points in pure SQL: city picked by hash-uniform over
+    the CITIES weights, offset by Box-Muller gaussians (σ=0.02°) from two
+    more hash-uniforms. Deterministic, no Python workers, ~a minute."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osmspark.pages import CITIES
+
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return
+    m = float(1 << 30)
+
+    def uniform(salt: int):
+        return (F.pmod(F.xxhash64(F.col("id"), F.lit(salt)), F.lit(1 << 30))
+                .cast("double") / F.lit(m))
+
+    w = [c[3] for c in CITIES]
+    total = sum(w)
+    cum = []
+    acc = 0.0
+    for x in w:
+        acc += x / total
+        cum.append(acc)
+    u_city = uniform(0)
+    city = F.lit(len(CITIES) - 1)
+    for i in range(len(CITIES) - 2, -1, -1):
+        city = F.when(u_city < F.lit(cum[i]), F.lit(i)).otherwise(city)
+    lat_arr = F.array(*[F.lit(float(c[1])) for c in CITIES])
+    lon_arr = F.array(*[F.lit(float(c[2])) for c in CITIES])
+    u1 = uniform(1)
+    u2 = uniform(2)
+    r = F.sqrt(F.lit(-2.0) * F.log(u1 + F.lit(1e-12)))
+    z1 = r * F.cos(F.lit(2 * math.pi) * u2)
+    z2 = r * F.sin(F.lit(2 * math.pi) * u2)
+    (spark.range(n, numPartitions=128)
+     .withColumn("_c", city)
+     .select(F.col("id"),
+             (F.element_at(lat_arr, F.col("_c") + 1) + F.lit(0.02) * z1).alias("lat"),
+             (F.element_at(lon_arr, F.col("_c") + 1) + F.lit(0.02) * z2).alias("lon"))
+     .write.mode("overwrite").parquet(path))
 
 
 def worker(n_threads: int) -> None:
@@ -85,36 +135,35 @@ def worker(n_threads: int) -> None:
     (spark.range(4 * n_threads, numPartitions=4 * n_threads)
      .mapInPandas(_warm_worker, "id long").count())
 
-    nodes_path = f"{CACHE}_nodes"
-    if not os.path.exists(f"{nodes_path}/_SUCCESS"):
-        (nodes_from_pages(pages).select("id", "lat", "lon")
-         .repartition(64).write.mode("overwrite").parquet(nodes_path))
-    points = spark.read.parquet(nodes_path)
+    build_big_points(spark, BIG_CACHE, N_BIG)
+    points = spark.read.parquet(BIG_CACHE)
 
+    # one polygon per city on the gaussian SHOULDER ([μ+0.02, μ+0.06]):
+    # ~2.5% of each city's mass → ~4M refine rows, heavy enough to time,
+    # light enough that the python ray-cast isn't the whole measurement
     polys = []
-    pid = 0
-    for name, clat, clon, _w in CITIES:
-        for dla, dlo in ((-0.08, -0.08), (0.0, 0.0)):
-            polys.append({
-                "poly_id": pid, "name": f"{name}-{pid}",
-                "min_lat": clat + dla, "max_lat": clat + dla + 0.08,
-                "min_lon": clon + dlo, "max_lon": clon + dlo + 0.08,
-                "ring_lat": [clat + dla, clat + dla, clat + dla + 0.08, clat + dla + 0.08],
-                "ring_lon": [clon + dlo, clon + dlo + 0.08, clon + dlo + 0.08, clon + dlo]})
-            pid += 1
+    for pid, (name, clat, clon, _w) in enumerate(CITIES):
+        lo_la, hi_la = clat + 0.02, clat + 0.06
+        lo_lo, hi_lo = clon + 0.02, clon + 0.06
+        polys.append({
+            "poly_id": pid, "name": f"{name}-{pid}",
+            "min_lat": lo_la, "max_lat": hi_la,
+            "min_lon": lo_lo, "max_lon": hi_lo,
+            "ring_lat": [lo_la, lo_la, hi_la, hi_la],
+            "ring_lon": [lo_lo, hi_lo, hi_lo, lo_lo]})
     polys = pd.DataFrame(polys)
     rng = np.random.default_rng(7)
-    n_q = 4096
+    n_q = 8192
     qpdf = pd.DataFrame({
         "q_id": np.arange(n_q),
-        "lat": 51.5 + rng.normal(0, 0.03, n_q),
-        "lon": -0.12 + rng.normal(0, 0.03, n_q)})
+        "lat": 51.5074 + rng.normal(0, 0.03, n_q),
+        "lon": -0.1278 + rng.normal(0, 0.03, n_q)})
     queries_df = spark.createDataFrame(qpdf)
 
     # JVM/codegen warm for each stage shape on small slices
     warm = pages.limit(2)
     nodes_from_pages(warm).count()
-    wpts = nodes_from_pages(warm).select("id", "lat", "lon").cache()
+    wpts = points.limit(10_000).cache()
     wpts.count()
     tile_counts(wpts, 7, grid="hex").count()
     raster_tile_counts(wpts, 8).count()
@@ -122,15 +171,17 @@ def worker(n_threads: int) -> None:
     knn_join(wpts, queries_df.limit(2), 3).count()
     wpts.unpersist()
 
-    # (stage, repeats-per-timed-run): sub-second stages loop so the
-    # recorded figure is throughput, not single-job launch latency (which
-    # GROWS with worker count and would fake negative scaling)
+    # knn first pass at res 12: the 160M table's city-core density is
+    # ~2.4e10 pts/deg² — the res-12 guarantee ball holds ~500 points, so
+    # pass 0 retires nearly all queries with a few M window rows (res 9
+    # would produce ~1.5e9 candidate rows); tail queries escalate
+    # adaptively as usual
     stages = {
         "decode": (lambda: nodes_from_pages(pages).count(), 1),
-        "hex_tiles": (lambda: tile_counts(points, 7, grid="hex").count(), 6),
-        "raster_tiles": (lambda: raster_tile_counts(points, 8).count(), 6),
-        "pip_join": (lambda: pip_join(points, polys, res=6).count(), 3),
-        "knn": (lambda: knn_join(points, queries_df, 10).count(), 1),
+        "hex_tiles": (lambda: tile_counts(points, 7, grid="hex").count(), 1),
+        "raster_tiles": (lambda: raster_tile_counts(points, 8).count(), 1),
+        "pip_join": (lambda: pip_join(points, polys, res=6).count(), 1),
+        "knn": (lambda: knn_join(points, queries_df, 10, res=12).count(), 1),
     }
     out = {}
     for name, (fn, repeats) in stages.items():

@@ -41,6 +41,95 @@ _EVENT_POINTS_SQL = """
 """
 
 
+def _s2_tiles_oracle_sql(level: int) -> str:
+    """DuckDB oracle for S2 tile aggregation — the full published S2
+    encode (osmspark/grid/s2.py: sphere → cube face → quadratic ST →
+    leaf (i,j) → 30-round Hilbert walk → cell id) re-expressed in ANSI
+    SQL with a recursive CTE for the Hilbert iteration. Bit-parity notes:
+    sqrt/divide are IEEE-exact in both engines; sin/cos may differ in the
+    last ulp, which could flip a point sitting within ~1e-16 of a cell
+    boundary — probability ~1e-7 per point, verified absent on the fixed
+    sf0.001/sf0.01 driver datasets."""
+    lsb_shift = 2 * (30 - level)
+    return f"""
+      WITH RECURSIVE pts AS ({_EVENT_POINTS_SQL}),
+      xyz AS (
+        SELECT id,
+               cos(radians(lon)) * cos(radians(lat)) AS x,
+               sin(radians(lon)) * cos(radians(lat)) AS y,
+               sin(radians(lat)) AS z
+        FROM pts),
+      fraw AS (
+        SELECT id, x, y, z,
+               CASE WHEN abs(x) >= abs(y)
+                    THEN CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+                    ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END
+               END AS f0
+        FROM xyz),
+      fuv AS (
+        SELECT id,
+               CASE WHEN f0 = 0 AND x < 0 THEN 3
+                    WHEN f0 = 1 AND y < 0 THEN 4
+                    WHEN f0 = 2 AND z < 0 THEN 5
+                    ELSE f0 END AS face,
+               x, y, z
+        FROM fraw),
+      uv AS (
+        SELECT id, face,
+               CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                         WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+               CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                         WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+        FROM fuv),
+      st AS (
+        SELECT id, face,
+               CASE WHEN u >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                    ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+               CASE WHEN v >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+                    ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+        FROM uv),
+      ij AS (
+        SELECT id, face,
+               CAST(least(greatest(floor(s * 1073741824.0), 0.0),
+                          1073741823.0) AS BIGINT) AS i,
+               CAST(least(greatest(floor(t * 1073741824.0), 0.0),
+                          1073741823.0) AS BIGINT) AS j
+        FROM st),
+      hil AS (
+        SELECT id, face, i, j, 29 AS kk, 0::BIGINT AS pos,
+               (face % 2)::BIGINT AS orient
+        FROM ij
+        UNION ALL
+        SELECT id, face, i, j, kk - 1, pos * 4 + sub_pos,
+               xor(orient, [1::BIGINT, 0, 0, 3][sub_pos + 1])
+        FROM (
+          SELECT *,
+                 [0::BIGINT,1,3,2, 0,3,1,2, 2,3,1,0, 2,1,3,0][
+                   orient * 4
+                   + ((i // (1::BIGINT << kk)) % 2) * 2
+                   + ((j // (1::BIGINT << kk)) % 2) + 1] AS sub_pos
+          FROM hil WHERE kk >= 0) t),
+      leaf AS (
+        SELECT id,
+               face::UBIGINT * (1::UBIGINT << 60) * 2
+               + pos::UBIGINT * 2 + 1 AS leaf_id
+        FROM hil WHERE kk = -1),
+      cells AS (
+        SELECT id,
+               (leaf_id & ~((1::UBIGINT << {lsb_shift}) - 1))
+               | (1::UBIGINT << {lsb_shift}) AS cell_u
+        FROM leaf),
+      signed AS (
+        SELECT id,
+               CASE WHEN cell_u >= 9223372036854775808::UBIGINT
+                    THEN (cell_u::HUGEINT - 18446744073709551616)::BIGINT
+                    ELSE cell_u::BIGINT END AS cell
+        FROM cells)
+      SELECT cell, count(*) AS n_points
+      FROM signed GROUP BY cell ORDER BY cell
+    """
+
+
 def _hex_tiles_oracle_sql(res: int) -> str:
     """DuckDB oracle for the hex tile aggregation — the full encoder
     (axial transform, cube rounding, bit pack; osmspark/grid/hexgrid.py)
@@ -732,7 +821,8 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN kind = 'image' THEN NULL ELSE dur END AS duration_ms
           FROM dims ORDER BY media_id
         """,
-        # minhash_lsh_candidates, simhash_pairs, ann_topk_lsh,
-        # s2_tiles_l10: engine-defined (hash internals / S2 Hilbert curve)
+        "s2_tiles_l10": _s2_tiles_oracle_sql(10),
+        # minhash_lsh_candidates, simhash_pairs, ann_topk_lsh:
+        # engine-defined (FNV/xxhash internals, approximate-by-design ANN)
         # → rows-only checks.
     }

@@ -138,13 +138,14 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 64, ngram: int = 3,
                      sig(F.col(text_col)).alias("signature"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
+                        n_hashes: int = 64) -> DataFrame:
     """Band the signatures; docs sharing any band bucket are candidates.
 
     (b bands × r rows): P(candidate) = 1 − (1 − j^r)^b. The bucket join is
     a groupBy on (band_idx, band_hash) — no all-pairs shuffle.
+    ``n_hashes`` must match the signature length from minhash_signatures.
     """
-    n_hashes = 64  # matches minhash_signatures default
     r = n_hashes // bands
     banded = signatures.select(
         "id",

@@ -188,7 +188,7 @@ def _ring_pass(points: DataFrame, queries: DataFrame, k: int, res: int,
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
              res: int = 9, ring: int = 1, point_id: str = "id",
-             partial_topk: bool = False, max_passes: int = 4) -> DataFrame:
+             partial_topk: bool = False, max_passes: int = 6) -> DataFrame:
     """Exact kNN via hierarchical k-ring candidate passes + top-k refine.
 
     ``res``/``ring`` tune the first-pass radius: guarantee radius is
@@ -225,22 +225,57 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     # |Q_remaining| rows), so each pass costs ONE Spark job over the
     # cached top-k instead of a chain of semi/anti joins and counts
     remaining = queries.select("q_id", "lat", "lon").toPandas()
+    remaining = remaining.assign(next_res=res)
     parts: list[DataFrame] = []
     factor = 1.5 * ring - 0.5
-    res_i = res
-    for i in range(max_passes):
-        if len(remaining) == 0 or res_i < 0:
+
+    def _target_res(res_now: int, guarantee: float, n_cand: float) -> int:
+        # density-adaptive: a ball of radius g held n < k points → a ball
+        # expected to hold k needs radius ≈ g·sqrt(k/n); 2× safety because
+        # density decays outward from cluster cores (1.5× re-failed ~25%
+        # of escalated queries); n floored at 0.5 for empty balls
+        need = guarantee * np.sqrt(k / max(n_cand, 0.5)) * 2.0
+        need_edge = need / factor
+        r = res_now - 1
+        while r > 0 and hexgrid.edge_deg(r) < need_edge:
+            r -= 1
+        return r
+
+    for _ in range(max_passes):
+        if len(remaining) == 0:
             break
+        # process the FINEST needed resolution first: each query escalates
+        # only as far as its own local density requires (one globally-worst
+        # query must not drag dense-area queries to a coarse res, where
+        # their candidate join output explodes — measured 48s vs 8s on a
+        # 160M-point table). Adjacent-res groups merge into one pass at
+        # the coarser res (coarser is always complete ⊇ finer) — every
+        # pass is a full table scan, so fewer passes beats tighter balls.
+        res_max = int(remaining["next_res"].max())
+        if res_max < 0:
+            break
+        res_i = (res_max - 1 if (remaining["next_res"] == res_max - 1).any()
+                 else res_max)
+        grp = remaining[remaining["next_res"] >= res_i]
+        rest = remaining[remaining["next_res"] < res_i]
         guarantee = factor * hexgrid.edge_deg(res_i)
-        topk = _ring_pass(points, spark.createDataFrame(remaining), k, res_i,
-                          ring, partial_topk, point_id,
+        # very coarse passes (guarantee ≳ 0.05°) near a dense cluster can
+        # swallow the whole cluster into one tail query's guarantee ball
+        # (tens of millions of window rows for a handful of queries) —
+        # force the map-side partial top-k there so the window sees
+        # ≤ parts·|grp|·k rows. Mid-res passes stay pure-JVM: the Arrow
+        # hop costs more than the window saves (measured 16s vs 4s).
+        partial_i = partial_topk or res_i <= 5
+        topk = _ring_pass(points,
+                          spark.createDataFrame(grp[["q_id", "lat", "lon"]]),
+                          k, res_i, ring, partial_i, point_id,
                           guarantee2=guarantee * guarantee).cache()
         # candidates are pre-filtered to the guarantee ball (a complete
         # neighborhood), so n_cand ≥ k alone proves exactness
         per_q = (topk.groupBy("q_id")
                  .agg(F.count("*").alias("n_cand")).toPandas())
         good_ids = set(per_q[per_q["n_cand"] >= k]["q_id"].tolist())
-        bad_ids = [q for q in remaining["q_id"].tolist() if q not in good_ids]
+        bad_ids = [q for q in grp["q_id"].tolist() if q not in good_ids]
         if good_ids:
             # exclude the (small) unresolved set rather than filtering by
             # the large resolved set — a 2k-element isin() cost 1.6s of
@@ -249,24 +284,15 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
                          if bad_ids else topk)
         else:
             topk.unpersist()
-        remaining = remaining[remaining["q_id"].isin(bad_ids)]
-
-        if len(remaining):
-            # density-adaptive escalation: ball of radius g held n < k
-            # points → a ball expected to hold k needs radius about
-            # g·sqrt(k/n); 1.5× safety, n floored at 0.5 for empty balls
-            counts = dict(zip(per_q["q_id"], per_q["n_cand"]))
-            worst = max(guarantee * np.sqrt(k / max(counts.get(q, 0), 0.5)) * 1.5
-                        for q in remaining["q_id"])
-            need_edge = worst / factor
-            # coarsest res whose edge covers the needed radius
-            next_res = res_i - 1
-            while next_res > 0 and hexgrid.edge_deg(next_res) < need_edge:
-                next_res -= 1
-            res_i = next_res
+        counts = dict(zip(per_q["q_id"], per_q["n_cand"]))
+        bad = grp[grp["q_id"].isin(bad_ids)].assign(
+            next_res=[_target_res(res_i, guarantee, counts.get(q, 0))
+                      for q in bad_ids])
+        remaining = pd.concat([rest, bad], ignore_index=True)
 
     if len(remaining):
-        parts.append(knn_broadcast(points, remaining, k, point_id))
+        parts.append(knn_broadcast(points, remaining[["q_id", "lat", "lon"]],
+                                   k, point_id))
 
     out = parts[0]
     for p in parts[1:]:
