@@ -234,7 +234,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         # expected to hold k needs radius ≈ g·sqrt(k/n); 2× safety because
         # density decays outward from cluster cores (1.5× re-failed ~25%
         # of escalated queries); n floored at 0.5 for empty balls
-        need = guarantee * np.sqrt(k / max(n_cand, 0.5)) * 2.0
+        need = guarantee * np.sqrt(k / max(n_cand, 0.5)) * 3.0
         need_edge = need / factor
         r = res_now - 1
         while r > 0 and hexgrid.edge_deg(r) < need_edge:
