@@ -1,35 +1,57 @@
-"""kNN join: hex k-ring candidate join + partial top-k, exact via repair.
+"""kNN join: one mixed-resolution hex k-ring candidate pass, exact via
+guarantee balls + a map-only broadcast fallback.
 
 North-rule operator "grid-partitioned kNN via H3 k-ring expansion with a
 sort-merge refine step". Scale-first construction (SURVEY.md §7.3):
 
-``knn_join`` (the 10^12-point path):
+``knn_join`` (the 10^12-point path) — ONE candidate pass, no driver loop:
 
-1. points get a hex cell id via a pure-SQL expression (JVM codegen — no
-   Python, see grid/hexgrid_sql.py).
-2. queries explode to their k-ring cells via a pure-SQL array expression
-   and are **broadcast** — the candidate join is a BroadcastHashJoin, so
-   the big (point) side never shuffles. This is the whole game at scale:
-   the only data movement is candidates, a ~1e-4 fraction of points at
-   res 9.
-3. distance is a SQL expression; a map-side **partial top-k**
-   (``mapInPandas``, one Python stage fused after the JVM join) reduces
-   each partition's candidates to ≤ |Q|·k rows before the final
-   ``row_number() over (partition by q_id order by dist2, p_id)`` — the
-   sort-merge refine now sorts ~parts·|Q|·k rows instead of all
+1. A density sketch picks each query's resolution up front: the distance
+   from the query to its m-th nearest point in a hash-sampled subset
+   (``density_sample``; prebuilt and reused at warehouse scale, like any
+   spatial index) estimates the radius that holds ~3k points, and the
+   query is assigned the finest resolution whose guarantee ball covers
+   that radius. Resolutions are quantized to ≤ ``max_groups`` ladder
+   steps (res, res−2, res−4, …) so the point side computes at most that
+   many cell columns.
+2. Ring cells for every query are computed ON THE DRIVER (NumPy k_ring
+   over ≤ |Q| rows) and **broadcast** — the candidate join is a
+   BroadcastHashJoin on the cell id, so the big (point) side never
+   shuffles. Cell ids embed their resolution in the top 4 bits, so one
+   join key serves all ladder steps at once. With G > 1 ladder steps in
+   play the scan explodes each point to its G cell ids (map-side, still
+   no shuffle); with one step it is a plain column.
+3. Distance is a SQL expression; an in-scan guarantee-ball filter
+   (``dist2 ≤ g²``, g carried per-query on the broadcast side) cuts
+   candidates to the provably-complete neighborhood before the
+   ``row_number() over (partition by q_id order by dist2, p_id)``
+   refine. The per-query completeness count rides the SAME window job
+   (``count(*) over (partition by q_id)``) — no second action over the
    candidates.
-4. EXACTNESS GUARD: a point outside the k-ring at hex edge ``e`` is at
-   planar distance ≥ (1.5·ring − 0.5)·e from the query. Queries whose
-   k-th candidate lies beyond that bound (or with < k candidates) are
-   re-run through ``knn_broadcast`` and unioned back, so the result
-   equals the exact brute-force join — which the DuckDB oracle checks.
+4. EXACTNESS: the k-ring at hex edge ``e`` contains every point within
+   planar distance (1.5·ring − 0.5)·e of the query, so the filtered
+   candidates are a complete ball — a query with ≥ k of them retires
+   with the provably-global top-k. Misestimated or empty-region queries
+   (the density sketch undershoots, or no ladder step is coarse enough)
+   fall back to the exact ``knn_broadcast``; the result always equals
+   the brute-force join, which the DuckDB oracle checks.
+
+The pass result is ``localCheckpoint``-ed (≤ |Q|·k rows): the single
+expensive job runs once, the tiny resolved/failed summary and the
+caller's own actions read the materialized partitions, and cleanup is
+automatic when the DataFrame is garbage-collected (no leaked ``.cache()``).
+
+At warehouse scale, store the point table partitioned/bucketed by a
+coarse cell prefix and pass a prebuilt ``density_sample``: the candidate
+pass then prunes partitions via the broadcast cell set and the only
+full-table cost is the one scan.
 
 ``knn_broadcast`` (exact, O(|P|·|Q|) work but map-only): queries ride to
 every partition in the UDF closure; each Arrow batch emits a superset of
 its local top-k (ties at the k-th distance kept, so the global merge is
 exact); a final window over the tiny union picks the true top-k. No
 shuffle of points, near-perfect scaling — the right tool when |Q| is
-small and the guarantee radius can't be tuned.
+small or the density sketch can't place a query.
 
 ``knn_bruteforce`` (crossJoin + window) stays as the oracle-shaped
 reference implementation for small inputs.
@@ -41,14 +63,16 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..grid import hexgrid
-from ..grid.hexgrid_sql import hex_cell_col, hex_kring_explode
+from ..grid.hexgrid_sql import hex_cell_col
 
-__all__ = ["knn_join", "knn_broadcast", "knn_bruteforce"]
+__all__ = ["knn_join", "knn_broadcast", "knn_bruteforce", "density_sample"]
 
 _OUT_SCHEMA = "q_id long, p_id long, dist2 double"
 
@@ -63,6 +87,10 @@ def _topk_window(cand: DataFrame, k: int) -> DataFrame:
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "p_id", "dist2", "rank"))
+
+
+def _empty_result(spark) -> DataFrame:
+    return spark.createDataFrame([], _OUT_SCHEMA + ", rank int")
 
 
 def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int,
@@ -93,8 +121,7 @@ def knn_broadcast(points: DataFrame, queries_pdf: pd.DataFrame, k: int,
     the final window over ~batches·|Q|·k rows picks the true top-k.
     """
     if len(queries_pdf) == 0:
-        spark = points.sparkSession
-        return spark.createDataFrame([], _OUT_SCHEMA + ", rank int")
+        return _empty_result(points.sparkSession)
     q_id = queries_pdf["q_id"].to_numpy()
     q_lat = queries_pdf["lat"].to_numpy(dtype=np.float64)
     q_lon = queries_pdf["lon"].to_numpy(dtype=np.float64)
@@ -134,166 +161,207 @@ def knn_broadcast(points: DataFrame, queries_pdf: pd.DataFrame, k: int,
     return _topk_window(local, k)
 
 
-def _ring_pass(points: DataFrame, queries: DataFrame, k: int, res: int,
-               ring: int, partial_topk: bool, point_id: str = "id",
-               guarantee2: float | None = None) -> DataFrame:
-    """One k-ring candidate pass → per-query top-k (possibly incomplete)."""
-    pts = points.select(F.col(point_id).alias("p_id"),
-                        F.col("lat").alias("p_lat"),
-                        F.col("lon").alias("p_lon"),
-                        hex_cell_col(F.col("lat"), F.col("lon"), res).alias("cell"))
-    q_cells = (hex_kring_explode(queries, "lat", "lon", res, ring, out="cell")
-               .select(F.col("q_id"), F.col("lat").alias("q_lat"),
-                       F.col("lon").alias("q_lon"), "cell"))
+def density_sample(points: DataFrame, point_id: str = "id",
+                   target: int = 100_000, seed: int = 42
+                   ) -> tuple[pd.DataFrame, float]:
+    """Hash-sampled (lat, lon) subset + realized sample rate.
 
-    # broadcast the exploded query side: BroadcastHashJoin — the point
-    # side is scanned in place, never shuffled
-    cand = (pts.join(F.broadcast(q_cells), "cell", "inner")
-            .withColumn("dist2", _dist2(F.col("q_lat"), F.col("q_lon"),
-                                        F.col("p_lat"), F.col("p_lon")))
-            .select("q_id", "p_id", "dist2"))
+    The kNN density sketch: deterministic (xxhash64 bucket, no RNG state),
+    one JVM-only scan. At warehouse scale build it once alongside the
+    point table and pass it to every ``knn_join`` call — it plays the
+    role of a spatial index's statistics, amortized across queries."""
+    n_total = points.count()
+    if n_total <= target:
+        pdf = points.select("lat", "lon").toPandas()
+        return pdf, 1.0
+    buckets = 1 << 20
+    keep = max(1, int(target / n_total * buckets))
+    pdf = (points
+           .filter(F.pmod(F.xxhash64(F.col(point_id), F.lit(seed)),
+                          F.lit(buckets)) < keep)
+           .select("lat", "lon").toPandas())
+    rate = len(pdf) / n_total
+    return pdf, max(rate, 1e-12)
 
-    if guarantee2 is not None:
-        # the k-ring contains EVERY point within the guarantee radius, so
-        # candidates ≤ guarantee² are a complete ball around the query:
-        # if ≥ k survive, their top-k is the exact global top-k. The
-        # filter runs map-side inside the scan stage and cuts the window
-        # input ~6× (ring-disk area vs guarantee-disk area) — measured
-        # 50M → 8M rows for 2048 city-core queries at res 9.
-        cand = cand.filter(F.col("dist2") <= F.lit(guarantee2))
 
-    if partial_topk:
-        # map-side reduction: each partition keeps ≤ |Q|·k candidate rows
-        # before the window, so the final sort shuffles parts·|Q|·k rows,
-        # not all candidates. Worth it only when candidates per partition
-        # vastly exceed |Q|·k (a Python hop costs ~1-2s here; off by
-        # default at test scale, on for warehouse-scale candidate sets).
-        def local_topk(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                d2 = pdf["dist2"].to_numpy()
-                order = np.lexsort((pdf["p_id"].to_numpy(), d2,
-                                    pdf["q_id"].to_numpy()))
-                qs = pdf["q_id"].to_numpy()[order]
-                starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
-                rank = np.arange(len(qs)) - np.repeat(
-                    starts, np.diff(np.r_[starts, len(qs)]))
-                yield pdf.iloc[order[rank < k]]
-
-        cand = cand.mapInPandas(local_topk, _OUT_SCHEMA)
-
-    return _topk_window(cand, k)
+def _nearest_sample_d2(q_lat: np.ndarray, q_lon: np.ndarray,
+                       s_lat: np.ndarray, s_lon: np.ndarray,
+                       m: int, q_chunk: int = 512) -> np.ndarray:
+    """Squared distance from each query to its m-th nearest sample point
+    (chunked |Q|×|S| NumPy — driver cost ~0.1s per 10^8 cells)."""
+    out = np.empty(len(q_lat), dtype=np.float64)
+    for qs in range(0, len(q_lat), q_chunk):
+        qe = min(qs + q_chunk, len(q_lat))
+        d2 = ((q_lat[qs:qe, None] - s_lat[None, :]) ** 2
+              + (q_lon[qs:qe, None] - s_lon[None, :]) ** 2)
+        out[qs:qe] = np.partition(d2, m - 1, axis=1)[:, m - 1]
+    return out
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
              res: int = 9, ring: int = 1, point_id: str = "id",
-             partial_topk: bool = False, max_passes: int = 6) -> DataFrame:
-    """Exact kNN via hierarchical k-ring candidate passes + top-k refine.
+             partial_topk: bool = False, sample: pd.DataFrame | None = None,
+             sample_rate: float = 1.0, target_sample: int = 100_000,
+             safety: float = 2.0, max_groups: int = 4,
+             seed: int = 42) -> DataFrame:
+    """Exact kNN via one mixed-resolution k-ring candidate pass.
 
-    ``res``/``ring`` tune the first-pass radius: guarantee radius is
-    (1.5·ring − 0.5)·edge_deg(res); pick it to likely contain k neighbors
-    at your point density — too coarse explodes candidates (a res-7/ring-2
-    first pass produced 39M candidate rows for 128 city-center queries;
-    res 9/ring 1 produces ~450k), too fine routes more queries into later
-    passes (correct either way).
-
-    Exactness: the k-ring at hex edge ``e`` contains EVERY point within
-    planar distance (1.5·ring − 0.5)·e, so candidates inside that radius
-    are a complete ball — if ≥ k survive the in-scan distance filter, the
-    windowed top-k is provably the global top-k and the query retires.
-    Unresolved queries escalate to a COARSER resolution (aperture-7
-    hierarchy: same constant-size ring, ×7 candidate area per res step —
-    unlike growing the ring, whose O(ring²) offset array blew up Catalyst
-    analysis time). The escalation target is DENSITY-ADAPTIVE: pass 0's
-    candidate count is a local density estimate, so each unresolved query
-    jumps straight to the res whose guarantee ball should hold ≥ k points
-    (one extra pass for the whole group at the coarsest such res, instead
-    of walking res−1, res−2, … with ~2 Spark jobs of launch latency per
-    walk step). Queries still unresolved after ``max_passes`` fall back
-    to the exact ``knn_broadcast``. Result rows equal the brute-force
-    join.
-
-    At warehouse scale, store the point table partitioned by a coarse
-    cell prefix: the first (finest) pass then prunes partitions, and only
-    escalation passes — a tiny query fraction — scan wider.
+    ``res`` is the FINEST resolution considered (pick it near your
+    densest region's k-neighbor scale); each query is assigned the
+    finest ladder step (res, res−2, …) whose guarantee ball
+    (1.5·ring − 0.5)·edge_deg(step) should hold ≥ 3k points per the
+    density sketch, with ``safety``× radius margin. ``sample``/
+    ``sample_rate`` inject a prebuilt ``density_sample`` (skips the
+    sketch scan). See the module docstring for the full design and the
+    exactness argument.
     """
     spark = points.sparkSession
+    q_pdf = queries.select("q_id", "lat", "lon").toPandas()
+    if len(q_pdf) == 0:
+        return _empty_result(spark)
 
-    # queries are the contract's small side: per-query completeness
-    # bookkeeping runs on the driver (one toPandas per pass — the frame is
-    # |Q_remaining| rows), so each pass costs ONE Spark job over the
-    # cached top-k instead of a chain of semi/anti joins and counts
-    remaining = queries.select("q_id", "lat", "lon").toPandas()
-    remaining = remaining.assign(next_res=res)
-    parts: list[DataFrame] = []
+    if sample is None:
+        sample, sample_rate = density_sample(points, point_id,
+                                             target_sample, seed)
+    if len(sample) == 0:
+        return _empty_result(spark)
+
     factor = 1.5 * ring - 0.5
+    q_lat = q_pdf["lat"].to_numpy(dtype=np.float64)
+    q_lon = q_pdf["lon"].to_numpy(dtype=np.float64)
+    s_lat = sample["lat"].to_numpy(dtype=np.float64)
+    s_lon = sample["lon"].to_numpy(dtype=np.float64)
 
-    def _target_res(res_now: int, guarantee: float, n_cand: float) -> int:
-        # density-adaptive: a ball of radius g held n < k points → a ball
-        # expected to hold k needs radius ≈ g·sqrt(k/n); 2× safety because
-        # density decays outward from cluster cores (1.5× re-failed ~25%
-        # of escalated queries); n floored at 0.5 for empty balls
-        need = guarantee * np.sqrt(k / max(n_cand, 0.5)) * 3.0
-        need_edge = need / factor
-        r = res_now - 1
-        while r > 0 and hexgrid.edge_deg(r) < need_edge:
-            r -= 1
-        return r
+    # radius that should hold 3k points, estimated DIRECTLY when the
+    # sample supports it: 3k true points ≈ 3k·rate sample points, so the
+    # (3k·rate)-th nearest sample distance is the target radius measured,
+    # not modeled — tight even at cluster edges, where a symmetric
+    # local-density extrapolation badly overshoots (the k-ball of an
+    # edge query extends toward the cluster). Only when the sample is
+    # too thin (3k·rate < 2) interpolate with the sqrt law from the
+    # m-th nearest sample point: r(c·k) ≈ r(m/rate)·sqrt(c·k·rate/m).
+    # safety× covers residual error; misestimates are caught by the
+    # in-pass completeness count and repaired exactly, never silently.
+    m = int(np.clip(round(3.0 * k * sample_rate), 2, len(sample)))
+    d2_m = _nearest_sample_d2(q_lat, q_lon, s_lat, s_lon, m)
+    est_in_dm = m / sample_rate
+    r_target = np.sqrt(d2_m) * np.sqrt(3.0 * k / est_in_dm) * safety
+    r_target = np.maximum(r_target, 1e-12)
+    # finest r with factor·edge(r) ≥ r_target; edge(r) = BASE/√7^r
+    with np.errstate(divide="ignore"):
+        r_ideal = np.floor(
+            np.log(factor * hexgrid.BASE_EDGE_DEG / r_target)
+            / math.log(math.sqrt(7.0)))
+    r_ideal = np.clip(np.nan_to_num(r_ideal, posinf=res), -1, res).astype(np.int64)
 
-    for _ in range(max_passes):
-        if len(remaining) == 0:
-            break
-        # process the FINEST needed resolution first: each query escalates
-        # only as far as its own local density requires (one globally-worst
-        # query must not drag dense-area queries to a coarse res, where
-        # their candidate join output explodes — measured 48s vs 8s on a
-        # 160M-point table). Adjacent-res groups merge into one pass at
-        # the coarser res (coarser is always complete ⊇ finer) — every
-        # pass is a full table scan, so fewer passes beats tighter balls.
-        res_max = int(remaining["next_res"].max())
-        if res_max < 0:
-            break
-        res_i = (res_max - 1 if (remaining["next_res"] == res_max - 1).any()
-                 else res_max)
-        grp = remaining[remaining["next_res"] >= res_i]
-        rest = remaining[remaining["next_res"] < res_i]
-        guarantee = factor * hexgrid.edge_deg(res_i)
-        # very coarse passes (guarantee ≳ 0.05°) near a dense cluster can
-        # swallow the whole cluster into one tail query's guarantee ball
-        # (tens of millions of window rows for a handful of queries) —
-        # force the map-side partial top-k there so the window sees
-        # ≤ parts·|grp|·k rows. Mid-res passes stay pure-JVM: the Arrow
-        # hop costs more than the window saves (measured 16s vs 4s).
-        partial_i = partial_topk or res_i <= 5
-        topk = _ring_pass(points,
-                          spark.createDataFrame(grp[["q_id", "lat", "lon"]]),
-                          k, res_i, ring, partial_i, point_id,
-                          guarantee2=guarantee * guarantee).cache()
-        # candidates are pre-filtered to the guarantee ball (a complete
-        # neighborhood), so n_cand ≥ k alone proves exactness
-        per_q = (topk.groupBy("q_id")
-                 .agg(F.count("*").alias("n_cand")).toPandas())
-        good_ids = set(per_q[per_q["n_cand"] >= k]["q_id"].tolist())
-        bad_ids = [q for q in grp["q_id"].tolist() if q not in good_ids]
-        if good_ids:
-            # exclude the (small) unresolved set rather than filtering by
-            # the large resolved set — a 2k-element isin() cost 1.6s of
-            # expression evaluation per job
-            parts.append(topk.filter(~F.col("q_id").isin(bad_ids))
-                         if bad_ids else topk)
+    # quantize to ≤ max_groups resolution levels, chosen ADAPTIVELY: the
+    # most query-popular ideal resolutions become the levels, so the
+    # typical query runs at exactly its ideal res (a fixed res−2j ladder
+    # cost 7× candidates per forced step). Each query takes the finest
+    # chosen level ≤ its ideal; queries below the coarsest chosen level
+    # clamp up to it (they either still resolve or repair via fallback).
+    in_range = r_ideal >= 0
+    vals, counts = np.unique(r_ideal[in_range], return_counts=True)
+    chosen = sorted(vals[np.argsort(-counts)][:max_groups].tolist(), reverse=True)
+    assigned = np.full(len(q_pdf), -1, dtype=np.int64)
+    for step in chosen:  # fine → coarse; keep the finest level ≤ r_ideal
+        assigned = np.where(in_range & (assigned < 0) & (r_ideal >= step),
+                            step, assigned)
+    if chosen:  # below-min queries: clamp to the coarsest chosen level
+        assigned = np.where(in_range & (assigned < 0), chosen[-1], assigned)
+    fallback_mask = assigned < 0  # empty-region queries (r_ideal < 0)
+
+    parts: list[DataFrame] = []
+    res_used = sorted({int(r) for r in assigned[~fallback_mask]}, reverse=True)
+    if res_used:
+        # ring cells per query, computed on the driver (|Q|·ring_size
+        # rows) and broadcast: the point side never shuffles
+        frames = []
+        for r in res_used:
+            mask = assigned == r
+            cells = hexgrid.k_ring(
+                hexgrid.cell_id(q_lat[mask], q_lon[mask], r), ring)
+            n_ring = cells.shape[1]
+            g = factor * hexgrid.edge_deg(r)
+            frames.append(pd.DataFrame({
+                "cell": cells.ravel(),
+                "q_id": np.repeat(q_pdf["q_id"].to_numpy()[mask], n_ring),
+                "q_lat": np.repeat(q_lat[mask], n_ring),
+                "q_lon": np.repeat(q_lon[mask], n_ring),
+                "g2": g * g}))
+        q_cells = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+        pts = points.select(F.col(point_id).alias("p_id"),
+                            F.col("lat").alias("p_lat"),
+                            F.col("lon").alias("p_lon"))
+        if len(res_used) == 1:
+            pts = pts.withColumn(
+                "cell", hex_cell_col(F.col("p_lat"), F.col("p_lon"), res_used[0]))
         else:
-            topk.unpersist()
-        counts = dict(zip(per_q["q_id"], per_q["n_cand"]))
-        bad = grp[grp["q_id"].isin(bad_ids)].assign(
-            next_res=[_target_res(res_i, guarantee, counts.get(q, 0))
-                      for q in bad_ids])
-        remaining = pd.concat([rest, bad], ignore_index=True)
+            # map-side explode to ≤ max_groups cell ids; ids embed their
+            # res (top 4 bits) so one join key serves every ladder step
+            pts = pts.withColumn("cell", F.explode(F.array(*[
+                hex_cell_col(F.col("p_lat"), F.col("p_lon"), r)
+                for r in res_used])))
 
-    if len(remaining):
-        parts.append(knn_broadcast(points, remaining[["q_id", "lat", "lon"]],
+        cand = (pts.join(F.broadcast(q_cells), "cell", "inner")
+                .withColumn("dist2", _dist2(F.col("q_lat"), F.col("q_lon"),
+                                            F.col("p_lat"), F.col("p_lon")))
+                # candidates ≤ g² are a complete ball (ring-containment
+                # guarantee) — the filter runs map-side inside the scan
+                .filter(F.col("dist2") <= F.col("g2"))
+                .select("q_id", "p_id", "dist2"))
+
+        if partial_topk:
+            # map-side reduction: each partition keeps ≤ |Q|·k candidate
+            # rows before the window. A Python hop costs ~1-2s of fixed
+            # overhead — worth it only when candidates per partition
+            # vastly exceed |Q|·k (warehouse-scale candidate sets).
+            def local_topk(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    d2 = pdf["dist2"].to_numpy()
+                    order = np.lexsort((pdf["p_id"].to_numpy(), d2,
+                                        pdf["q_id"].to_numpy()))
+                    qs = pdf["q_id"].to_numpy()[order]
+                    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+                    rank = np.arange(len(qs)) - np.repeat(
+                        starts, np.diff(np.r_[starts, len(qs)]))
+                    yield pdf.iloc[order[rank < k]]
+
+            cand = cand.mapInPandas(local_topk, _OUT_SCHEMA)
+
+        # completeness count fused into the top-k job: same partition key
+        # → one shuffle, two in-memory window passes, ONE action
+        w_part = Window.partitionBy("q_id")
+        w_rank = w_part.orderBy(F.col("dist2").asc(), F.col("p_id").asc())
+        topk = (cand
+                .withColumn("n_cand", F.count("*").over(w_part))
+                .withColumn("rank", F.row_number().over(w_rank))
+                .filter(F.col("rank") <= k))
+        # materialize the ≤ |Q|·k survivors once; the summary below and
+        # the caller's actions read these partitions. localCheckpoint
+        # blocks are released by the ContextCleaner when this DataFrame
+        # is garbage-collected — nothing leaks across calls.
+        topk = topk.localCheckpoint(eager=True)
+
+        resolved = (topk.filter(F.col("n_cand") >= k)
+                    .select("q_id").distinct().toPandas()["q_id"])
+        resolved_set = set(resolved.tolist())
+        parts.append(topk.filter(F.col("n_cand") >= k)
+                     .select("q_id", "p_id", "dist2", "rank"))
+    else:
+        resolved_set = set()
+
+    failed = q_pdf[fallback_mask
+                   | ~q_pdf["q_id"].isin(resolved_set).to_numpy()]
+    if len(failed):
+        parts.append(knn_broadcast(points, failed[["q_id", "lat", "lon"]],
                                    k, point_id))
 
+    if not parts:
+        return _empty_result(spark)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

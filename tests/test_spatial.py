@@ -165,3 +165,33 @@ def test_knn_broadcast_matches_bruteforce(spark, pts):
     bc = {(r.q_id, r.p_id, r.rank) for r in
           knn_broadcast(df, qpdf, 5).select("q_id", "p_id", "rank").collect()}
     assert bf == bc
+
+
+def test_knn_empty_queries(spark, pts):
+    """Empty query frame returns an empty, correctly-typed result."""
+    df, _, _ = pts
+    queries = spark.createDataFrame([], "q_id long, lat double, lon double")
+    out = knn_join(df, queries, 5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["q_id", "p_id", "dist2", "rank"]
+
+
+def test_knn_mixed_density_queries(spark, pts):
+    """Dense-cluster + sparse-region queries in ONE call: exercises the
+    mixed-resolution ladder (several res groups in a single pass) plus
+    the broadcast fallback, and must still equal brute force."""
+    df, _, _ = pts
+    rng = np.random.default_rng(11)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": np.arange(24),
+        "lat": np.concatenate([51.5 + rng.normal(0, 0.03, 8),
+                               rng.uniform(-50, 60, 8),
+                               [-80.0] * 8]),
+        "lon": np.concatenate([-0.12 + rng.normal(0, 0.03, 8),
+                               rng.uniform(-170, 170, 8),
+                               np.linspace(-170, 170, 8)])}))
+    bf = {tuple(r) for r in
+          knn_bruteforce(df, queries, 4).select("q_id", "p_id", "rank").collect()}
+    kr = {tuple(r) for r in
+          knn_join(df, queries, 4, res=8, ring=1).select("q_id", "p_id", "rank").collect()}
+    assert bf == kr
