@@ -169,6 +169,90 @@ def _hex_tiles_oracle_sql(res: int) -> str:
     """
 
 
+_FNV_LIST_SQL = """
+    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      [('0x' || substr(hex(encode({col})), i*2+1, 2))::INT::HUGEINT
+       for i in range(len(hex(encode({col})))//2)]),
+      (acc, x) -> ((xor(acc::UBIGINT, x::UBIGINT))::HUGEINT
+                   * 1099511628211) % 18446744073709551616)::UBIGINT
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    """DuckDB oracle for simhash_pairs — the full signature pipeline
+    (osmspark/pipeline/dedup.py: distinct unigram tokens → FNV-1a 64-bit
+    → per-bit majority vote, strict; ties clear the bit) re-expressed in
+    SQL: FNV's mod-2^64 multiply folds through HUGEINT (prime is 2^40,
+    the product fits 128 bits), and the pair set is the BRUTE-FORCE
+    Hamming join — so a hash-exact match also proves the engine's
+    pigeonhole chunk bucketing is COMPLETE at this threshold."""
+    fnv = _FNV_LIST_SQL.format(col="tok")
+    return f"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS tok
+        FROM documents),
+      sizes AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id),
+      fnv AS (SELECT doc_id, {fnv} AS h FROM toks),
+      bits AS (
+        SELECT doc_id, k, sum(((h >> k) & 1)::BIGINT) AS ones
+        FROM fnv, (SELECT unnest(range(64)) AS k) kk
+        GROUP BY doc_id, k),
+      sig AS (
+        SELECT bits.doc_id,
+               sum(CASE WHEN 2 * ones > n_toks THEN (1::UBIGINT << k)::HUGEINT
+                        ELSE 0::HUGEINT END)::UBIGINT AS sim_u
+        FROM bits JOIN sizes USING (doc_id) GROUP BY bits.doc_id)
+      SELECT s1.doc_id AS a, s2.doc_id AS b,
+             bit_count(xor(s1.sim_u, s2.sim_u))::INT AS hamming
+      FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.sim_u, s2.sim_u)) <= {max_hamming}
+      ORDER BY a, b
+    """
+
+
+def _minhash_lsh_oracle_sql(bands: int = 16, n_hashes: int = 64,
+                            seed: int = 42) -> str:
+    """DuckDB oracle for minhash_lsh_candidates — distinct 3-gram
+    shingles → FNV-1a masked to 61 bits → 64 universal hashes
+    min-folded per shingle → banded candidates. The RNG-drawn (a, b)
+    hash parameters are inlined as literals; python's uint64 wrap of
+    (h·a + b) mod 2^64 BEFORE the Mersenne mod is reproduced through
+    HUGEINT. Band membership compares the raw signature slices
+    (string_agg key), so the engine's xxhash64 band hash is verified
+    semantically: same buckets ⟺ same slices (collisions aside)."""
+    from osmspark.pipeline.dedup import _minhash_params
+
+    a_par, b_par = _minhash_params(n_hashes, seed)
+    params = ", ".join(f"({j}, {int(a_par[j])}, {int(b_par[j])})"
+                       for j in range(n_hashes))
+    r = n_hashes // bands
+    fnv = _FNV_LIST_SQL.format(col="gram")
+    return f"""
+      WITH params(j, pa, pb) AS (VALUES {params}),
+      toks AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS l FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+        FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+              FROM toks)),
+      fnv AS (SELECT doc_id, {fnv} & 2305843009213693951 AS h FROM grams),
+      sig AS (
+        SELECT doc_id, j,
+               min(((h::HUGEINT * pa + pb) % 18446744073709551616)
+                   % 2305843009213693951) AS v
+        FROM fnv CROSS JOIN params GROUP BY doc_id, j),
+      bands AS (
+        SELECT doc_id, j // {r} AS band_idx,
+               string_agg(v::VARCHAR, ',' ORDER BY j) AS band_key
+        FROM sig GROUP BY doc_id, j // {r})
+      SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+      FROM bands b1 JOIN bands b2 USING (band_idx, band_key)
+      WHERE b1.doc_id < b2.doc_id
+      ORDER BY a, b
+    """
+
+
 def _lineitem_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     key = F.col("l_orderkey") * 7919 + F.col("l_linenumber")
@@ -822,7 +906,8 @@ def oracle_sql() -> dict[str, str]:
           FROM dims ORDER BY media_id
         """,
         "s2_tiles_l10": _s2_tiles_oracle_sql(10),
-        # minhash_lsh_candidates, simhash_pairs, ann_topk_lsh:
-        # engine-defined (FNV/xxhash internals, approximate-by-design ANN)
-        # → rows-only checks.
+        "simhash_pairs": _simhash_oracle_sql(6),
+        "minhash_lsh_candidates": _minhash_lsh_oracle_sql(bands=16),
+        # ann_topk_lsh: approximate-by-design → rows-only check (its
+        # recall is pinned separately by ann_lsh_recall).
     }

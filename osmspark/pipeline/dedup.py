@@ -179,11 +179,12 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         for i, t in enumerate(texts):
             hs = _shingle_hashes(t, 1)  # unigram hashes
             bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
-            votes = bits.sum(axis=0) * 2 - len(hs)  # +1/−1 vote per token
-            sig = np.uint64(0)
-            for k in range(64):
-                if votes[k] > 0:
-                    sig |= np.uint64(1) << np.uint64(k)
+            # votes MUST be signed: uint64 arithmetic wraps ones·2 − n
+            # to a huge positive for minority bits, setting every
+            # non-tied bit (caught by the DuckDB oracle)
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
+            sig = ((votes > 0).astype(np.uint64) << bit_idx).sum(
+                dtype=np.uint64)
             out[i] = np.int64(sig)
         return pd.Series(out)
 
@@ -191,13 +192,27 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit chunk
-    bucketing (pigeonhole: ≤3 differing bits ⇒ ≥1 identical chunk)."""
+    """Pairs with Hamming(simhash) ≤ max_hamming via chunk bucketing.
+
+    COMPLETENESS requires the chunk count to follow the threshold: with
+    ``n_chunks = max_hamming + 1`` chunks, ≤ max_hamming differing bits
+    leave ≥ 1 chunk identical (pigeonhole) — a fixed 4-chunk split is
+    complete only for Hamming ≤ 3 and silently drops pairs above it.
+    The 64 bits split as evenly as possible (e.g. 7 chunks of 10/9 bits
+    for max_hamming = 6). Candidates come from a bucket equi-join on
+    (chunk_idx, chunk value) — never an all-pairs shuffle — then the
+    exact Hamming distance filters in-bucket."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64")
+    sizes = [64 // n_chunks + (1 if i < 64 % n_chunks else 0)
+             for i in range(n_chunks)]
+    offsets = [sum(sizes[:i]) for i in range(n_chunks)]
     chunks = F.array(*[
         F.struct(F.lit(i).alias("chunk_idx"),
-                 F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-        for i in range(4)
+                 F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                 .bitwiseAND(F.lit((1 << sizes[i]) - 1)).alias("chunk"))
+        for i in range(n_chunks)
     ])
     exploded = sigs.select("id", "simhash", F.explode(chunks).alias("c")) \
                    .select("id", "simhash", "c.chunk_idx", "c.chunk")
