@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["ann_bruteforce_topk", "ann_lsh_topk", "train_ivf_centroids",
-           "ivf_assign", "ann_ivf_topk"]
+           "ivf_assign", "ann_ivf_topk", "ann_recall_vs_bruteforce"]
 
 
 def _cosine_cols():
@@ -90,6 +90,28 @@ def ann_bruteforce_topk_np(corpus: DataFrame, queries_pdf: pd.DataFrame, k: int,
             .select("q_id", "p_id", "rank"))
 
 
+def _rerank_topk(corpus: DataFrame, queries: DataFrame, cand_ids: DataFrame,
+                 k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Exact rerank of deduped (q_id, p_id) candidates.
+
+    Vectors are attached AFTER the dedup, both via broadcast joins — the
+    corpus streams through one map stage (never shuffles), candidate
+    VECTORS never shuffle at all, and the final window moves only
+    (q_id, p_id, cosine) scalars. Shuffling rows that carry both
+    embedding arrays (the old ``.distinct()``-after-join shape) is the
+    thing to avoid at 10^12 rows."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("va"))
+    c = corpus.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("vb"))
+    scored = (c.join(F.broadcast(cand_ids), "p_id")
+              .join(F.broadcast(q), "q_id")
+              .withColumn("cosine", _cosine_cols())
+              .select("q_id", "p_id", "cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("p_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "p_id", "rank"))
+
+
 def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42):
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim))
@@ -120,21 +142,23 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
                  n_bits: int = 4, n_tables: int = 24,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  dim: int = 64, seed: int = 42) -> DataFrame:
-    """Approximate top-k: random-hyperplane buckets, exact rerank in-bucket."""
+    """Approximate top-k: random-hyperplane buckets, exact rerank in-bucket.
+
+    The bucket join carries only ids (query side broadcast), candidates
+    dedup on (q_id, p_id), and vectors re-attach in ``_rerank_topk`` —
+    two corpus scans, zero corpus shuffles."""
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
     bud = _bucket_udf(planes)
     c = (corpus.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("vb"))
-         .withColumn("bucket", F.explode(bud(F.col("vb")))))
+         .withColumn("bucket", F.explode(bud(F.col("vb"))))
+         .select("p_id", "bucket"))
     q = (queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("va"))
-         .withColumn("bucket", F.explode(bud(F.col("va")))))
-    cand = (c.join(q, "bucket")
-            .filter(F.col("q_id") != F.col("p_id"))
-            .select("q_id", "p_id", "va", "vb").distinct()
-            .withColumn("cosine", _cosine_cols()))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("p_id").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "p_id", "rank"))
+         .withColumn("bucket", F.explode(bud(F.col("va"))))
+         .select("q_id", "bucket"))
+    cand_ids = (c.join(F.broadcast(q), "bucket")
+                .filter(F.col("q_id") != F.col("p_id"))
+                .select("q_id", "p_id").distinct())
+    return _rerank_topk(corpus, queries, cand_ids, k, id_col, vec_col)
 
 
 def train_ivf_centroids(corpus: DataFrame, n_lists: int, dim: int = 64,
@@ -181,19 +205,35 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  dim: int = 64, seed: int = 42) -> DataFrame:
     """IVF ANN: corpus partitioned by nearest centroid; queries probe the
-    nprobe nearest lists; exact rerank within probed lists."""
+    nprobe nearest lists; exact rerank within probed lists.
+
+    Same shuffle discipline as ``ann_lsh_topk``: the list join carries
+    only ids (query side broadcast), vectors re-attach after dedup."""
     cent = train_ivf_centroids(corpus, n_lists, dim, vec_col, seed=seed)
     c = (ivf_assign(corpus, cent, "lists", vec_col, nprobe=1)
-         .select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("vb"),
+         .select(F.col(id_col).alias("p_id"),
                  F.explode("lists").alias("list_id")))
     q = (ivf_assign(queries, cent, "lists", vec_col, nprobe=nprobe)
-         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("va"),
+         .select(F.col(id_col).alias("q_id"),
                  F.explode("lists").alias("list_id")))
-    cand = (c.join(q, "list_id")
-            .filter(F.col("q_id") != F.col("p_id"))
-            .select("q_id", "p_id", "va", "vb").distinct()
-            .withColumn("cosine", _cosine_cols()))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("p_id").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "p_id", "rank"))
+    cand_ids = (c.join(F.broadcast(q), "list_id")
+                .filter(F.col("q_id") != F.col("p_id"))
+                .select("q_id", "p_id").distinct())
+    return _rerank_topk(corpus, queries, cand_ids, k, id_col, vec_col)
+
+
+def ann_recall_vs_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
+                             approx: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """recall@k of an approximate top-k against the exact brute force:
+    one row (n_queries, recall). Deterministic for fixed seeds, so the
+    value is pinnable as a VALUES oracle."""
+    exact = ann_bruteforce_topk(corpus, queries, k, id_col, vec_col)
+    hit = exact.join(approx.select("q_id", "p_id").withColumn("hit", F.lit(1)),
+                     ["q_id", "p_id"], "left")
+    per_q = (hit.groupBy("q_id")
+             .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                   / F.count(F.lit(1))).alias("recall_q")))
+    return per_q.agg(F.count(F.lit(1)).alias("n_queries"),
+                     F.round(F.avg("recall_q"), 4).alias("recall"))

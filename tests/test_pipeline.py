@@ -1,0 +1,210 @@
+"""Pipeline operator tests: dedup (exact/Jaccard/MinHash-LSH/SimHash/
+cosine), ANN (brute force / LSH / IVF), multimodal plumbing.
+
+Strategy mirrors the driver oracle: every approximate operator is pinned
+against a brute-force reference computed on the same synthetic corpus —
+completeness (no dropped qualifying pairs) for the bucketed dedup paths,
+exactness for IVF at nprobe = n_lists, recall floors for the lossy paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osmspark.pipeline.ann import (
+    ann_bruteforce_topk,
+    ann_bruteforce_topk_np,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ann_recall_vs_bruteforce,
+)
+from osmspark.pipeline.dedup import (
+    cosine_neardup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+_WORDS = ("spark shuffle join window agg batch stream key value table "
+          "column row scan sort hash merge broadcast skew salt").split()
+
+
+def _docs_pdf(n: int = 60, seed: int = 5) -> pd.DataFrame:
+    """Synthetic docs with planted near-duplicate pairs (i, i+1 for even
+    i < 20 share all but one token) plus one exact-duplicate pair."""
+    rng = np.random.default_rng(seed)
+    texts = []
+    for i in range(n):
+        toks = list(rng.choice(_WORDS, size=30))
+        texts.append(" ".join(toks))
+    for i in range(0, 20, 2):
+        toks = texts[i].split()
+        toks[5] = "mutated"
+        texts[i + 1] = " ".join(toks)
+    texts[40] = texts[41]  # exact dup
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(_docs_pdf()).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """Clustered unit vectors: 8 centers × 25 jittered members."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 32))
+    vecs = []
+    for i in range(200):
+        v = centers[i % 8] + 0.15 * rng.standard_normal(32)
+        vecs.append((v / np.linalg.norm(v)).astype(np.float64))
+    pdf = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                        "embedding": [list(v) for v in vecs]})
+    df = spark.createDataFrame(pdf).cache()
+    df.count()
+    return df
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def test_exact_dedup_counts(docs):
+    out = exact_dedup(docs).toPandas()
+    assert out["n_dups"].sum() == 60
+    dup = out[out["n_dups"] > 1]
+    assert len(dup) == 1 and dup.iloc[0]["keep_id"] == 40
+
+
+def test_simhash_pairs_complete_vs_bruteforce(docs):
+    """Chunk bucketing must find EVERY pair within the Hamming threshold
+    — compare against the all-pairs distance on collected signatures,
+    at a threshold above the old fixed-4-chunk completeness limit."""
+    sigs = simhash_signatures(docs)
+    spdf = sigs.toPandas()
+    sig_map = dict(zip(spdf["id"], spdf["simhash"].astype(np.uint64)))
+    expected = set()
+    ids = sorted(sig_map)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(int(sig_map[a]) ^ int(sig_map[b])).count("1")
+            if ham <= 6:
+                expected.add((a, b, ham))
+    got = {(r.a, r.b, r.hamming)
+           for r in simhash_pairs(sigs, max_hamming=6).collect()}
+    assert got == expected
+    assert len(expected) > 0  # planted near-dups must register
+
+
+def test_simhash_votes_are_majority(spark):
+    """A doc whose tokens share NO common bit majority keeps those bits
+    clear — regression for the uint64 vote underflow that set every
+    non-tied bit."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma delta"]}))
+    sig = np.uint64(simhash_signatures(df).collect()[0].simhash)
+    # with 4 tokens, a bit is set only when ≥ 3 of 4 token hashes have
+    # it — expect roughly a third of bits set, never ~all
+    assert 0 < bin(int(sig)).count("1") < 40
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    got = {(r.a, r.b) for r in
+           lsh_candidate_pairs(minhash_signatures(docs), bands=16).collect()}
+    planted = {(i, i + 1) for i in range(0, 20, 2)} | {(40, 41)}
+    assert planted <= got  # 29/30-token overlap ⇒ some band collides
+    jac = {(r.a, r.b) for r in ngram_jaccard_pairs(docs, 0.5, n=3).collect()}
+    assert planted <= jac
+
+
+def test_cosine_neardup_matches_numpy(emb):
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    sims = mat @ mat.T
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if round(sims[i, j], 6) >= 0.9:
+                expected.add((ids[i], ids[j]))
+    got = {(r.a, r.b) for r in cosine_neardup_pairs(emb, 0.9).collect()}
+    assert got == expected and len(expected) > 0
+
+
+# --------------------------------------------------------------------------
+# ANN
+# --------------------------------------------------------------------------
+
+def _topk_set(df):
+    return {(r.q_id, r.p_id, r.rank) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8)
+
+
+def test_ann_np_matches_sql_bruteforce(emb, queries):
+    sql = _topk_set(ann_bruteforce_topk(emb, queries, 5))
+    np_ = _topk_set(ann_bruteforce_topk_np(emb, queries.toPandas(), 5))
+    assert sql == np_
+
+
+def test_ann_ivf_exact_when_probing_all_lists(emb, queries):
+    """nprobe = n_lists probes every list ⇒ IVF must equal brute force."""
+    exact = _topk_set(ann_bruteforce_topk(emb, queries, 5))
+    ivf = _topk_set(ann_ivf_topk(emb, queries, 5, n_lists=8, nprobe=8,
+                                 dim=32))
+    assert ivf == exact
+
+
+def test_ann_ivf_recall_floor(emb, queries):
+    ivf = ann_ivf_topk(emb, queries, 10, n_lists=8, nprobe=4, dim=32)
+    rec = ann_recall_vs_bruteforce(emb, queries, 10, ivf).collect()[0]
+    assert rec.n_queries == 8
+    assert rec.recall >= 0.7  # clustered corpus: half the lists ⇒ most hits
+
+
+def test_ann_lsh_recall_floor(emb, queries):
+    lsh = ann_lsh_topk(emb, queries, 10, dim=32)
+    rec = ann_recall_vs_bruteforce(emb, queries, 10, lsh).collect()[0]
+    assert rec.recall >= 0.8
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+def test_media_features_feed_ann(spark):
+    from osmspark.pipeline.multimodal import extract_features, synthesize_media
+    media = synthesize_media(spark, 30)
+    feats = extract_features(media).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").cast("array<double>").alias("embedding"))
+    qs = feats.filter(F.col("vec_id") < 3)
+    out = ann_bruteforce_topk(feats, qs, 4).toPandas()
+    assert len(out) == 12
+    norms = feats.select(
+        F.aggregate(F.transform("embedding", lambda x: x * x),
+                    F.lit(0.0), lambda a, v: a + v).alias("n2")).toPandas()
+    assert np.allclose(norms["n2"], 1.0, atol=1e-5)
+
+
+def test_frame_sampling_counts(spark):
+    from osmspark.pipeline.multimodal import decode_media_metadata, sample_frames, synthesize_media
+    media = synthesize_media(spark, 30)
+    meta = decode_media_metadata(media).filter(F.col("kind") == "video").toPandas()
+    frames = sample_frames(media, every_ms=5000).toPandas()
+    expected = int((meta["duration_ms"] // 5000 + 1).sum())
+    assert len(frames) == expected
+    assert (frames["frame_ts_ms"] % 5000 == 0).all()
