@@ -20,7 +20,8 @@ from pyspark.sql import Column, functions as F
 from . import hexgrid
 
 __all__ = ["hex_qr_cols", "hex_pack_col", "hex_cell_col",
-           "hex_kring_array_col", "hex_kring_explode"]
+           "hex_cell_col_multires", "hex_kring_array_col",
+           "hex_kring_explode"]
 
 _OFFSET = hexgrid._OFFSET
 _SQRT3_3 = float(hexgrid._SQRT3) / 3.0  # identical double to the numpy constant
@@ -70,6 +71,47 @@ def hex_cell_col(lat: Column, lon: Column, res: int) -> Column:
     """(lat, lon) degrees → hex cell id, pure SQL. == hexgrid.cell_id."""
     q, r = hex_qr_cols(lat, lon, res)
     return hex_pack_col(res, q, r)
+
+
+def hex_cell_col_multires(lat: Column, lon: Column, res_col: Column,
+                          res_values: list[int]) -> Column:
+    """Cell id where the resolution is a per-row COLUMN (restricted to
+    ``res_values``) — ONE encode expression serves a mixed-resolution
+    scan. Edge sizes resolve through a literal CASE chain carrying the
+    exact ``edge_deg`` float64 constants (a pow() here could differ in
+    the last ulp from NumPy and flip a cube-round), and the res bits
+    pack via a wrapping shift — ids stay bit-identical to the fixed-res
+    ``hex_cell_col`` for every value in ``res_values``.
+
+    Why this exists: the kNN candidate pass wants G resolutions from one
+    scan. ``explode(array(<G encode expressions>))`` knocked the whole
+    stage out of codegen (160M rows: minutes instead of seconds);
+    exploding a G-element literal array and encoding once with this
+    column-res form keeps codegen and costs one scan.
+    """
+    size = None
+    for rv in res_values:
+        branch = F.lit(hexgrid.edge_deg(rv))
+        size = (F.when(res_col == rv, branch) if size is None
+                else size.when(res_col == rv, branch))
+    qf = (F.lit(_SQRT3_3) * lon - lat / F.lit(3.0)) / size
+    rf = (F.lit(2.0 / 3.0) * lat) / size
+    sf = -qf - rf
+    q = _rint(qf)
+    r = _rint(rf)
+    s = _rint(sf)
+    dq = F.abs(q - qf)
+    dr = F.abs(r - rf)
+    ds = F.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = (~fix_q) & (dr > ds)
+    q2 = F.when(fix_q, -r - s).otherwise(q)
+    r2 = F.when(fix_r, -q - s).otherwise(r)
+    # shiftleft wraps for res ≥ 8 exactly like the numpy int64 pack;
+    # fields are disjoint so + == | (matches hex_pack_col)
+    return (F.shiftleft(res_col.cast("long"), 60)
+            + (q2.cast("long") + F.lit(_OFFSET)) * F.lit(1 << 30)
+            + (r2.cast("long") + F.lit(_OFFSET)))
 
 
 def _kring_offsets(k: int) -> list[tuple[int, int]]:

@@ -38,6 +38,9 @@ def _hex_udf(res: int):
 
 
 def _s2_udf(level: int):
+    """pandas-UDF S2 encode — kept for cross-checking the pure-SQL
+    expression path (s2_sql.with_s2_cell_sql) in tests; production paths
+    use the SQL form (JVM codegen, no Python worker)."""
     @F.pandas_udf(T.LongType())
     def enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
         # store as signed int64 (Spark has no uint64); bit pattern preserved
@@ -55,7 +58,10 @@ def with_hex_cell(df: DataFrame, res: int, lat_col: str = "lat",
 
 def with_s2_cell(df: DataFrame, level: int, lat_col: str = "lat",
                  lon_col: str = "lon", out: str = "cell") -> DataFrame:
-    return df.withColumn(out, _s2_udf(level)(F.col(lat_col), F.col(lon_col)))
+    """S2 encode as pure SQL expressions — whole-stage codegen, no
+    Python worker (bit-identical to s2.cell_id; pinned by tests)."""
+    from ..grid.s2_sql import with_s2_cell_sql
+    return with_s2_cell_sql(df, level, lat_col, lon_col, out)
 
 
 def tile_counts(df: DataFrame, res: int, grid: str = "hex",
@@ -68,10 +74,10 @@ def tile_counts(df: DataFrame, res: int, grid: str = "hex",
     final pass sees ≤ salt rows per hot cell.
     """
     if grid == "hex":
-        cell = hex_cell_col(F.col(lat_col), F.col(lon_col), res)
+        with_cell = df.withColumn(
+            "cell", hex_cell_col(F.col(lat_col), F.col(lon_col), res))
     else:
-        cell = _s2_udf(res)(F.col(lat_col), F.col(lon_col))
-    with_cell = df.withColumn("cell", cell)
+        with_cell = with_s2_cell(df, res, lat_col, lon_col, "cell")
     aggs = [
         F.count(F.lit(1)).alias("n_points"),
         F.sum(lat_col).alias("_sum_lat"),

@@ -149,3 +149,50 @@ def test_hex_sql_expr_matches_numpy(spark):
             hex_kring_array_col(F.col("lat"), F.col("lon"), res, k)).collect()])
         want = H.k_ring(H.cell_id(lat[:200], lon[:200], res), k)
         assert np.array_equal(np.sort(got, axis=1), np.sort(want, axis=1))
+
+
+def test_s2_sql_expr_matches_numpy(spark):
+    """with_s2_cell_sql is bit-identical to the numpy s2 encoder — the
+    production S2 tiling path is the SQL expression (no Python worker)."""
+    import pandas as pd
+
+    from osmspark.grid import s2 as S
+    from osmspark.grid.s2_sql import with_s2_cell_sql
+
+    rng = np.random.default_rng(77)
+    lat = rng.uniform(-89.9, 89.9, 5000)
+    lon = rng.uniform(-180, 180, 5000)
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    for level in (0, 5, 10, 20, 30):
+        got = with_s2_cell_sql(df, level).toPandas()
+        want = S.cell_id(got["lat"].to_numpy(), got["lon"].to_numpy(),
+                         level).astype(np.int64)
+        assert np.array_equal(got["cell"].to_numpy(), want), level
+
+
+def test_hex_multires_matches_fixed_res(spark):
+    """hex_cell_col_multires (column resolution) is bit-identical to the
+    fixed-res encode for every resolution in its value set — the kNN
+    mixed-resolution scan depends on this."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osmspark.grid import hexgrid as H
+    from osmspark.grid.hexgrid_sql import hex_cell_col_multires
+
+    rng = np.random.default_rng(13)
+    res_values = [12, 9, 7, 3]
+    lat = rng.uniform(-89.9, 89.9, 4000)
+    lon = rng.uniform(-180, 180, 4000)
+    pdf = pd.DataFrame({"lat": lat, "lon": lon,
+                        "res": np.array(res_values * 1000)})
+    df = spark.createDataFrame(pdf)
+    got = (df.withColumn("cell", hex_cell_col_multires(
+               F.col("lat"), F.col("lon"), F.col("res"), res_values))
+           .toPandas())
+    want = np.empty(len(got), dtype=np.int64)
+    for rv in res_values:
+        m = got["res"].to_numpy() == rv
+        want[m] = H.cell_id(got["lat"].to_numpy()[m],
+                            got["lon"].to_numpy()[m], rv)
+    assert np.array_equal(got["cell"].to_numpy(), want)
