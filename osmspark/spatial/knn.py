@@ -11,16 +11,15 @@ sort-merge refine step". Scale-first construction (SURVEY.md §7.3):
    (``density_sample``; prebuilt and reused at warehouse scale, like any
    spatial index) estimates the radius that holds ~3k points, and the
    query is assigned the finest resolution whose guarantee ball covers
-   that radius. Resolutions are quantized to ≤ ``max_groups`` ladder
-   steps (res, res−2, res−4, …) so the point side computes at most that
-   many cell columns.
+   that radius. Resolutions are quantized to ≤ ``max_groups`` levels by
+   a cheapest-merge rule (each level is one scan branch; merging moves
+   queries coarser, never finer, so completeness holds).
 2. Ring cells for every query are computed ON THE DRIVER (NumPy k_ring
-   over ≤ |Q| rows) and **broadcast** — the candidate join is a
+   over ≤ |Q| rows) and **broadcast** — each level's candidate join is a
    BroadcastHashJoin on the cell id, so the big (point) side never
-   shuffles. Cell ids embed their resolution in the top 4 bits, so one
-   join key serves all ladder steps at once. With G > 1 ladder steps in
-   play the scan explodes each point to its G cell ids (map-side, still
-   no shuffle); with one step it is a plain column.
+   shuffles. The levels run as UNION branches over per-level scans
+   (G ≤ max_groups scans; the single-scan explode alternative knocked
+   the stage out of whole-stage codegen and ran ~20× slower).
 3. Distance is a SQL expression; an in-scan guarantee-ball filter
    (``dist2 ≤ g²``, g carried per-query on the broadcast side) cuts
    candidates to the provably-complete neighborhood before the
@@ -64,10 +63,19 @@ bit-for-bit.
 from __future__ import annotations
 
 import math
+import os
+import time
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dbg(t0: float, label: str) -> float:
+    """Phase timers, enabled via OSMSPARK_KNN_DEBUG=1 (perf tuning aid)."""
+    if os.environ.get("OSMSPARK_KNN_DEBUG"):
+        print(f"[knn {label}] {time.time() - t0:.1f}s", flush=True)
+    return time.time()
 
 from ..grid import hexgrid
 from ..grid.hexgrid_sql import hex_cell_col
@@ -186,16 +194,52 @@ def density_sample(points: DataFrame, point_id: str = "id",
 
 def _nearest_sample_d2(q_lat: np.ndarray, q_lon: np.ndarray,
                        s_lat: np.ndarray, s_lon: np.ndarray,
-                       m: int, q_chunk: int = 512) -> np.ndarray:
-    """Squared distance from each query to its m-th nearest sample point
-    (chunked |Q|×|S| NumPy — driver cost ~0.1s per 10^8 cells)."""
+                       m: int, q_chunk: int = 128) -> np.ndarray:
+    """Squared distance from each query to its m-th nearest sample point.
+
+    float32 + small chunks: the |chunk|×|S| temporaries are the cost —
+    float64/512-row chunks thrashed memory bandwidth (~400 MB × 4
+    temporaries per concurrent task); a radius ESTIMATE doesn't need 53
+    bits. Result returns as float64 for the downstream log/sqrt math."""
+    q_lat32 = q_lat.astype(np.float32)
+    q_lon32 = q_lon.astype(np.float32)
+    s_lat32 = s_lat.astype(np.float32)
+    s_lon32 = s_lon.astype(np.float32)
     out = np.empty(len(q_lat), dtype=np.float64)
     for qs in range(0, len(q_lat), q_chunk):
         qe = min(qs + q_chunk, len(q_lat))
-        d2 = ((q_lat[qs:qe, None] - s_lat[None, :]) ** 2
-              + (q_lon[qs:qe, None] - s_lon[None, :]) ** 2)
+        d2 = ((q_lat32[qs:qe, None] - s_lat32[None, :]) ** 2
+              + (q_lon32[qs:qe, None] - s_lon32[None, :]) ** 2)
         out[qs:qe] = np.partition(d2, m - 1, axis=1)[:, m - 1]
     return out
+
+
+def _nearest_sample_d2_spark(spark, q_pdf: pd.DataFrame,
+                             s_lat: np.ndarray, s_lon: np.ndarray,
+                             m: int) -> np.ndarray:
+    """The same m-th-nearest-sample estimate, run as one small Spark job:
+    the sample rides to executors in the UDF closure (~1.6 MB for 100k
+    points) and the |Q|×|S| distance work parallelizes across cores —
+    at 8192 queries × 100k sample this is ~8×10^9 flops, 30+ s of SERIAL
+    driver time but ~2 s across 16 cores (and it scales with the
+    cluster, which the driver loop never would)."""
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+
+    def est(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            d2m = _nearest_sample_d2(pdf["lat"].to_numpy(dtype=np.float64),
+                                     pdf["lon"].to_numpy(dtype=np.float64),
+                                     s_lat, s_lon, m)
+            yield pd.DataFrame({"q_id": pdf["q_id"], "d2m": d2m})
+
+    out = (spark.createDataFrame(q_pdf[["q_id", "lat", "lon"]])
+           .repartition(n_parts)
+           .mapInPandas(est, "q_id long, d2m double")
+           .toPandas())
+    return (out.set_index("q_id")["d2m"]
+            .reindex(q_pdf["q_id"].to_numpy()).to_numpy())
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
@@ -208,21 +252,24 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
 
     ``res`` is the FINEST resolution considered (pick it near your
     densest region's k-neighbor scale); each query is assigned the
-    finest ladder step (res, res−2, …) whose guarantee ball
-    (1.5·ring − 0.5)·edge_deg(step) should hold ≥ 3k points per the
+    finest quantized level whose guarantee ball
+    (1.5·ring − 0.5)·edge_deg(level) should hold ≥ 3k points per the
     density sketch, with ``safety``× radius margin. ``sample``/
     ``sample_rate`` inject a prebuilt ``density_sample`` (skips the
     sketch scan). See the module docstring for the full design and the
     exactness argument.
     """
     spark = points.sparkSession
+    t = time.time()
     q_pdf = queries.select("q_id", "lat", "lon").toPandas()
+    t = _dbg(t, "queries toPandas")
     if len(q_pdf) == 0:
         return _empty_result(spark)
 
     if sample is None:
         sample, sample_rate = density_sample(points, point_id,
                                              target_sample, seed)
+        t = _dbg(t, "density_sample")
     if len(sample) == 0:
         return _empty_result(spark)
 
@@ -242,8 +289,24 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     # m-th nearest sample point: r(c·k) ≈ r(m/rate)·sqrt(c·k·rate/m).
     # safety× covers residual error; misestimates are caught by the
     # in-pass completeness count and repaired exactly, never silently.
-    m = int(np.clip(round(3.0 * k * sample_rate), 2, len(sample)))
-    d2_m = _nearest_sample_d2(q_lat, q_lon, s_lat, s_lon, m)
+    # the radius estimate only needs a coarse sketch: cap the estimation
+    # subsample (the FULL sample stays whatever the caller built) and
+    # scale the rate accordingly — |Q|×|S| work is the driver's one
+    # superlinear term, so bound |S| rather than hope
+    est_cap = 32768
+    if len(sample) > est_cap:
+        idx = np.linspace(0, len(sample) - 1, est_cap).astype(np.int64)
+        s_lat_e, s_lon_e = s_lat[idx], s_lon[idx]
+        rate_e = sample_rate * est_cap / len(sample)
+    else:
+        s_lat_e, s_lon_e, rate_e = s_lat, s_lon, sample_rate
+    m = int(np.clip(round(3.0 * k * rate_e), 2, len(s_lat_e)))
+    if len(q_pdf) * len(s_lat_e) > 5e8:
+        d2_m = _nearest_sample_d2_spark(spark, q_pdf, s_lat_e, s_lon_e, m)
+    else:
+        d2_m = _nearest_sample_d2(q_lat, q_lon, s_lat_e, s_lon_e, m)
+    sample_rate = rate_e
+    t = _dbg(t, "d2m estimate")
     est_in_dm = m / sample_rate
     r_target = np.sqrt(d2_m) * np.sqrt(3.0 * k / est_in_dm) * safety
     r_target = np.maximum(r_target, 1e-12)
@@ -254,111 +317,51 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
             / math.log(math.sqrt(7.0)))
     r_ideal = np.clip(np.nan_to_num(r_ideal, posinf=res), -1, res).astype(np.int64)
 
-    # quantize to ≤ max_groups resolution levels, chosen ADAPTIVELY: the
-    # most query-popular ideal resolutions become the levels, so the
-    # typical query runs at exactly its ideal res (a fixed res−2j ladder
-    # cost 7× candidates per forced step). Each query takes the finest
-    # chosen level ≤ its ideal; queries below the coarsest chosen level
-    # clamp up to it (they either still resolve or repair via fallback).
-    in_range = r_ideal >= 0
-    vals, counts = np.unique(r_ideal[in_range], return_counts=True)
-    chosen = sorted(vals[np.argsort(-counts)][:max_groups].tolist(), reverse=True)
-    assigned = np.full(len(q_pdf), -1, dtype=np.int64)
-    for step in chosen:  # fine → coarse; keep the finest level ≤ r_ideal
-        assigned = np.where(in_range & (assigned < 0) & (r_ideal >= step),
-                            step, assigned)
-    if chosen:  # below-min queries: clamp to the coarsest chosen level
-        assigned = np.where(in_range & (assigned < 0), chosen[-1], assigned)
-    fallback_mask = assigned < 0  # empty-region queries (r_ideal < 0)
-
     parts: list[DataFrame] = []
-    res_used = sorted({int(r) for r in assigned[~fallback_mask]}, reverse=True)
-    if res_used:
-        # ring cells per query, computed on the driver (|Q|·ring_size
-        # rows) and broadcast: the point side never shuffles
-        frames = []
-        for r in res_used:
-            mask = assigned == r
-            cells = hexgrid.k_ring(
-                hexgrid.cell_id(q_lat[mask], q_lon[mask], r), ring)
-            n_ring = cells.shape[1]
-            g = factor * hexgrid.edge_deg(r)
-            frames.append(pd.DataFrame({
-                "cell": cells.ravel(),
-                "q_id": np.repeat(q_pdf["q_id"].to_numpy()[mask], n_ring),
-                "q_lat": np.repeat(q_lat[mask], n_ring),
-                "q_lon": np.repeat(q_lon[mask], n_ring),
-                "g2": g * g}))
-        q_cells = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    pending = q_pdf.assign(r_est=r_ideal)
+    # empty-region queries (r_ideal < 0): even a res-0 ball can't hold k
+    # points — the map-only broadcast scan is the right tool directly
+    to_broadcast = pending[pending["r_est"] < 0]
+    pending = pending[pending["r_est"] >= 0]
 
-        pts = points.select(F.col(point_id).alias("p_id"),
-                            F.col("lat").alias("p_lat"),
-                            F.col("lon").alias("p_lon"))
-        if len(res_used) == 1:
-            pts = pts.withColumn(
-                "cell", hex_cell_col(F.col("p_lat"), F.col("p_lon"), res_used[0]))
-        else:
-            # map-side explode to ≤ max_groups cell ids; ids embed their
-            # res (top 4 bits) so one join key serves every ladder step
-            pts = pts.withColumn("cell", F.explode(F.array(*[
-                hex_cell_col(F.col("p_lat"), F.col("p_lon"), r)
-                for r in res_used])))
+    # ≤ 2 candidate passes: pass 1 carries the whole query set at the
+    # estimated resolutions; pass 2 retries ONLY misestimated queries two
+    # steps coarser (7²× candidate area). Even for a tiny straggler set
+    # the SQL pass beats ``knn_broadcast``: the broadcast path moves the
+    # whole point table through Arrow into Python (~60 s at 160M rows)
+    # while a candidate pass stays in JVM codegen (~17 s for 81
+    # stragglers, scans only). Brute force remains the LAST resort for
+    # queries even pass 2 can't place (sparser than the coarsest ring).
+    for _attempt in range(2):
+        if not len(pending):
+            break
+        # retries carry few queries: cap them to 2 scan branches
+        groups_i = max_groups if _attempt == 0 else min(max_groups, 2)
+        assigned = _quantize_levels(pending["r_est"].to_numpy(), groups_i)
 
-        cand = (pts.join(F.broadcast(q_cells), "cell", "inner")
-                .withColumn("dist2", _dist2(F.col("q_lat"), F.col("q_lon"),
-                                            F.col("p_lat"), F.col("p_lon")))
-                # candidates ≤ g² are a complete ball (ring-containment
-                # guarantee) — the filter runs map-side inside the scan
-                .filter(F.col("dist2") <= F.col("g2"))
-                .select("q_id", "p_id", "dist2"))
+        # (a bbox-union pre-filter for tiny retry sets was tried here —
+        # the pushed-down OR-chain knocked the parquet reader out of its
+        # vectorized path and ran slower than the plain scans)
+        topk, resolved_set = _candidate_pass(
+            points, pending, assigned, k, ring, factor, point_id,
+            partial_topk)
+        t = _dbg(t, f"pass levels={sorted(set(assigned.tolist()))} nq={len(pending)} resolved={len(resolved_set)}")
+        if resolved_set:
+            parts.append(topk.filter(F.col("n_cand") >= k)
+                         .select("q_id", "p_id", "dist2", "rank"))
+        failed_mask = ~pending["q_id"].isin(resolved_set).to_numpy()
+        pending = pending[failed_mask].assign(
+            r_est=assigned[failed_mask] - 2)
+        to_broadcast = pd.concat(
+            [to_broadcast, pending[pending["r_est"] < 0]])
+        pending = pending[pending["r_est"] >= 0]
 
-        if partial_topk:
-            # map-side reduction: each partition keeps ≤ |Q|·k candidate
-            # rows before the window. A Python hop costs ~1-2s of fixed
-            # overhead — worth it only when candidates per partition
-            # vastly exceed |Q|·k (warehouse-scale candidate sets).
-            def local_topk(batches):
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    d2 = pdf["dist2"].to_numpy()
-                    order = np.lexsort((pdf["p_id"].to_numpy(), d2,
-                                        pdf["q_id"].to_numpy()))
-                    qs = pdf["q_id"].to_numpy()[order]
-                    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
-                    rank = np.arange(len(qs)) - np.repeat(
-                        starts, np.diff(np.r_[starts, len(qs)]))
-                    yield pdf.iloc[order[rank < k]]
-
-            cand = cand.mapInPandas(local_topk, _OUT_SCHEMA)
-
-        # completeness count fused into the top-k job: same partition key
-        # → one shuffle, two in-memory window passes, ONE action
-        w_part = Window.partitionBy("q_id")
-        w_rank = w_part.orderBy(F.col("dist2").asc(), F.col("p_id").asc())
-        topk = (cand
-                .withColumn("n_cand", F.count("*").over(w_part))
-                .withColumn("rank", F.row_number().over(w_rank))
-                .filter(F.col("rank") <= k))
-        # materialize the ≤ |Q|·k survivors once; the summary below and
-        # the caller's actions read these partitions. localCheckpoint
-        # blocks are released by the ContextCleaner when this DataFrame
-        # is garbage-collected — nothing leaks across calls.
-        topk = topk.localCheckpoint(eager=True)
-
-        resolved = (topk.filter(F.col("n_cand") >= k)
-                    .select("q_id").distinct().toPandas()["q_id"])
-        resolved_set = set(resolved.tolist())
-        parts.append(topk.filter(F.col("n_cand") >= k)
-                     .select("q_id", "p_id", "dist2", "rank"))
-    else:
-        resolved_set = set()
-
-    failed = q_pdf[fallback_mask
-                   | ~q_pdf["q_id"].isin(resolved_set).to_numpy()]
-    if len(failed):
-        parts.append(knn_broadcast(points, failed[["q_id", "lat", "lon"]],
-                                   k, point_id))
+    to_broadcast = pd.concat([to_broadcast, pending])
+    if len(to_broadcast):
+        if os.environ.get("OSMSPARK_KNN_DEBUG"):
+            print(f"[knn broadcast fallback] nq={len(to_broadcast)}", flush=True)
+        parts.append(knn_broadcast(
+            points, to_broadcast[["q_id", "lat", "lon"]], k, point_id))
 
     if not parts:
         return _empty_result(spark)
@@ -366,3 +369,121 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _quantize_levels(r_est: np.ndarray, max_groups: int) -> np.ndarray:
+    """Reduce the ideal-resolution set to ≤ max_groups levels.
+
+    Each union branch in the candidate pass costs one table scan, so the
+    level count is capped; a query may only move COARSER (its guarantee
+    ball stays complete). Greedy: repeatedly merge the level whose move
+    to the next-coarser level adds the fewest expected candidates
+    (count · 7^gap — aperture-7 area growth). This keeps dense-core
+    queries near their ideal res (a blanket clamp once routed ~450
+    sparse-city queries into balls holding < k points → mass brute-force
+    fallback, the dominant cost of the whole join)."""
+    vals, counts = np.unique(r_est, return_counts=True)  # ascending
+    levels = [int(v) for v in vals]
+    cnts = [int(c) for c in counts]
+    while len(levels) > max_groups:
+        costs = [cnts[i] * 7.0 ** (levels[i] - levels[i - 1])
+                 for i in range(1, len(levels))]
+        i = int(np.argmin(costs)) + 1
+        cnts[i - 1] += cnts[i]
+        del levels[i], cnts[i]
+    out = np.full(len(r_est), levels[0], dtype=np.int64)
+    for lv in levels:  # ascending: ends at the finest level ≤ r_est
+        out = np.where(r_est >= lv, lv, out)
+    return out
+
+
+def _candidate_pass(points: DataFrame, q_pdf: pd.DataFrame,
+                    assigned: np.ndarray, k: int, ring: int, factor: float,
+                    point_id: str, partial_topk: bool
+                    ) -> tuple[DataFrame, set]:
+    """One mixed-resolution candidate join + fused top-k/completeness
+    window. Returns (checkpointed topk with n_cand, resolved q_id set)."""
+    spark = points.sparkSession
+    q_lat = q_pdf["lat"].to_numpy(dtype=np.float64)
+    q_lon = q_pdf["lon"].to_numpy(dtype=np.float64)
+    res_used = sorted({int(r) for r in assigned}, reverse=True)
+
+    # one UNION branch per resolution level: each branch scans the point
+    # table with its fixed-res pure-SQL encode and broadcast-joins that
+    # level's ring cells. The point side never shuffles in any branch.
+    # G branches = G scans; the single-scan alternative (explode the
+    # point row to its G cell ids, one mixed-res encode, one join)
+    # measured MINUTES instead of seconds at 160M rows — the Generate
+    # feeding a BroadcastHashJoin falls out of whole-stage codegen — so
+    # G scans of a columnar source is the faster plan in practice, and
+    # G ≤ max_groups keeps it bounded.
+    pts = points.select(F.col(point_id).alias("p_id"),
+                        F.col("lat").alias("p_lat"),
+                        F.col("lon").alias("p_lon"))
+    branches = []
+    for r in res_used:
+        mask = assigned == r
+        cells = hexgrid.k_ring(hexgrid.cell_id(q_lat[mask], q_lon[mask], r),
+                               ring)
+        n_ring = cells.shape[1]
+        g = factor * hexgrid.edge_deg(r)
+        # ring cells per query, computed on the driver (|Q|·ring_size
+        # rows) and broadcast
+        q_cells = spark.createDataFrame(pd.DataFrame({
+            "cell": cells.ravel(),
+            "q_id": np.repeat(q_pdf["q_id"].to_numpy()[mask], n_ring),
+            "q_lat": np.repeat(q_lat[mask], n_ring),
+            "q_lon": np.repeat(q_lon[mask], n_ring),
+            "g2": g * g}))
+        branches.append(
+            pts.withColumn("cell",
+                           hex_cell_col(F.col("p_lat"), F.col("p_lon"), r))
+            .join(F.broadcast(q_cells), "cell", "inner"))
+    joined = branches[0]
+    for b in branches[1:]:
+        joined = joined.unionByName(b)
+
+    cand = (joined
+            .withColumn("dist2", _dist2(F.col("q_lat"), F.col("q_lon"),
+                                        F.col("p_lat"), F.col("p_lon")))
+            # candidates ≤ g² are a complete ball (ring-containment
+            # guarantee) — the filter runs map-side inside the scan
+            .filter(F.col("dist2") <= F.col("g2"))
+            .select("q_id", "p_id", "dist2"))
+
+    if partial_topk:
+        # map-side reduction: each partition keeps ≤ |Q|·k candidate
+        # rows before the window. A Python hop costs ~1-2s of fixed
+        # overhead — worth it only when candidates per partition
+        # vastly exceed |Q|·k (warehouse-scale candidate sets).
+        def local_topk(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                d2 = pdf["dist2"].to_numpy()
+                order = np.lexsort((pdf["p_id"].to_numpy(), d2,
+                                    pdf["q_id"].to_numpy()))
+                qs = pdf["q_id"].to_numpy()[order]
+                starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+                rank = np.arange(len(qs)) - np.repeat(
+                    starts, np.diff(np.r_[starts, len(qs)]))
+                yield pdf.iloc[order[rank < k]]
+
+        cand = cand.mapInPandas(local_topk, _OUT_SCHEMA)
+
+    # completeness count fused into the top-k job: same partition key
+    # → one shuffle, two in-memory window passes, ONE action
+    w_part = Window.partitionBy("q_id")
+    w_rank = w_part.orderBy(F.col("dist2").asc(), F.col("p_id").asc())
+    topk = (cand
+            .withColumn("n_cand", F.count("*").over(w_part))
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k))
+    # materialize the ≤ |Q|·k survivors once; the summary below and the
+    # caller's actions read these partitions. localCheckpoint blocks are
+    # released by the ContextCleaner when this DataFrame is garbage-
+    # collected — nothing leaks across calls.
+    topk = topk.localCheckpoint(eager=True)
+    resolved = (topk.filter(F.col("n_cand") >= k)
+                .select("q_id").distinct().toPandas()["q_id"])
+    return topk, set(resolved.tolist())
