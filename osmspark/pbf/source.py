@@ -114,11 +114,6 @@ class _NodeAccumulator:
         self.n_rows = 0
 
 
-def _rows_to_batch(rows: list[dict], schema: pa.Schema, builders: dict) -> pa.RecordBatch:
-    cols = [builders[name](rows) for name in schema.names]
-    return pa.RecordBatch.from_arrays(cols, schema=schema)
-
-
 # Arrow schemas are resolved lazily on the executor (model import is cheap).
 _ARROW_NODE_SCHEMA = model.to_arrow_schema(model.NODE_SCHEMA)
 _ARROW_WAY_SCHEMA = model.to_arrow_schema(model.WAY_SCHEMA)

@@ -71,3 +71,58 @@ def test_streaming_decode_counts(spark, tmp_path, pages_df):
     assert got == batch_count
     # more than one micro-batch ran (block-granularity progress)
     assert len(q.recentProgress) >= 2
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windowed tile counts (C2 contract): a closed window
+    emits exactly once in append mode, and rows arriving later than the
+    watermark are dropped (pinned via numRowsDroppedByWatermark)."""
+    import pandas as pd
+
+    from osmspark.streaming import stream_windowed_tile_counts
+
+    src = tmp_path / "nodes_stream"
+    ckpt = tmp_path / "ckpt"
+    h = 3_600_000
+    base = 1735689600000  # 2025-01-01T00:00:00Z
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["timestamp_ms", "lat", "lon"])
+        (spark.createDataFrame(pdf)
+         .coalesce(1).write.mode("append").parquet(str(src)))
+
+    # batch 1: window [00:00, 00:10) gets 5 rows; one row at 01:00
+    # advances the watermark past that window's end
+    write([(base + i * 60_000, 51.5, -0.12) for i in range(5)]
+          + [(base + h, 51.5, -0.12)])
+
+    stream = (spark.readStream
+              .schema("timestamp_ms long, lat double, lon double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src)))
+    agg = stream_windowed_tile_counts(stream, res=7, window="10 minutes",
+                                      watermark="30 minutes")
+    q = (agg.writeStream.format("memory").queryName("tiles")
+         .outputMode("append").option("checkpointLocation", str(ckpt))
+         .start())
+    try:
+        q.processAllAvailable()
+        # batch 2: two late rows for the already-closed 00:00 window
+        # (late beyond the 30 min watermark: event 00:03 < 00:30) in two
+        # DISTINCT cells — map-side partial agg combines same-cell rows
+        # before the state store, and the drop counter counts the
+        # partial rows that reach it — plus one on-time row
+        write([(base + 3 * 60_000, 51.5, -0.12),
+               (base + 3 * 60_000, 48.85, 2.35),
+               (base + h + 300_000, 51.5, -0.12)])
+        q.processAllAvailable()
+        dropped = sum(op["numRowsDroppedByWatermark"]
+                      for p in q.recentProgress
+                      for op in p["stateOperators"])
+        out = spark.sql("SELECT * FROM tiles").collect()
+    finally:
+        q.stop()
+    closed = [r for r in out if r.window_start.minute == 0
+              and r.window_start.hour == 0]
+    assert len(closed) == 1 and closed[0].n_points == 5
+    assert dropped == 2

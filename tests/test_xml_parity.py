@@ -116,3 +116,64 @@ def test_unknown_format_detection():
     assert get_file_type("map.osm.xml") == "xml"
     with pytest.raises(ValueError):
         get_file_type("map.csv")
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    """Local http server over the fixtures dir — mirrors the reference's
+    own http test (test/xmlHttpTest.js:10-60 serves test.xml locally)."""
+    import http.server
+    import pathlib
+    import threading
+
+    fixtures = str(pathlib.Path(__file__).parent / "fixtures")
+
+    class H(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=fixtures, **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_xml_http_source_parity(spark, http_server, golden_xml):
+    """S9: fetch over HTTP decodes identically to the file-backed path."""
+    from osmspark.xml.http import xml_pages_from_http
+    from osmspark.xml.source import nodes_from_xml_pages
+
+    pages = xml_pages_from_http(spark, [f"{http_server}/osm_golden.xml"])
+    got = {(r.id, r.lat, r.lon) for r in nodes_from_xml_pages(pages).collect()}
+    want = {(e["id"], e["lat"], e["lon"])
+            for e in parse_osm_xml(golden_xml)["nodes"]}
+    assert got == want and len(got) == 6
+
+
+def test_xml_http_non_200_raises(http_server):
+    from osmspark.xml.http import XmlHttpError, fetch_xml
+
+    with pytest.raises(XmlHttpError, match="404"):
+        fetch_xml(f"{http_server}/does_not_exist.xml")
+
+
+def test_xml_http_distributed_fetch(spark, http_server):
+    """Executor-side fetch: good URLs decode, bad URLs carry errors."""
+    import pandas as pd
+
+    from osmspark.xml.http import xml_pages_from_http_distributed
+    from osmspark.xml.source import nodes_from_xml_pages
+
+    urls = spark.createDataFrame(pd.DataFrame({
+        "url": [f"{http_server}/osm_golden.xml",
+                f"{http_server}/missing.xml"]}))
+    fetched = xml_pages_from_http_distributed(urls).cache()
+    ok = fetched.filter("error IS NULL")
+    bad = fetched.filter("error IS NOT NULL").collect()
+    assert nodes_from_xml_pages(ok.select("url", "html")).count() == 6
+    assert len(bad) == 1 and "404" in bad[0].error
+    fetched.unpersist()
