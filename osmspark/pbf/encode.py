@@ -238,8 +238,20 @@ def _encode_info(info: dict, intern, date_granularity: int) -> bytes:
     return bytes(b)
 
 
-def build_header_block(writingprogram: str = "osmspark-synth") -> bytes:
+def build_header_block(writingprogram: str = "osmspark-synth",
+                       bbox_deg: tuple[float, float, float, float] | None = None
+                       ) -> bytes:
+    """HeaderBlock bytes; ``bbox_deg`` = (minlon, maxlon, maxlat, minlat)
+    → HeaderBBox field 1 (left/right/top/bottom, zigzag nanodegrees —
+    the same wire form decode_header_block reads)."""
     b = bytearray()
+    if bbox_deg is not None:
+        bb = bytearray()
+        for field_no, deg in enumerate(bbox_deg, start=1):
+            nano = int(round(deg * 1e9))
+            bb += _varint_field(field_no, int(
+                zigzag_encode(np.array([nano], dtype=np.int64))[0]))
+        b += _len_field(1, bytes(bb))
     b += _len_field(4, b"OsmSchema-V0.6")
     b += _len_field(4, b"DenseNodes")
     b += _len_field(16, writingprogram.encode("utf-8"))

@@ -30,6 +30,7 @@ __all__ = [
     "ways_from_pages",
     "relations_from_pages",
     "headers_from_pages",
+    "bounds_from_pages",
     "extracted_text_from_pages",
     "render_text",
 ]
@@ -355,6 +356,23 @@ def relations_from_pages(pages: DataFrame) -> DataFrame:
 
 def headers_from_pages(pages: DataFrame) -> DataFrame:
     return _pruned(pages).mapInArrow(_headers_fn, model.HEADER_SCHEMA)
+
+
+def bounds_from_pages(pages: DataFrame) -> DataFrame:
+    """PBF HeaderBBox as degrees bounds rows — same shape as the XML
+    path's ``bounds_from_xml_pages``, so the two formats diff directly
+    (reference parity: HeaderBlock.bbox is nanodegrees int64,
+    lib/pbfParser.js HeaderBlock handling; XML <bounds> is degrees)."""
+    from pyspark.sql import functions as F
+
+    h = headers_from_pages(pages)
+    nano = 1e-9
+    return (h.filter(F.col("bbox_left").isNotNull())
+            .select("url",
+                    (F.col("bbox_bottom") * nano).alias("minlat"),
+                    (F.col("bbox_left") * nano).alias("minlon"),
+                    (F.col("bbox_top") * nano).alias("maxlat"),
+                    (F.col("bbox_right") * nano).alias("maxlon")))
 
 
 def extracted_text_from_pages(pages: DataFrame) -> DataFrame:

@@ -108,3 +108,27 @@ def test_column_pruning_reaches_scan(spark, tmp_path, pages_df):
     plan = nodes_from_pages(pages)._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan.split("ReadSchema")[1][:200]
     assert "html" in plan
+
+
+def test_pbf_header_bbox_as_degrees_bounds(spark, pages_df):
+    """HeaderBBox surfaces as a degrees bounds row matching the XML
+    bounds shape (reference: nanodegree sint64 HeaderBlock.bbox vs XML
+    <bounds> degrees). The golden test.pbf carries no bbox (pinned:
+    bboxless headers yield no bounds row), so a synthesized header
+    exercises the round trip through our own encoder."""
+    from osmspark.pbf.encode import _file_block, build_header_block
+    from osmspark.pbf.source import bounds_from_pages
+
+    # golden fixture: header present, bbox absent → zero bounds rows
+    assert bounds_from_pages(pages_df).count() == 0
+
+    hdr = build_header_block(
+        "t", bbox_deg=(-0.1083348, -0.1075014, 51.5075933, 51.5074089))
+    pages = spark.createDataFrame(
+        [("u://bbox", _file_block("OSMHeader", hdr))],
+        "url string, html binary")
+    b = bounds_from_pages(pages).collect()[0]
+    assert abs(b.minlat - 51.5074089) < 1e-9
+    assert abs(b.minlon - (-0.1083348)) < 1e-9
+    assert abs(b.maxlat - 51.5075933) < 1e-9
+    assert abs(b.maxlon - (-0.1075014)) < 1e-9
