@@ -390,6 +390,98 @@ def _decode_way(buf, st: StringTable, date_granularity: int) -> dict:
             "refs": refs, **info}
 
 
+def _decode_ways_batch(way_bufs: list, st: StringTable,
+                       date_granularity: int) -> list[dict]:
+    """Decode a whole ways group with BATCHED packed-varint passes.
+
+    ``_decode_way`` per way costs ~20 tiny NumPy calls (each ~µs of
+    call overhead on ≤12 values) — 16k ways/s. Here pass 1 is a cheap
+    Python scan collecting each way's raw field slices; pass 2
+    concatenates every way's packed refs/keys/vals into ONE stream per
+    field and decodes it with a single vectorized pass (packed varints
+    are self-delimiting, so concatenation is still a valid stream);
+    per-way splits come from counting terminator bytes per byte-range
+    (np.add-style reduce over cumsum). Delta-decoded refs get their
+    per-way prefix sums from one global cumsum minus per-way bases.
+    Ways using the rare unpacked-repeated encoding take the scalar
+    slow path unchanged. Output dicts are slices of the flat arrays —
+    identical to ``_decode_way``'s, pinned by the golden tests.
+    """
+    n = len(way_bufs)
+    metas: list[tuple | None] = []
+    slow: dict[int, dict] = {}
+    for i, buf in enumerate(way_bufs):
+        wid = None
+        k_parts: list = []
+        v_parts: list = []
+        r_parts: list = []
+        info_buf = None
+        scalar = False
+        for f, w, v in iter_fields(buf):
+            if f == 1 and w == 0:
+                wid = v
+            elif f == 2 and w == 2:
+                k_parts.append(v)
+            elif f == 3 and w == 2:
+                v_parts.append(v)
+            elif f == 8 and w == 2:
+                r_parts.append(v)
+            elif f == 4 and w == 2:
+                info_buf = v
+            elif f in (2, 3, 8) and w == 0:
+                scalar = True
+        if scalar:
+            slow[i] = _decode_way(buf, st, date_granularity)
+            metas.append(None)
+        else:
+            metas.append((wid, k_parts, v_parts, r_parts, info_buf))
+
+    fast_idx = [i for i in range(n) if metas[i] is not None]
+
+    def batch(field: int, signed: bool):
+        blobs = [b"".join(bytes(p) for p in metas[i][field]) for i in fast_idx]
+        data = b"".join(blobs)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                           count=len(blobs))
+        byte_offs = np.zeros(len(blobs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=byte_offs[1:])
+        csum = np.zeros(arr.size + 1, dtype=np.int64)
+        np.cumsum(arr < 0x80, out=csum[1:])
+        counts = csum[byte_offs[1:]] - csum[byte_offs[:-1]]
+        vals = (decode_packed_sint64(data) if signed
+                else decode_packed_varints(data).astype(np.int64))
+        offs = np.zeros(len(blobs) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        return vals, offs
+
+    ref_deltas, r_offs = batch(3, signed=True)
+    # per-way prefix sums from one global cumsum minus per-way bases
+    g = np.cumsum(ref_deltas)
+    starts = r_offs[:-1]
+    base = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0)
+    refs_flat = g - np.repeat(base, np.diff(r_offs))
+    key_ids, k_offs = batch(1, signed=False)
+    val_ids, v_offs = batch(2, signed=False)
+    keys_flat = st.take(key_ids)
+    vals_flat = st.take(val_ids)
+
+    out: list[dict | None] = [None] * n
+    for j, i in enumerate(fast_idx):
+        wid, _k, _v, _r, info_buf = metas[i]
+        info = (_decode_info(info_buf, st, date_granularity) if info_buf
+                else {"version": None, "timestamp_ms": None,
+                      "changeset": None, "uid": None, "user": None,
+                      "visible": None})
+        out[i] = {"id": wid,
+                  "tag_keys": keys_flat[k_offs[j]:k_offs[j + 1]],
+                  "tag_vals": vals_flat[v_offs[j]:v_offs[j + 1]],
+                  "refs": refs_flat[r_offs[j]:r_offs[j + 1]], **info}
+    for i, d in slow.items():
+        out[i] = d
+    return out
+
+
 def _decode_relation(buf, st: StringTable, date_granularity: int) -> dict:
     rid = None
     keys_chunks, vals_chunks = [], []
@@ -487,7 +579,7 @@ def decode_primitive_block(buf: bytes) -> DecodedBlock:
         elif way_bufs:
             groups.append(DecodedGroup(
                 "ways",
-                ways=[_decode_way(b, st, date_granularity) for b in way_bufs]))
+                ways=_decode_ways_batch(way_bufs, st, date_granularity)))
         elif rel_bufs:
             groups.append(DecodedGroup(
                 "relations",
