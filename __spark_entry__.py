@@ -595,6 +595,15 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(simhash_signatures(docs), max_hamming=6).orderBy("a", "b")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over the (oracle-exact) ngram-Jaccard pairs:
+    transitively-linked near-dups collapse to min-id clusters."""
+    from osmspark.pipeline.dedup import dedup_clusters, ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, 0.2, n=3)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
 def _q_lang_guess(spark, sf_dir):
     from osmspark.pipeline.textstats import with_lang_guess
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -689,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "fingerprint_md5": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "neardup_cosine": _q_neardup_cosine,
         "ann_topk_bruteforce": _q_ann_topk,
         "minhash_lsh_candidates": _q_minhash_lsh,
@@ -705,6 +715,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
+
+_NGRAM_TOK = "string_split_regex(trim(text), ' +')"
+_NGRAM_PAIRS_SQL = f"""
+          WITH toks AS (
+            SELECT doc_id, {_NGRAM_TOK} AS l FROM documents),
+          idx AS (
+            SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+            FROM toks),
+          grams AS (
+            SELECT DISTINCT doc_id,
+                   l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+            FROM idx),
+          sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+          inter AS (
+            SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS n_common
+            FROM grams g1 JOIN grams g2 USING (gram)
+            WHERE g1.doc_id < g2.doc_id GROUP BY 1, 2)
+          SELECT a, b,
+                 round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
+          FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+          WHERE round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) >= 0.2
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     tok = "string_split_regex(trim(text), ' +')"
@@ -856,26 +889,19 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, md5(text) AS fingerprint_md5
           FROM documents ORDER BY doc_id
         """,
-        "ngram_jaccard": f"""
-          WITH toks AS (
-            SELECT doc_id, {tok} AS l FROM documents),
-          idx AS (
-            SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
-            FROM toks),
-          grams AS (
-            SELECT DISTINCT doc_id,
-                   l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
-            FROM idx),
-          sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-          inter AS (
-            SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS n_common
-            FROM grams g1 JOIN grams g2 USING (gram)
-            WHERE g1.doc_id < g2.doc_id GROUP BY 1, 2)
-          SELECT a, b,
-                 round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
-          FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-          WHERE round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) >= 0.2
-          ORDER BY a, b
+        "ngram_jaccard": _NGRAM_PAIRS_SQL + " ORDER BY a, b",
+        # transitive closure over the same (oracle-exact) pair set:
+        # min-reachable-id per doc == the engine's min-label propagation
+        "dedup_clusters": f"""
+          WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+          edges AS (SELECT a AS u, b AS v FROM pairs
+                    UNION SELECT b, a FROM pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+          SELECT id AS doc_id, min(r) AS cluster_id
+          FROM reach GROUP BY id ORDER BY doc_id
         """,
         "neardup_cosine": """
           SELECT e1.vec_id AS a, e2.vec_id AS b,

@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 
 __all__ = ["exact_dedup", "ngram_jaccard_pairs", "minhash_signatures",
            "lsh_candidate_pairs", "simhash_signatures", "simhash_pairs",
-           "cosine_neardup_pairs"]
+           "cosine_neardup_pairs", "dedup_clusters"]
 
 # --------------------------------------------------------------------------
 # exact
@@ -227,6 +227,56 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
+
+
+# --------------------------------------------------------------------------
+# near-dup clustering (connected components over candidate pairs)
+# --------------------------------------------------------------------------
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", max_iters: int = 30) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    The training-data dedup endgame: pair finders (MinHash-LSH, SimHash,
+    Jaccard, cosine) emit edges; transitively-linked docs form one
+    cluster whose id is the cluster's min doc id (the canonical keeper).
+    Docs in no pair are their own singleton cluster.
+
+    Plan: min-label propagation — each iteration joins labels across
+    edges and keeps the per-node min (one shuffle join + one keyed agg
+    per iteration; edges are materialized once, symmetric). Converges in
+    O(cluster diameter) iterations — near-dup clusters are shallow (a
+    hub + variants), so 2-4 passes in practice; per-iteration results
+    ``localCheckpoint`` so lineage doesn't stack. At 10^12 docs each
+    iteration is one shuffle on doc_id — the standard large-scale CC
+    shape (alternating-star variants optimize constant factors, not the
+    shuffle count, and need the same joins).
+    """
+    ids = docs.select(F.col(id_col).alias("id"))
+    edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+             .unionByName(pairs.select(F.col("b").alias("u"),
+                                       F.col("a").alias("v")))
+             .distinct().localCheckpoint(eager=True))
+    labels = ids.select("id", F.col("id").alias("label"))
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels, edges.v == labels.id)
+                        .groupBy("u").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.u,
+                                  "left")
+                      .select(F.col("id"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nmin"),
+                                                 F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("cluster_id"))
 
 
 # --------------------------------------------------------------------------
