@@ -58,3 +58,55 @@ def test_iter_fields_mixed():
 def test_empty_packed():
     assert decode_packed_varints(b"").size == 0
     assert encode_packed_varints(np.empty(0, dtype=np.uint64)) == b""
+
+
+def test_ways_batch_decode_matches_per_way():
+    """The batched ways-group decode (one packed-varint pass per field
+    across the whole group) must equal the per-way reference decode —
+    including the unpacked-repeated slow path and multi-chunk packed
+    fields that a batcher could mis-split."""
+    import zlib
+
+    from osmspark.pbf.decode import (
+        StringTable, _decode_way, _decode_ways_batch)
+    from osmspark.pbf.encode import (
+        _len_field, _packed_signed_field, _packed_unsigned_field,
+        _varint_field, zigzag_encode)
+
+    strings = ["", "highway", "residential", "name", "Main St"]
+    st = StringTable(np.array(strings, dtype=object))
+
+    def way(wid, refs, tag_ids, unpacked=False, split=False):
+        b = bytearray(_varint_field(1, wid))
+        keys = np.array([t[0] for t in tag_ids], dtype=np.int64)
+        vals = np.array([t[1] for t in tag_ids], dtype=np.int64)
+        if len(keys):
+            b += _packed_unsigned_field(2, keys)
+            b += _packed_unsigned_field(3, vals)
+        deltas = np.diff(np.concatenate([[0], refs])).astype(np.int64)
+        if unpacked:
+            for d in deltas:
+                b += _varint_field(8, int(zigzag_encode(
+                    np.array([d], dtype=np.int64))[0]))
+        elif split and len(deltas) > 1:
+            b += _packed_signed_field(8, deltas[:1])
+            b += _packed_signed_field(8, deltas[1:])
+        else:
+            b += _packed_signed_field(8, deltas)
+        return bytes(b)
+
+    bufs = [
+        way(1, np.array([10, 12, 9]), [(1, 2)]),
+        way(2, np.array([100]), [(1, 2), (3, 4)]),
+        way(3, np.array([5, 6, 7, 8]), [], unpacked=True),   # slow path
+        way(4, np.array([-3, 20, 19]), [(3, 4)], split=True),  # 2 chunks
+        way(5, np.array([], dtype=np.int64), []),             # no refs
+    ]
+    got = _decode_ways_batch(bufs, st, 1000)
+    want = [_decode_way(b, st, 1000) for b in bufs]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["id"] == w["id"]
+        assert np.array_equal(np.asarray(g["refs"]), np.asarray(w["refs"]))
+        assert list(g["tag_keys"]) == list(w["tag_keys"])
+        assert list(g["tag_vals"]) == list(w["tag_vals"])
