@@ -22,7 +22,7 @@ Measurement protocol (this VM is HOSTILE to timing):
   with parallelism (more workers to pickle to) and reported fake
   negative scaling. Decode runs on the 12M-node pages table (the
   decode itself is the expensive part); the spatial stages run on a
-  160M-point table (N_BIG) synthesized once in PURE SQL (hash-uniforms
+  320M-point table (N_BIG) synthesized once in PURE SQL (hash-uniforms
   + Box-Muller around the same skewed city mixture — no Python, fast
   to regenerate, deterministic), sized so every stage runs ≥ several
   seconds at the LOW parallelism level.
@@ -49,10 +49,19 @@ REPO = os.path.dirname(HERE)
 N_PAGES = 3072
 NODES_PER_PAGE = 4000
 CACHE = f"/tmp/osmspark_scaling/p{N_PAGES}_n{NODES_PER_PAGE}"
-N_BIG = 160_000_000
+N_BIG = 320_000_000
 BIG_CACHE = f"/tmp/osmspark_scaling/points{N_BIG}"
 
 STAGES = ["decode", "hex_tiles", "raster_tiles", "pip_join", "knn"]
+
+
+def write_pages_if_needed(spark) -> None:
+    """Build the shared 12M-node pages cache (used by throughput.py too)."""
+    from osmspark.pages import write_pages
+
+    if not os.path.exists(f"{CACHE}/_SUCCESS"):
+        write_pages(spark, CACHE, N_PAGES, nodes_per_page=NODES_PER_PAGE,
+                    partitions=64)
 
 
 def build_big_points(spark, path: str, n: int) -> None:
@@ -194,7 +203,7 @@ def worker(n_threads: int) -> None:
         "hex_tiles": (lambda: tile_counts(points, 7, grid="hex").count(), 1),
         "raster_tiles": (lambda: raster_tile_counts(points, 8).count(), 1),
         "pip_join": (lambda: pip_join(points, polys, res=6).count(), 1),
-        "knn": (lambda: knn_join(points, queries_df, 10, res=12,
+        "knn": (lambda: knn_join(points, qpdf, 10, res=12,
                                  sample=sample_pdf,
                                  sample_rate=sample_rate).count(), 1),
     }

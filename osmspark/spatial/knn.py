@@ -242,7 +242,8 @@ def _nearest_sample_d2_spark(spark, q_pdf: pd.DataFrame,
             .reindex(q_pdf["q_id"].to_numpy()).to_numpy())
 
 
-def knn_join(points: DataFrame, queries: DataFrame, k: int,
+def knn_join(points: DataFrame, queries: DataFrame | pd.DataFrame,
+             k: int,
              res: int = 9, ring: int = 1, point_id: str = "id",
              partial_topk: bool = False, sample: pd.DataFrame | None = None,
              sample_rate: float = 1.0, target_sample: int = 100_000,
@@ -261,7 +262,12 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     """
     spark = points.sparkSession
     t = time.time()
-    q_pdf = queries.select("q_id", "lat", "lon").toPandas()
+    if isinstance(queries, pd.DataFrame):
+        # driver-resident query sets skip a collect job — the common
+        # shape for benchmark/API callers that built the frame locally
+        q_pdf = queries[["q_id", "lat", "lon"]]
+    else:
+        q_pdf = queries.select("q_id", "lat", "lon").toPandas()
     t = _dbg(t, "queries toPandas")
     if len(q_pdf) == 0:
         return _empty_result(spark)
@@ -293,7 +299,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     # subsample (the FULL sample stays whatever the caller built) and
     # scale the rate accordingly — |Q|×|S| work is the driver's one
     # superlinear term, so bound |S| rather than hope
-    est_cap = 32768
+    est_cap = 16384
     if len(sample) > est_cap:
         idx = np.linspace(0, len(sample) - 1, est_cap).astype(np.int64)
         s_lat_e, s_lon_e = s_lat[idx], s_lon[idx]

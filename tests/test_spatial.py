@@ -195,3 +195,23 @@ def test_knn_mixed_density_queries(spark, pts):
     kr = {tuple(r) for r in
           knn_join(df, queries, 4, res=8, ring=1).select("q_id", "p_id", "rank").collect()}
     assert bf == kr
+
+
+def test_pip_sql_raycast_matches_numpy_concave(spark, pts):
+    """The pure-SQL ray-cast fold must agree with the NumPy
+    ray_cast_contains on a CONCAVE polygon (the rectangle oracle can't
+    pin winding/concavity behavior; identical edge pairing + float
+    shapes make the two paths bit-equal)."""
+    df, lat, lon = pts
+    # concave "L" around London
+    ring_lat = [51.40, 51.40, 51.50, 51.50, 51.60, 51.60]
+    ring_lon = [-0.30, 0.10, 0.10, -0.10, -0.10, -0.30]
+    polys = pd.DataFrame([{
+        "poly_id": 7, "name": "L-shape",
+        "min_lat": min(ring_lat), "max_lat": max(ring_lat),
+        "min_lon": min(ring_lon), "max_lon": max(ring_lon),
+        "ring_lat": ring_lat, "ring_lon": ring_lon}])
+    got = {r.id for r in pip_join(df, polys, res=6).collect()}
+    want = set(np.arange(N)[ray_cast_contains(
+        lat, lon, np.array(ring_lat), np.array(ring_lon))].tolist())
+    assert got == want and len(want) > 0
