@@ -1,0 +1,117 @@
+"""Render BENCH/BASELINE.md from the measured artifacts.
+
+Reads scaling.json (N→4N efficiency) and throughput.json (single-node
+decode levels) and rewrites BASELINE.md so the published tables always
+match the committed measurements — the round-1 failure mode was TBD
+tables going stale next to real JSON.
+
+Usage: python BENCH/fill_baseline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+TEMPLATE = """# BENCH/BASELINE — measured throughput + scaling efficiency
+
+Fills in the targets from `../BASELINE.md` (§ engineered baseline). All
+numbers measured on this sandbox (32 vCPU Firecracker VM, shared host —
+see the measurement-protocol notes in `scaling.py`'s docstring; the
+numbers below are per-stage MIN over interleaved reps at steady state).
+Regenerate with `python BENCH/fill_baseline.py` after re-running
+`scaling.py` / `throughput.py`.
+
+## 1. Reference comparison (single-node throughput)
+
+The reference (marook/osm-read) cannot execute here — node v20 is
+installed but the repo ships no `node_modules` and the sandbox has no
+network for `npm install` (protobufjs etc. missing). Proxy: this engine
+run **sequentially** (`local[1]`) is an upper bound on any single-node
+decoder of the same format — it uses vectorized NumPy columnar decode
+per block, strictly faster per-core than the reference's row-at-a-time
+JS object construction (`lib/pbfParser.js:371-397`: per-row closures +
+string ids; no SIMD, no column reuse). The reference is additionally
+single-threaded by construction (`pbfParser.js:55-85`, block N+1 only
+after block N emits), so its whole-machine throughput equals its
+single-core throughput.
+
+| config | nodes/sec (decode) | docs(pages)/sec | decode sec |
+|---|---|---|---|
+{thr_rows}
+(12M-node pages table: {n_pages} pages × {nodes_per_page} nodes)
+
+## 2. Scaling efficiency N → 4N (north rule: ≥ 0.8)
+
+Protocol: same job, same input, `local[{lo}]` vs `local[{hi}]` (the
+rule's "e.g. … or N and 4N cores" sandbox proxy), interleaved subprocess
+reps, per-stage min, steady-state timing (warm run excluded). Decode
+runs on the 12M-node pages table; spatial stages on a {n_big}M-point
+skew-clustered table with 8192 city-weighted kNN queries (k=10, density
+sample prebuilt as the table's index statistic).
+
+| stage | local[{lo}] sec | local[{hi}] sec | speedup | efficiency |
+|---|---|---|---|---|
+{scale_rows}
+| **pipeline total** | {t_lo} | {t_hi} | {t_speedup} | **{t_eff}** |
+
+raw data: `scaling.json`
+
+## 3. Headline pipeline (bench.py, sf0.1, local[32])
+
+See `bench_local32.json` — one JSON line per run:
+decode + byte-identical text extraction + hex/S2/raster tiling + PIP +
+kNN + MinHash-LSH dedup + ANN.
+
+## 4. Correctness gate
+
+`python -m pytest -x -q` (golden parity with the reference's pinned
+fixture values, SQL-expression vs NumPy encoder bit-parity, structural
+invariants) plus the driver's side-by-side DuckDB oracle runs of the
+`__spark_entry__.py` queries (see CORRECTNESS_r*.json): 33 of 35
+queries value-checked, the 2 approximate-by-design ANN top-k row sets
+rows-only with recall@10 pinned separately.
+"""
+
+
+def main():
+    with open(os.path.join(HERE, "scaling.json")) as f:
+        sc = json.load(f)
+    lo, hi = sc["levels"]
+    stage_lo = sc["stage_sec_min"][str(lo)]
+    stage_hi = sc["stage_sec_min"][str(hi)]
+    scale_rows = "\n".join(
+        f"| {s} | {stage_lo[s]} | {stage_hi[s]} | {sc['speedup'][s]} "
+        f"| {sc['efficiency'][s]} |"
+        for s in sc["speedup"])
+    thr_path = os.path.join(HERE, "throughput.json")
+    thr_rows = "| (run BENCH/throughput.py) | — | — | — |"
+    n_pages = sc.get("n_pages", "?")
+    nodes_per_page = "?"
+    if os.path.exists(thr_path):
+        with open(thr_path) as f:
+            thr = json.load(f)
+        if thr:
+            nodes_per_page = thr[0]["nodes_per_page"]
+            thr_rows = "\n".join(
+                f"| `local[{t['threads']}]`"
+                f"{' (sequential proxy for the reference)' if t['threads'] == 1 else ''} "
+                f"| {t['nodes_per_sec']:,.0f} | {t['docs_per_sec']:,.1f} "
+                f"| {t['sec']} |"
+                for t in thr)
+    out = TEMPLATE.format(
+        thr_rows=thr_rows, n_pages=n_pages, nodes_per_page=nodes_per_page,
+        lo=lo, hi=hi, n_big=round(sc.get("n_big", 0) / 1e6) or "?",
+        scale_rows=scale_rows,
+        t_lo=sc["total_sec"][str(lo)], t_hi=sc["total_sec"][str(hi)],
+        t_speedup=round(sc["total_sec"][str(lo)] / sc["total_sec"][str(hi)], 3),
+        t_eff=sc["total_efficiency"])
+    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
+        f.write(out)
+    print("wrote BASELINE.md; total_efficiency =", sc["total_efficiency"])
+
+
+if __name__ == "__main__":
+    main()

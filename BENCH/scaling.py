@@ -6,9 +6,15 @@ job at two local parallelism levels (driver instruction / SURVEY.md §6).
 
 Measurement protocol (this VM is HOSTILE to timing):
 * nproc=32; a pinned-thread pure-python burn scales 1→4→16→32 procs at
-  4.0×/13.7×/24× (0.86 efficiency at 4→16), so we measure N=4 → 4N=16
-  — the host itself sustains ≥0.8 over that span, anything below is
-  ours (the rule's "e.g. … or N and 4N cores").
+  4.0×/13.7×/24× — but MEMORY-BOUND work saturates earlier: the hex
+  tile scan-agg over the 320M-point table measures 17.8/9.1/5.2/3.0/3.3 s
+  at local[2/4/8/16/32] (BENCH/host_calibration.json) — i.e. the VM's
+  memory subsystem flatlines past ~16 threads (32 is no faster than 16).
+  The default N→4N pair is therefore 2→8, the host's linear region,
+  which isolates the ENGINE's scaling from the sandbox's bandwidth
+  ceiling (the rule's "e.g. … or N and 4N cores"); the 4→16 measurement
+  is kept alongside (scaling_4_16.json) and lands lower because the
+  denominator is host-capped, not because any plan serializes.
 * host CPU throughput fluctuates (Firecracker neighbors): identical
   NumPy kernels vary 10-200× run to run. Each (level, rep) runs in its
   own subprocess and reps are INTERLEAVED (4,16,4,16,…); per-stage MIN
@@ -262,6 +268,8 @@ def main():
         "reps": args.reps,
         "n_pages": N_PAGES,
         "n_nodes": n_nodes,
+        "n_big": N_BIG,
+        "n_queries": 8192,
         "all_runs": {str(k): v for k, v in results.items()},
         "stage_sec_min": {str(k): v for k, v in best.items()},
         "speedup": {s: round(best[lo][s] / best[hi][s], 3) for s in STAGES},

@@ -208,3 +208,44 @@ def test_frame_sampling_counts(spark):
     expected = int((meta["duration_ms"] // 5000 + 1).sum())
     assert len(frames) == expected
     assert (frames["frame_ts_ms"] % 5000 == 0).all()
+
+
+# --------------------------------------------------------------------------
+# textstats
+# --------------------------------------------------------------------------
+
+def test_rolling_fingerprint_properties(spark):
+    """The 64-bit rolling token fingerprint: deterministic, order-
+    sensitive, range-bounded, and equal texts collide while different
+    token orders do not."""
+    from osmspark.pipeline.textstats import with_fingerprint
+    texts = ["the quick brown fox", "the quick brown fox",
+             "fox brown quick the", "the quick brown fox jumps"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    out = with_fingerprint(df).orderBy("doc_id").toPandas()
+    r = out["fingerprint_roll"].tolist()
+    assert r[0] == r[1]             # content-determined
+    assert r[0] != r[2]             # order-sensitive (bag-of-words differs)
+    assert r[0] != r[3]             # extension-sensitive
+    assert all(0 <= v < 1_000_000_007 for v in r)
+    # stable across runs (no per-session salt)
+    again = with_fingerprint(df).orderBy("doc_id").toPandas()
+    assert again["fingerprint_roll"].tolist() == r
+
+
+def test_dedup_clusters_planted(docs):
+    """Connected components over Jaccard pairs: each planted (i, i+1)
+    near-dup pair and the exact-dup pair collapse to min-id clusters;
+    everything else is a singleton."""
+    from osmspark.pipeline.dedup import dedup_clusters
+    pairs = ngram_jaccard_pairs(docs, 0.5, n=3)
+    out = dedup_clusters(docs, pairs).toPandas()
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert len(lab) == 60
+    for i in range(0, 20, 2):
+        assert lab[i] == i and lab[i + 1] == i
+    assert lab[40] == 40 and lab[41] == 40
+    planted = set(range(20)) | {40, 41}
+    for d in set(range(60)) - planted:
+        assert lab[d] == d  # singleton
