@@ -52,6 +52,14 @@ runs on the 12M-node pages table; spatial stages on a {n_big}M-point
 skew-clustered table with 8192 city-weighted kNN queries (k=10, density
 sample prebuilt as the table's index statistic).
 
+Level choice: `host_calibration.json` — the same scan-agg measured at
+local[2/4/8/16/32] runs 17.8/9.1/5.2/3.0/3.3 s, i.e. this VM's memory
+subsystem saturates near 16 threads (32 is NO faster than 16), while
+2→8 is the host's linear region. N→4N therefore measures {lo}→{hi};
+the 4→16 run is kept in `scaling_4_16.json` (total 0.79 — its
+denominator is host-bandwidth-capped, not plan-serialized; every stage
+there is a scan/broadcast-join/window with no sequential structure).
+
 | stage | local[{lo}] sec | local[{hi}] sec | speedup | efficiency |
 |---|---|---|---|---|
 {scale_rows}
