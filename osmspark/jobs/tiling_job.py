@@ -22,7 +22,7 @@ import argparse
 from pyspark.sql import functions as F
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(argv: list[str] | None = None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True)
     ap.add_argument("--out", required=True)
@@ -61,8 +61,10 @@ def main(argv: list[str] | None = None) -> None:
 
     store.metrics().show(truncate=False)
     print(f"computed={len(result['computed'])} skipped={len(result['skipped'])}")
-    spark.stop()
+    return spark
 
 
 if __name__ == "__main__":
-    main()
+    # stop only when we own the process (spark-submit); an in-process
+    # caller (tests) shares the session
+    main().stop()
