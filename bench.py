@@ -136,6 +136,13 @@ def run_bench(master: str, sf_dir: str) -> dict:
         (nodes_from_pages(pages).select("id", "lat", "lon")
          .write.mode("overwrite").parquet(nodes_path))
     points = spark.read.parquet(nodes_path)
+    # codegen warms are plan-shape-specific: the earlier warm ran over an
+    # in-memory cache, but the timed stages scan parquet — compile those
+    # exact shapes once here (the S2 encode's 8-round expression alone
+    # costs ~1s of codegen on first use)
+    tile_counts(points.limit(1024), 10, grid="s2").count()
+    tile_counts(points.limit(1024), 7, grid="hex").count()
+    raster_tile_counts(points.limit(1024), 8).count()
 
     # 3. hex tiling at res 7 + rollup to 6 (vector tiles)
     def tile_job():
