@@ -514,6 +514,93 @@ def _decode_relation(buf, st: StringTable, date_granularity: int) -> dict:
             "member_types": types, **info}
 
 
+def _decode_relations_batch(rel_bufs: list, st: StringTable,
+                            date_granularity: int) -> list[dict]:
+    """Batched relations-group decode — same shape as
+    ``_decode_ways_batch``: one vectorized packed-varint pass per field
+    (keys/vals/roles/memids/types) across the whole group, per-relation
+    splits by terminator-byte counts, per-relation member-id prefix sums
+    from a single global cumsum. Unpacked-repeated encodings take the
+    per-relation slow path; outputs equal ``_decode_relation``'s
+    (pinned by the golden suite + wire tests)."""
+    n = len(rel_bufs)
+    metas: list[tuple | None] = []
+    slow: dict[int, dict] = {}
+    for i, buf in enumerate(rel_bufs):
+        rid = None
+        parts: tuple = ([], [], [], [], [])  # keys, vals, roles, memids, types
+        info_buf = None
+        scalar = False
+        field_slot = {2: 0, 3: 1, 8: 2, 9: 3, 10: 4}
+        for f, w, v in iter_fields(buf):
+            if f == 1 and w == 0:
+                rid = v
+            elif f == 4 and w == 2:
+                info_buf = v
+            elif f in field_slot:
+                if w == 2:
+                    parts[field_slot[f]].append(v)
+                else:
+                    scalar = True
+        if scalar:
+            slow[i] = _decode_relation(buf, st, date_granularity)
+            metas.append(None)
+        else:
+            metas.append((rid, parts, info_buf))
+
+    fast_idx = [i for i in range(n) if metas[i] is not None]
+
+    def batch(slot: int, signed: bool):
+        blobs = [b"".join(bytes(p) for p in metas[i][1][slot])
+                 for i in fast_idx]
+        data = b"".join(blobs)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                           count=len(blobs))
+        byte_offs = np.zeros(len(blobs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=byte_offs[1:])
+        csum = np.zeros(arr.size + 1, dtype=np.int64)
+        np.cumsum(arr < 0x80, out=csum[1:])
+        counts = csum[byte_offs[1:]] - csum[byte_offs[:-1]]
+        vals = (decode_packed_sint64(data) if signed
+                else decode_packed_varints(data).astype(np.int64))
+        offs = np.zeros(len(blobs) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        return vals, offs
+
+    key_ids, k_offs = batch(0, signed=False)
+    val_ids, v_offs = batch(1, signed=False)
+    role_ids, r_offs = batch(2, signed=False)
+    mem_deltas, m_offs = batch(3, signed=True)
+    type_ids, t_offs = batch(4, signed=False)
+    g = np.cumsum(mem_deltas)
+    starts = m_offs[:-1]
+    base = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0)
+    mem_flat = g - np.repeat(base, np.diff(m_offs))
+    keys_flat = st.take(key_ids)
+    vals_flat = st.take(val_ids)
+    roles_flat = st.take(role_ids)
+    types_flat = MEMBER_TYPES[type_ids]
+
+    out: list[dict | None] = [None] * n
+    for j, i in enumerate(fast_idx):
+        rid, _parts, info_buf = metas[i]
+        info = (_decode_info(info_buf, st, date_granularity) if info_buf
+                else {"version": None, "timestamp_ms": None,
+                      "changeset": None, "uid": None, "user": None,
+                      "visible": None})
+        out[i] = {"id": rid,
+                  "tag_keys": keys_flat[k_offs[j]:k_offs[j + 1]],
+                  "tag_vals": vals_flat[v_offs[j]:v_offs[j + 1]],
+                  "member_refs": mem_flat[m_offs[j]:m_offs[j + 1]],
+                  "member_roles": roles_flat[r_offs[j]:r_offs[j + 1]],
+                  "member_types": types_flat[t_offs[j]:t_offs[j + 1]],
+                  **info}
+    for i, d in slow.items():
+        out[i] = d
+    return out
+
+
 @dataclass
 class DecodedBlock:
     granularity: int
@@ -583,8 +670,8 @@ def decode_primitive_block(buf: bytes) -> DecodedBlock:
         elif rel_bufs:
             groups.append(DecodedGroup(
                 "relations",
-                relations=[_decode_relation(b, st, date_granularity)
-                           for b in rel_bufs]))
+                relations=_decode_relations_batch(rel_bufs, st,
+                                                  date_granularity)))
         else:
             groups.append(DecodedGroup("empty"))
     return DecodedBlock(granularity, lat_offset, lon_offset,

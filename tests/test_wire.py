@@ -110,3 +110,62 @@ def test_ways_batch_decode_matches_per_way():
         assert np.array_equal(np.asarray(g["refs"]), np.asarray(w["refs"]))
         assert list(g["tag_keys"]) == list(w["tag_keys"])
         assert list(g["tag_vals"]) == list(w["tag_vals"])
+
+
+def test_relations_batch_decode_matches_per_relation():
+    """Batched relations decode == per-relation reference decode,
+    including the unpacked slow path and multi-chunk packed members."""
+    import numpy as np
+
+    from osmspark.pbf.decode import (
+        StringTable, _decode_relation, _decode_relations_batch)
+    from osmspark.pbf.encode import (
+        _len_field, _packed_signed_field, _packed_unsigned_field,
+        _varint_field, zigzag_encode)
+
+    strings = ["", "route", "bus", "stop", "platform", ""]
+    st = StringTable(np.array(strings, dtype=object))
+
+    def rel(rid, members, tag_ids, unpacked=False, split=False):
+        # members: list of (type_id 0|1|2, ref, role_sid)
+        b = bytearray(_varint_field(1, rid))
+        keys = np.array([t[0] for t in tag_ids], dtype=np.int64)
+        vals = np.array([t[1] for t in tag_ids], dtype=np.int64)
+        if len(keys):
+            b += _packed_unsigned_field(2, keys)
+            b += _packed_unsigned_field(3, vals)
+        roles = np.array([m[2] for m in members], dtype=np.int64)
+        refs = np.array([m[1] for m in members], dtype=np.int64)
+        types = np.array([m[0] for m in members], dtype=np.int64)
+        deltas = np.diff(np.concatenate([[0], refs])).astype(np.int64)
+        if len(members):
+            b += _packed_unsigned_field(8, roles)
+            if unpacked:
+                for d in deltas:
+                    b += _varint_field(9, int(zigzag_encode(
+                        np.array([d], dtype=np.int64))[0]))
+            elif split and len(deltas) > 1:
+                b += _packed_signed_field(9, deltas[:1])
+                b += _packed_signed_field(9, deltas[1:])
+            else:
+                b += _packed_signed_field(9, deltas)
+            b += _packed_unsigned_field(10, types)
+        return bytes(b)
+
+    bufs = [
+        rel(1, [(0, 100, 3), (1, 200, 4)], [(1, 2)]),
+        rel(2, [(2, 50, 3)], []),
+        rel(3, [(0, 7, 4), (1, 8, 3), (2, 9, 4)], [(1, 2)], unpacked=True),
+        rel(4, [(1, -5, 3), (0, 30, 4)], [], split=True),
+        rel(5, [], []),  # no members
+    ]
+    got = _decode_relations_batch(bufs, st, 1000)
+    want = [_decode_relation(b, st, 1000) for b in bufs]
+    for g, w in zip(got, want):
+        assert g["id"] == w["id"]
+        assert np.array_equal(np.asarray(g["member_refs"]),
+                              np.asarray(w["member_refs"]))
+        assert list(g["member_roles"]) == list(w["member_roles"])
+        assert list(g["member_types"]) == list(w["member_types"])
+        assert list(g["tag_keys"]) == list(w["tag_keys"])
+        assert list(g["tag_vals"]) == list(w["tag_vals"])
