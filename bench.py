@@ -59,12 +59,24 @@ def run_bench(master: str, sf_dir: str) -> dict:
     pages = read_pages(spark, pages_path)
 
     timings: dict[str, float] = {}
+    timings_all: dict[str, list[float]] = {}
     counters: dict[str, float] = {}
+    n_reps = int(os.environ.get("OSMSPARK_BENCH_REPS", "3"))
 
     def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-N (VERDICT r2 item 8): this host's timing is noisy
+        # (3-10x between runs) and first execution of a fresh codegen
+        # shape pays JVM JIT compilation (~seconds for the big S2/hex
+        # expression trees) — a cost amortized to zero on a real
+        # long-running cluster. The min over n_reps is the steady-state
+        # per-query cost; all reps are reported for noise inspection.
+        out, reps = None, []
+        for _ in range(n_reps):
+            t0 = time.time()
+            out = fn()
+            reps.append(round(time.time() - t0, 3))
+        timings[name] = min(reps)
+        timings_all[name] = reps
         return out
 
     # Warm-up: this sandbox traps the FIRST invocation of each numpy ufunc
@@ -219,6 +231,8 @@ def run_bench(master: str, sf_dir: str) -> dict:
         "docs_per_sec": round(n_pages / decode_sec, 1),
         "nodes_per_sec": round(n_nodes / decode_sec, 1),
         "cells_per_sec": round(n_cells / timings["hex_tiles_r7_rollup"], 1),
+        "bench_reps": n_reps,
+        "queries_reps": timings_all,
         "counters": counters,
     }
     spark.stop()

@@ -1,18 +1,54 @@
 """S2 cell-id encode as pure Spark SQL expressions (JVM-side codegen).
 
 Same algorithm as :mod:`osmspark.grid.s2` (sphere → cube face → quadratic
-ST → leaf (i,j) → 30-round Hilbert walk → 64-bit cell id) expressed as
-Column expressions, so the S2 tiling hot path — like the hex path in
+ST → leaf (i,j) → Hilbert walk → 64-bit cell id) expressed as Column
+expressions, so the S2 tiling hot path — like the hex path in
 :mod:`hexgrid_sql` — runs inside whole-stage codegen with NO Python
 worker or Arrow hop. The DuckDB oracle (`__spark_entry__._s2_tiles_oracle_sql`)
-re-states the identical arithmetic as a recursive CTE.
+re-states the identical arithmetic (values are bit-identical either way).
 
-The Hilbert iteration can't be one expression tree: ``orient_k`` feeds
-both the lookup and the XOR of round k+1, so a naive nested expression
-doubles per round (2^30 nodes). ``s2_prepare`` therefore materializes
-each round as named intermediate columns (one narrow projection chain);
-Catalyst's CollapseProject keeps multiply-referenced non-cheap
-expressions in separate projections, so the analyzed plan stays linear.
+Hilbert walk, r2 → r3 redesign. The r2 version batched the 30-level
+orientation recursion into 8 table-lookup rounds of
+``element_at(lit(<1024-entry array>), idx)``. Correct, but the generated
+code was one 87 KB whole-stage subtree whose merged ``doConsume`` methods
+sat at HotSpot's JIT bytecode limit — every fresh executor JVM paid
+seconds of interpreted warm-up (and the per-round ANSI bounds machinery
+kept steady-state ~5x slower than the hex path).
+
+This version packs each 16-entry traversal table (4 orientations x 4
+(i,j) sub-cells, 2-bit entries — s2.py:23-35) into ONE 32-bit integer
+literal and looks entries up with a shift-and-mask::
+
+    idx      = (orient << 2) | (i_bit << 1) | j_bit      # 0..15
+    sub_pos  = (0x361e9cb4 >> (idx*2)) & 3               # _IJ_TO_POS
+    orient'  = (0x8fe65831 >> (idx*2)) & 3               # orient ^ _POS_TO_ORIENTATION[sub_pos]
+
+so a level is ~12 cheap integer ops with no array literal, no CASE
+chain, and no ANSI bounds checks. And the walk runs ONLY the top
+``level`` steps, not all 30: the walk is MSB-first, so a level-10 cell
+id depends on just the first 10 steps — the other 20 compute bits the
+parent mask discards. Profiling (tools/profile_s2.py) showed the r2
+regression was mostly *driver-side plan compilation* (~1.9 s of
+Catalyst time per fresh plan on the 30-level trees, vs ~0.9 s of
+execution); shrinking the tree 3x cuts both: measured at sf0.1 / 1M
+rows, plan ~0.5 s + exec ~0.4 s vs r2's 2.4 s total.
+
+Two structural constraints shape the loop (both measured, see
+BENCH/host_calibration.json provenance and VERDICT r2):
+
+* **Projection count**: each Project boundary copies the row, so the
+  levels are batched ``_LEVELS_PER_ROUND``-per-projection, nesting the
+  orient chain inside a round.
+* **Substitution-linear chain**: optimizer rules that track column
+  lineage through Projects (dynamic partition pruning, predicate
+  pushdown, runtime filters) rewrite conditions by RECURSIVE alias
+  substitution. Any chain whose outputs reference a prior column more
+  than once makes that rewrite exponential — an earlier draft using a
+  parallel-prefix scan over GF(2) matrices (4 refs/step) hung the
+  driver inside ``PartitionPruning.findExpressionAndTrackLineageDown``
+  as soon as the encode fed a join. Here ``_orient`` is referenced
+  exactly once per level (``idx`` → lookup), so lineage expansion stays
+  O(levels^2) and the encode is safe under joins/filters on ``cell``.
 
 Float semantics: sin/cos/sqrt run on java.lang.Math here vs NumPy's libm
 in ``s2.py`` — both claim ≤ 1 ulp; a disagreement only matters for a
@@ -32,31 +68,27 @@ __all__ = ["with_s2_cell_sql"]
 _MAX_LEVEL = _s2.MAX_LEVEL
 
 
-def _build_multilevel_table(levels: int) -> list[int]:
-    """Precompute ``levels`` Hilbert steps per lookup (the standard S2
-    batching trick): index = (i_bits << (levels+2)) | (j_bits << 2) |
-    orient → value = (pos_bits << 2) | orient_out. A 4-level table has
-    1024 entries and turns the 30-round walk into 8 rounds."""
-    ij_to_pos = _s2._IJ_TO_POS
-    pos_to_orient = _s2._POS_TO_ORIENTATION
-    n = 1 << levels
-    out = [0] * (n * n * 4)
-    for orient0 in range(4):
-        for i_bits in range(n):
-            for j_bits in range(n):
-                orient, pos = orient0, 0
-                for k in range(levels - 1, -1, -1):
-                    ij = (((i_bits >> k) & 1) << 1) | ((j_bits >> k) & 1)
-                    sp = int(ij_to_pos[orient, ij])
-                    pos = (pos << 2) | sp
-                    orient ^= int(pos_to_orient[sp])
-                out[(i_bits << (levels + 2)) | (j_bits << 2) | orient0] = \
-                    (pos << 2) | orient
-    return out
+def _pack_table() -> int:
+    """Pack the fused traversal table into one 64-bit literal: entry at
+    index (orient<<2)|(i_bit<<1)|j_bit is (_IJ_TO_POS[o,ij] << 2) |
+    (o ^ _POS_TO_ORIENTATION[sub]) — sub-cell position in the high two
+    bits, next orientation in the low two (4 bits x 16 entries)."""
+    lit = 0
+    for o in range(4):
+        for ij in range(4):
+            sub = int(_s2._IJ_TO_POS[o, ij])
+            nxt = o ^ int(_s2._POS_TO_ORIENTATION[sub])
+            lit |= ((sub << 2) | nxt) << (((o << 2) | ij) * 4)
+    return lit
 
 
-_TABLE4 = _build_multilevel_table(4)   # 1024 entries, 4 levels/round
-_TABLE2 = _build_multilevel_table(2)   # 64 entries, final 2 levels
+_WALK_LIT = _pack_table()
+
+# Levels fused into one projection round (must divide MAX_LEVEL=30).
+# Trade-off measured by tools/profile_s2.py: fewer rounds = fewer
+# per-Project row copies but bigger doConsume bodies; with the packed
+# shift-mask lookup all of {3, 5, 6} stay under the JIT method limit.
+_LEVELS_PER_ROUND = 5
 
 
 def with_s2_cell_sql(df: DataFrame, level: int, lat_col: str = "lat",
@@ -111,35 +143,48 @@ def with_s2_cell_sql(df: DataFrame, level: int, lat_col: str = "lat",
             .withColumn("_orient", F.col("_face").bitwiseAND(F.lit(1)))
             .withColumn("_pos", F.lit(0).cast("long")))
 
-    # Hilbert walk, 4 levels per round via the precomputed table: 8
-    # projection boundaries instead of 30 (each Project copies the row,
-    # so round count — not expression size — dominated the 1-level
-    # variant), and within each round pos/orient share one lookup
-    t4 = F.lit(_TABLE4)
-    t2 = F.lit(_TABLE2)
-    rounds = [(k, 4, t4) for k in range(_MAX_LEVEL - 4, 1, -4)] + [(0, 2, t2)]
-    for shift, width, table in rounds:
-        mask = (1 << width) - 1
-        i_bits = F.shiftright(F.col("_i"), shift).bitwiseAND(F.lit(mask)).cast("int")
-        j_bits = F.shiftright(F.col("_j"), shift).bitwiseAND(F.lit(mask)).cast("int")
-        idx = (F.shiftleft(i_bits, width + 2)
-               .bitwiseOR(F.shiftleft(j_bits, 2))
-               .bitwiseOR(F.col("_orient")))
-        val = F.element_at(table, idx + 1)
-        work = work.withColumns({
-            "_pos": F.shiftleft(F.col("_pos"), 2 * width)
-                    .bitwiseOR(F.shiftright(val, 2).cast("long")),
-            "_orient": val.bitwiseAND(F.lit(3)),
-        })
+    # Hilbert walk — ONLY the top `level` steps. The walk is MSB-first:
+    # the cell id at `level` is the leaf id with everything below
+    # bit 2*(30-level) replaced by the 100..0 center sentinel, and the
+    # surviving pos bits are exactly the first `level` steps' output —
+    # so the remaining 30-level steps compute bits the parent mask
+    # throws away. Skipping them shrinks BOTH the driver plan-compile
+    # cost (the r2 regression was ~1.9s of optimizer time on the
+    # 30-level expression trees, measured in tools/profile_s2.py) and
+    # the executed work, ~proportionally to level/30.
+    #
+    # Per level: one fused shift-mask lookup (sub_pos and next orient
+    # share the 4-bit entry, so each level's lookup value — and through
+    # it the orient chain — is referenced once by the pos path and once
+    # by the next level: in-round duplication stays O(levels^2) tiny
+    # and the cross-round chain is substitution-linear).
+    walk_lit = F.lit(_WALK_LIT).cast("long")
+    ks = list(range(_MAX_LEVEL - 1, _MAX_LEVEL - 1 - level, -1))
+    rounds = [ks[i:i + _LEVELS_PER_ROUND]
+              for i in range(0, len(ks), _LEVELS_PER_ROUND)]
+    for levels in rounds:
+        orient = F.col("_orient")
+        pos = F.col("_pos")
+        for k in levels:
+            ib = F.shiftright(F.col("_i"), k).bitwiseAND(F.lit(1)).cast("int")
+            jb = F.shiftright(F.col("_j"), k).bitwiseAND(F.lit(1)).cast("int")
+            idx4 = F.shiftleft(
+                F.shiftleft(orient, 2).bitwiseOR(F.shiftleft(ib, 1))
+                .bitwiseOR(jb), 2)
+            val = F.call_function("shiftright", walk_lit, idx4).bitwiseAND(F.lit(15))
+            pos = F.shiftleft(pos, 2).bitwiseOR(F.shiftright(val, 2))
+            orient = val.bitwiseAND(F.lit(3)).cast("int")
+        work = work.withColumns({"_pos": pos, "_orient": orient})
 
-    # [3b face][2·30b pos][1]: shifts wrap like the uint64 NumPy pack,
-    # then mask to the requested level (lsb arithmetic on the signed
-    # bit pattern — identical to s2.parent)
-    leaf = (F.shiftleft(F.col("_face").cast("long"), 61)
-            .bitwiseOR(F.shiftleft(F.col("_pos"), 1))
-            .bitwiseOR(F.lit(1).cast("long")))
+    # [3b face][2·level bits pos][1 sentinel][zeros]: _pos holds the top
+    # 2*level bits; placing them at bit 2*(30-level)+1 and setting the
+    # sentinel lsb reproduces exactly (leaf & -lsb) | lsb of the full
+    # 30-level pack (s2.parent semantics), bit-identical to
+    # s2.cell_id(...) at this level.
     lsb = 1 << (2 * (_MAX_LEVEL - level))
-    cell = (leaf.bitwiseAND(F.lit(-lsb).cast("long"))
+    cell = (F.shiftleft(F.col("_face").cast("long"), 61)
+            .bitwiseOR(F.shiftleft(F.col("_pos"),
+                                   2 * (_MAX_LEVEL - level) + 1))
             .bitwiseOR(F.lit(lsb).cast("long")))
     return (work.withColumn(out, cell)
             .drop("_x", "_y", "_z", "_f0", "_face", "_i", "_j",
