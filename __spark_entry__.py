@@ -11,8 +11,10 @@ arithmetic reproduced verbatim in the oracle SQL; double aggregates sum
 through exact DECIMALs (order-independent) before casting to DOUBLE, so
 Spark and DuckDB agree bit-for-bit. Decode queries run on deterministic
 in-memory pages and are pinned against VALUES oracles (the golden fixture
-constants from FIXTURES.md §3). Non-SQL-expressible ops (MinHash/SimHash/
-LSH/grid-cell ids) have no oracle entry → rows-only check.
+constants from FIXTURES.md §3). Every query has an oracle: seeded hash /
+plane / centroid constants are inlined as SQL literals (minhash, simhash,
+hex/s2, ann_topk_lsh), and ann_topk_ivf is pinned against an independent
+NumPy recomputation (tools/gen_ivf_oracle.py) as a VALUES oracle.
 """
 
 from __future__ import annotations
@@ -251,6 +253,270 @@ def _minhash_lsh_oracle_sql(bands: int = 16, n_hashes: int = 64,
       WHERE b1.doc_id < b2.doc_id
       ORDER BY a, b
     """
+
+
+
+
+def _ann_lsh_oracle_sql(n_bits: int = 4, n_tables: int = 24,
+                        dim: int = 64, k: int = 10, seed: int = 42) -> str:
+    """DuckDB oracle for ann_topk_lsh — the full hyperplane-LSH pipeline
+    re-expressed in SQL with the seeded plane constants inlined as
+    literals (same device as the minhash (a, b) params): sign-bit bucket
+    codes per table (bit b weighted 2^(n_bits-1-b), table id in the high
+    bits), candidates = distinct same-bucket pairs, exact cosine rerank
+    with (cosine DESC, p_id ASC) tie order. ``repr(float)`` round-trips
+    float64 exactly, so the planes are bit-identical to
+    ann._hyperplanes; the only float caveat is a dot product within
+    ~1e-13 of zero flipping a sign bit under DuckDB's sequential sum vs
+    NumPy's blocked BLAS sum — absent on the pinned data (same caveat
+    class as the s2 oracle)."""
+    from osmspark.pipeline.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    rows = []
+    for t in range(n_tables):
+        for b in range(n_bits):
+            w = ", ".join(repr(float(v)) for v in planes[t, b])
+            rows.append(f"({t}, {b}, [{w}])")
+    values = ",\n        ".join(rows)
+    return f"""
+      WITH planes(t, b, w) AS (VALUES
+        {values}),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bits AS (
+        SELECT e.vec_id, p.t, p.b,
+               CASE WHEN list_inner_product(e.v, p.w) > 0 THEN 1 ELSE 0 END AS bit
+        FROM emb e CROSS JOIN planes p),
+      codes AS (
+        SELECT vec_id, t,
+               t::BIGINT * {1 << 40} + sum(bit << ({n_bits - 1} - b))::BIGINT AS bucket
+        FROM bits GROUP BY vec_id, t),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS p_id
+        FROM codes c JOIN codes q ON c.bucket = q.bucket
+        WHERE q.vec_id < 20 AND c.vec_id != q.vec_id),
+      scored AS (
+        SELECT cand.q_id, cand.p_id, list_cosine_similarity(qe.v, pe.v) AS cosine
+        FROM cand JOIN emb qe ON qe.vec_id = cand.q_id
+                  JOIN emb pe ON pe.vec_id = cand.p_id),
+      ranked AS (
+        SELECT q_id, p_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, p_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, p_id, rank FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
+    """
+
+
+# ann_topk_ivf VALUES oracle: an INDEPENDENT NumPy recomputation of the
+# fixed-seed IVF pipeline (kmeans-16, nprobe=8, exact cosine rerank,
+# k=10) over the sf0.01 embeddings read in file order via pyarrow — no
+# Spark on the compute path. Generated and engine-verified by
+# tools/gen_ivf_oracle.py (rerun with --check after changing seeds or
+# IVF parameters).
+_ANN_IVF_VALUES_SQL = """
+SELECT * FROM (VALUES
+  (0, 7, 6),
+  (0, 73, 5),
+  (0, 190, 7),
+  (0, 323, 10),
+  (0, 334, 2),
+  (0, 365, 1),
+  (0, 387, 3),
+  (0, 423, 4),
+  (0, 464, 8),
+  (0, 483, 9),
+  (1, 64, 3),
+  (1, 124, 4),
+  (1, 203, 8),
+  (1, 220, 7),
+  (1, 312, 10),
+  (1, 363, 9),
+  (1, 386, 1),
+  (1, 402, 5),
+  (1, 407, 2),
+  (1, 472, 6),
+  (2, 112, 6),
+  (2, 117, 1),
+  (2, 145, 3),
+  (2, 172, 8),
+  (2, 197, 9),
+  (2, 320, 4),
+  (2, 350, 7),
+  (2, 440, 10),
+  (2, 450, 2),
+  (2, 471, 5),
+  (3, 130, 1),
+  (3, 149, 2),
+  (3, 174, 4),
+  (3, 192, 7),
+  (3, 207, 6),
+  (3, 231, 5),
+  (3, 315, 8),
+  (3, 343, 3),
+  (3, 396, 10),
+  (3, 437, 9),
+  (4, 89, 6),
+  (4, 257, 5),
+  (4, 280, 4),
+  (4, 332, 9),
+  (4, 353, 10),
+  (4, 384, 8),
+  (4, 408, 2),
+  (4, 470, 7),
+  (4, 482, 3),
+  (4, 496, 1),
+  (5, 11, 10),
+  (5, 33, 3),
+  (5, 157, 2),
+  (5, 225, 9),
+  (5, 266, 8),
+  (5, 316, 4),
+  (5, 395, 5),
+  (5, 404, 1),
+  (5, 464, 6),
+  (5, 487, 7),
+  (6, 11, 9),
+  (6, 53, 10),
+  (6, 145, 3),
+  (6, 214, 6),
+  (6, 252, 7),
+  (6, 268, 4),
+  (6, 350, 1),
+  (6, 371, 8),
+  (6, 395, 5),
+  (6, 430, 2),
+  (7, 0, 8),
+  (7, 49, 9),
+  (7, 221, 6),
+  (7, 302, 7),
+  (7, 332, 10),
+  (7, 334, 3),
+  (7, 340, 1),
+  (7, 381, 4),
+  (7, 425, 2),
+  (7, 445, 5),
+  (8, 39, 1),
+  (8, 102, 9),
+  (8, 138, 2),
+  (8, 173, 5),
+  (8, 207, 6),
+  (8, 276, 10),
+  (8, 321, 8),
+  (8, 380, 4),
+  (8, 403, 3),
+  (8, 494, 7),
+  (9, 49, 1),
+  (9, 107, 4),
+  (9, 198, 6),
+  (9, 256, 5),
+  (9, 274, 10),
+  (9, 302, 7),
+  (9, 319, 8),
+  (9, 340, 9),
+  (9, 414, 3),
+  (9, 489, 2),
+  (10, 34, 10),
+  (10, 44, 3),
+  (10, 123, 5),
+  (10, 233, 1),
+  (10, 243, 9),
+  (10, 272, 2),
+  (10, 313, 4),
+  (10, 390, 6),
+  (10, 417, 8),
+  (10, 484, 7),
+  (11, 20, 4),
+  (11, 30, 1),
+  (11, 78, 8),
+  (11, 130, 6),
+  (11, 145, 10),
+  (11, 233, 9),
+  (11, 252, 5),
+  (11, 277, 3),
+  (11, 399, 2),
+  (11, 465, 7),
+  (12, 100, 5),
+  (12, 157, 8),
+  (12, 173, 3),
+  (12, 246, 6),
+  (12, 274, 4),
+  (12, 297, 2),
+  (12, 305, 9),
+  (12, 390, 7),
+  (12, 392, 10),
+  (12, 402, 1),
+  (13, 126, 8),
+  (13, 161, 7),
+  (13, 165, 10),
+  (13, 240, 9),
+  (13, 314, 6),
+  (13, 337, 3),
+  (13, 398, 5),
+  (13, 430, 4),
+  (13, 440, 1),
+  (13, 479, 2),
+  (14, 56, 10),
+  (14, 59, 7),
+  (14, 76, 9),
+  (14, 146, 1),
+  (14, 147, 2),
+  (14, 156, 5),
+  (14, 199, 6),
+  (14, 271, 4),
+  (14, 298, 3),
+  (14, 311, 8),
+  (15, 68, 8),
+  (15, 138, 10),
+  (15, 143, 6),
+  (15, 284, 2),
+  (15, 365, 4),
+  (15, 409, 5),
+  (15, 424, 1),
+  (15, 431, 7),
+  (15, 452, 3),
+  (15, 476, 9),
+  (16, 12, 10),
+  (16, 35, 4),
+  (16, 88, 7),
+  (16, 124, 5),
+  (16, 216, 3),
+  (16, 282, 6),
+  (16, 373, 8),
+  (16, 402, 1),
+  (16, 414, 9),
+  (16, 421, 2),
+  (17, 70, 6),
+  (17, 115, 2),
+  (17, 135, 1),
+  (17, 164, 9),
+  (17, 197, 3),
+  (17, 364, 10),
+  (17, 385, 5),
+  (17, 399, 7),
+  (17, 416, 4),
+  (17, 446, 8),
+  (18, 63, 9),
+  (18, 97, 7),
+  (18, 112, 3),
+  (18, 120, 1),
+  (18, 181, 2),
+  (18, 228, 6),
+  (18, 255, 10),
+  (18, 263, 4),
+  (18, 468, 8),
+  (18, 495, 5),
+  (19, 52, 5),
+  (19, 54, 3),
+  (19, 87, 1),
+  (19, 191, 6),
+  (19, 273, 10),
+  (19, 276, 4),
+  (19, 317, 2),
+  (19, 361, 7),
+  (19, 391, 9),
+  (19, 495, 8)
+) AS t(q_id, p_id, rank) ORDER BY q_id, rank
+"""
 
 
 def _lineitem_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,6 +1240,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": """
           SELECT * FROM (VALUES (20, 0.81)) AS t(n_queries, recall)
         """,
-        # ann_topk_lsh / ann_topk_ivf: approximate-by-design result rows
-        # → rows-only checks; their quality is pinned by the recall rows.
+        "ann_topk_lsh": _ann_lsh_oracle_sql(),
+        "ann_topk_ivf": _ANN_IVF_VALUES_SQL,
     }
