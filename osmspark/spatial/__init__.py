@@ -1,4 +1,9 @@
-from .knn import knn_broadcast, knn_bruteforce, knn_join
+from .knn import (
+    knn_broadcast,
+    knn_bruteforce,
+    knn_join,
+    write_points_bucketed,
+)
 from .pip import pip_join, pip_join_bbox, polygon_cover_cells, ray_cast_contains
 from .tiles import (
     hex_to_raster,

@@ -80,7 +80,8 @@ def _dbg(t0: float, label: str) -> float:
 from ..grid import hexgrid
 from ..grid.hexgrid_sql import hex_cell_col
 
-__all__ = ["knn_join", "knn_broadcast", "knn_bruteforce", "density_sample"]
+__all__ = ["knn_join", "knn_broadcast", "knn_bruteforce", "density_sample",
+           "write_points_bucketed"]
 
 _OUT_SCHEMA = "q_id long, p_id long, dist2 double"
 
@@ -169,6 +170,48 @@ def knn_broadcast(points: DataFrame, queries_pdf: pd.DataFrame, k: int,
     return _topk_window(local, k)
 
 
+def write_points_bucketed(points: DataFrame, path: str, part_res: int = 3,
+                          lat_col: str = "lat", lon_col: str = "lon",
+                          part_col: str = "part_cell") -> None:
+    """Write the point table Hive-partitioned by its coarse hex cell —
+    the warehouse layout the module docstring prescribes (store the
+    table partitioned by a coarse cell prefix so the candidate pass
+    prunes partitions via the broadcast cell set).
+
+    ``part_res`` picks the directory granularity: at 10^12 rows choose
+    it so a partition is O(1 GB) (every √7× finer res splits each cell
+    ~7×). The repartition keys output files to their partition dir (one
+    shuffle; without it every task writes a file into every dir). Pass
+    the SAME ``part_res`` to :func:`knn_join` when reading this layout —
+    each candidate branch then adds a coarse-cover IN-filter that Spark
+    turns into static partition pruning (scan reads only the covered
+    directories)."""
+    df = points.withColumn(part_col,
+                           hex_cell_col(F.col(lat_col), F.col(lon_col),
+                                        part_res))
+    (df.repartition(F.col(part_col))
+     .write.mode("overwrite").partitionBy(part_col).parquet(path))
+
+
+def _coarse_cover(q_lat: np.ndarray, q_lon: np.ndarray, r: int, ring: int,
+                  part_res: int) -> list[int]:
+    """Coarse cells whose partitions can hold ANY candidate of a branch
+    at res ``r`` — the partition-pruning set.
+
+    A candidate point has its res-r cell in the queries' k-ring, so it
+    lies within R_max = (√3·ring + 2)·edge(r) of some query (ring-n
+    centers are ≤ n·√3·edge apart, plus one circumradius on each end).
+    By the k-ring containment guarantee ((1.5n − 0.5)·edge covers the
+    ball), every point within R_max has its part_res cell inside the
+    coarse k-ring with n_c = ceil((R_max/edge(part_res) + 0.5)/1.5).
+    Conservative in both constants — completeness of the pruned scan is
+    pinned by test_knn_bucketed_matches_bruteforce."""
+    r_max = (math.sqrt(3.0) * ring + 2.0) * hexgrid.edge_deg(r)
+    n_c = max(1, math.ceil((r_max / hexgrid.edge_deg(part_res) + 0.5) / 1.5))
+    cover = hexgrid.k_ring(hexgrid.cell_id(q_lat, q_lon, part_res), n_c)
+    return [int(c) for c in np.unique(cover.ravel())]
+
+
 def density_sample(points: DataFrame, point_id: str = "id",
                    target: int = 100_000, seed: int = 42
                    ) -> tuple[pd.DataFrame, float]:
@@ -248,7 +291,8 @@ def knn_join(points: DataFrame, queries: DataFrame | pd.DataFrame,
              partial_topk: bool = False, sample: pd.DataFrame | None = None,
              sample_rate: float = 1.0, target_sample: int = 100_000,
              safety: float = 2.0, max_groups: int = 4,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, part_res: int | None = None,
+             part_col: str = "part_cell") -> DataFrame:
     """Exact kNN via one mixed-resolution k-ring candidate pass.
 
     ``res`` is the FINEST resolution considered (pick it near your
@@ -257,8 +301,11 @@ def knn_join(points: DataFrame, queries: DataFrame | pd.DataFrame,
     (1.5·ring − 0.5)·edge_deg(level) should hold ≥ 3k points per the
     density sketch, with ``safety``× radius margin. ``sample``/
     ``sample_rate`` inject a prebuilt ``density_sample`` (skips the
-    sketch scan). See the module docstring for the full design and the
-    exactness argument.
+    sketch scan). When ``points`` was written by
+    :func:`write_points_bucketed`, pass its ``part_res``: each candidate
+    branch adds the coarse-cover IN-filter on ``part_col`` and the scan
+    statically prunes to the covered partition directories. See the
+    module docstring for the full design and the exactness argument.
     """
     spark = points.sparkSession
     t = time.time()
@@ -350,7 +397,7 @@ def knn_join(points: DataFrame, queries: DataFrame | pd.DataFrame,
         # vectorized path and ran slower than the plain scans)
         topk, resolved_set = _candidate_pass(
             points, pending, assigned, k, ring, factor, point_id,
-            partial_topk)
+            partial_topk, part_res, part_col)
         t = _dbg(t, f"pass levels={sorted(set(assigned.tolist()))} nq={len(pending)} resolved={len(resolved_set)}")
         if resolved_set:
             parts.append(topk.filter(F.col("n_cand") >= k)
@@ -405,8 +452,9 @@ def _quantize_levels(r_est: np.ndarray, max_groups: int) -> np.ndarray:
 
 def _candidate_pass(points: DataFrame, q_pdf: pd.DataFrame,
                     assigned: np.ndarray, k: int, ring: int, factor: float,
-                    point_id: str, partial_topk: bool
-                    ) -> tuple[DataFrame, set]:
+                    point_id: str, partial_topk: bool,
+                    part_res: int | None = None,
+                    part_col: str = "part_cell") -> tuple[DataFrame, set]:
     """One mixed-resolution candidate join + fused top-k/completeness
     window. Returns (checkpointed topk with n_cand, resolved q_id set)."""
     spark = points.sparkSession
@@ -425,7 +473,8 @@ def _candidate_pass(points: DataFrame, q_pdf: pd.DataFrame,
     # G ≤ max_groups keeps it bounded.
     pts = points.select(F.col(point_id).alias("p_id"),
                         F.col("lat").alias("p_lat"),
-                        F.col("lon").alias("p_lon"))
+                        F.col("lon").alias("p_lon"),
+                        *([part_col] if part_res is not None else []))
     branches = []
     for r in res_used:
         mask = assigned == r
@@ -433,6 +482,14 @@ def _candidate_pass(points: DataFrame, q_pdf: pd.DataFrame,
                                ring)
         n_ring = cells.shape[1]
         g = factor * hexgrid.edge_deg(r)
+        branch_pts = pts
+        if part_res is not None:
+            # bucketed layout: the branch scan reads ONLY the partition
+            # directories whose coarse cell can hold a candidate —
+            # static partition pruning from the driver-computed cover
+            cover = _coarse_cover(q_lat[mask], q_lon[mask], r, ring,
+                                  part_res)
+            branch_pts = pts.filter(F.col(part_col).isin(cover))
         # ring cells per query, computed on the driver (|Q|·ring_size
         # rows) and broadcast
         q_cells = spark.createDataFrame(pd.DataFrame({
@@ -442,9 +499,11 @@ def _candidate_pass(points: DataFrame, q_pdf: pd.DataFrame,
             "q_lon": np.repeat(q_lon[mask], n_ring),
             "g2": g * g}))
         branches.append(
-            pts.withColumn("cell",
-                           hex_cell_col(F.col("p_lat"), F.col("p_lon"), r))
-            .join(F.broadcast(q_cells), "cell", "inner"))
+            branch_pts
+            .withColumn("cell",
+                        hex_cell_col(F.col("p_lat"), F.col("p_lon"), r))
+            .join(F.broadcast(q_cells), "cell", "inner")
+            .drop(part_col))
     joined = branches[0]
     for b in branches[1:]:
         joined = joined.unionByName(b)

@@ -215,3 +215,63 @@ def test_pip_sql_raycast_matches_numpy_concave(spark, pts):
     want = set(np.arange(N)[ray_cast_contains(
         lat, lon, np.array(ring_lat), np.array(ring_lon))].tolist())
     assert got == want and len(want) > 0
+
+
+def test_knn_bucketed_matches_bruteforce(spark, pts, tmp_path_factory):
+    """write_points_bucketed + knn_join(part_res=...) is still exact:
+    the coarse-cover partition pruning must never drop a candidate,
+    including for boundary queries sitting on coarse-cell edges."""
+    from osmspark.spatial import knn_bruteforce, write_points_bucketed
+
+    df, _, _ = pts
+    path = str(tmp_path_factory.mktemp("bucketed") / "points")
+    write_points_bucketed(df, path, part_res=2)
+    bucketed = spark.read.parquet(path)
+    rng = np.random.default_rng(11)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": np.arange(32),
+        # half dense-cluster queries, half spread across the world (some
+        # land in sparse/empty coarse cells -> retry & fallback paths)
+        "lat": np.concatenate([51.5 + rng.normal(0, 0.05, 16),
+                               rng.uniform(-60, 70, 16)]),
+        "lon": np.concatenate([-0.12 + rng.normal(0, 0.05, 16),
+                               rng.uniform(-179, 179, 16)])}))
+    bf = {tuple(r) for r in
+          knn_bruteforce(df, queries, 5).select("q_id", "p_id", "rank").collect()}
+    kb = {tuple(r) for r in
+          knn_join(bucketed, queries, 5, res=6, ring=1, part_res=2)
+          .select("q_id", "p_id", "rank").collect()}
+    assert bf == kb
+
+
+def test_knn_bucketed_scan_prunes_partitions(spark, pts, tmp_path_factory):
+    """The coarse-cover IN-filter must reach the scan as a PARTITION
+    filter (static directory pruning), and execution must actually read
+    fewer files than the full layout holds."""
+    from osmspark.spatial import write_points_bucketed
+    from osmspark.spatial.knn import _coarse_cover
+
+    df, _, _ = pts
+    path = str(tmp_path_factory.mktemp("bucketed_plan") / "points")
+    write_points_bucketed(df, path, part_res=2)
+    bucketed = spark.read.parquet(path)
+    n_files_total = len(bucketed.inputFiles())
+
+    # the exact filter shape _candidate_pass builds for a branch
+    cover = _coarse_cover(np.array([51.5]), np.array([-0.12]), r=6, ring=1,
+                          part_res=2)
+    pruned = bucketed.filter(F.col("part_cell").isin(cover))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_cell" in plan.split(
+        "PartitionFilters", 1)[1][:400]
+
+    files_read = (pruned.select(F.input_file_name().alias("f"))
+                  .distinct().count())
+    assert 0 < files_read < n_files_total
+    # and the pruned scan still returns every point in the cover
+    expect = (df.withColumn(
+        "part_cell",
+        __import__("osmspark.grid.hexgrid_sql", fromlist=["hex_cell_col"])
+        .hex_cell_col(F.col("lat"), F.col("lon"), 2))
+        .filter(F.col("part_cell").isin(cover)).count())
+    assert pruned.count() == expect
