@@ -187,15 +187,23 @@ def _simhash_oracle_sql(max_hamming: int) -> str:
     SQL: FNV's mod-2^64 multiply folds through HUGEINT (prime is 2^40,
     the product fits 128 bits), and the pair set is the BRUTE-FORCE
     Hamming join — so a hash-exact match also proves the engine's
-    pigeonhole chunk bucketing is COMPLETE at this threshold."""
+    pigeonhole chunk bucketing is COMPLETE at this threshold.
+
+    Degenerate-doc convention (matches _shingle_hashes): an empty /
+    whitespace-only doc gets ONE sentinel hash 0 (not FNV of the ''
+    token) — the UNION ALL branch reproduces the engine's zeros(1)
+    sentinel so such docs sign to 0 on both sides."""
     fnv = _FNV_LIST_SQL.format(col="tok")
     return f"""
       WITH toks AS (
         SELECT doc_id,
                unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS tok
-        FROM documents),
-      sizes AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id),
-      fnv AS (SELECT doc_id, {fnv} AS h FROM toks),
+        FROM documents WHERE trim(text) <> ''),
+      fnv AS (SELECT doc_id, {fnv} AS h FROM toks
+              UNION ALL
+              SELECT doc_id, 0::UBIGINT AS h FROM documents
+              WHERE trim(text) = ''),
+      sizes AS (SELECT doc_id, count(*) AS n_toks FROM fnv GROUP BY doc_id),
       bits AS (
         SELECT doc_id, k, sum(((h >> k) & 1)::BIGINT) AS ones
         FROM fnv, (SELECT unnest(range(64)) AS k) kk
@@ -222,7 +230,13 @@ def _minhash_lsh_oracle_sql(bands: int = 16, n_hashes: int = 64,
     (h·a + b) mod 2^64 BEFORE the Mersenne mod is reproduced through
     HUGEINT. Band membership compares the raw signature slices
     (string_agg key), so the engine's xxhash64 band hash is verified
-    semantically: same buckets ⟺ same slices (collisions aside)."""
+    semantically: same buckets ⟺ same slices (collisions aside).
+
+    Degenerate-doc convention (matches _shingle_hashes): a doc with no
+    3-gram shingle (empty, or < 3 tokens) gets ONE sentinel hash 0
+    instead of being dropped — the UNION ALL branch reproduces the
+    engine's zeros(1) sentinel, so two such docs share identical
+    signatures and surface as candidates on both sides."""
     from osmspark.pipeline.dedup import _minhash_params
 
     a_par, b_par = _minhash_params(n_hashes, seed)
@@ -238,7 +252,10 @@ def _minhash_lsh_oracle_sql(bands: int = 16, n_hashes: int = 64,
         SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
         FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
               FROM toks)),
-      fnv AS (SELECT doc_id, {fnv} & 2305843009213693951 AS h FROM grams),
+      fnv AS (SELECT doc_id, {fnv} & 2305843009213693951 AS h FROM grams
+              UNION ALL
+              SELECT doc_id, 0::UBIGINT AS h FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM grams)),
       sig AS (
         SELECT doc_id, j,
                min(((h::HUGEINT * pa + pb) % 18446744073709551616)

@@ -83,11 +83,15 @@ def hex_cell_col_multires(lat: Column, lon: Column, res_col: Column,
     pack via a wrapping shift — ids stay bit-identical to the fixed-res
     ``hex_cell_col`` for every value in ``res_values``.
 
-    Why this exists: the kNN candidate pass wants G resolutions from one
-    scan. ``explode(array(<G encode expressions>))`` knocked the whole
-    stage out of codegen (160M rows: minutes instead of seconds);
-    exploding a G-element literal array and encoding once with this
-    column-res form keeps codegen and costs one scan.
+    Why this is kept: a single-scan multi-resolution encode — explode a
+    G-element literal res array, then encode once with this column-res
+    form — stays in codegen where ``explode(array(<G encode
+    expressions>))`` fell out of it (160M rows: minutes instead of
+    seconds). The final kNN design went a different way (per-level
+    fixed-res ``hex_cell_col`` union branches, spatial/knn.py), so no
+    production path calls this today; it remains the measured
+    alternative for engines that want one scan instead of ≤G, pinned
+    bit-identical to ``hex_cell_col`` by its test.
     """
     size = None
     for rv in res_values:

@@ -90,21 +90,28 @@ def _minhash_params(n_hashes: int, seed: int = 42):
 
 
 def _fnv1a_batch(strings: list[bytes]) -> np.ndarray:
-    """FNV-1a over many byte strings, vectorized: pad into a (n, max_len)
-    uint8 matrix and fold char positions with masked updates — max_len
-    vectorized passes instead of a per-char Python loop."""
+    """FNV-1a over many byte strings, vectorized: fold byte positions
+    over the CONCATENATED buffer via per-string offsets — memory is
+    O(total bytes), so one pathologically long shingle no longer
+    inflates an (n, max_len) padded matrix for the whole batch. The
+    active set shrinks as positions pass each string's length; the pass
+    count is max_len but each pass touches only still-active strings."""
     n = len(strings)
-    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
-    max_len = int(lens.max()) if n else 0
-    mat = np.zeros((n, max_len), dtype=np.uint8)
-    for i, s in enumerate(strings):
-        mat[i, : lens[i]] = np.frombuffer(s, dtype=np.uint8)
     h = np.full(n, 14695981039346656037, dtype=np.uint64)
+    if n == 0:
+        return h
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(strings), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
     prime = np.uint64(1099511628211)
     with np.errstate(over="ignore"):  # FNV wraps mod 2^64 by design
-        for pos in range(max_len):
-            active = lens > pos
-            h[active] = (h[active] ^ mat[active, pos].astype(np.uint64)) * prime
+        active = np.nonzero(lens > 0)[0]
+        pos = 0
+        while active.size:
+            byte = flat[starts[active] + pos].astype(np.uint64)
+            h[active] = (h[active] ^ byte) * prime
+            pos += 1
+            active = active[lens[active] > pos]
     return h
 
 
@@ -202,16 +209,24 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     for max_hamming = 6). Candidates come from a bucket equi-join on
     (chunk_idx, chunk value) — never an all-pairs shuffle — then the
     exact Hamming distance filters in-bucket."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 64)")
     n_chunks = max_hamming + 1
-    if n_chunks > 64:
-        raise ValueError("max_hamming must be < 64")
     sizes = [64 // n_chunks + (1 if i < 64 % n_chunks else 0)
              for i in range(n_chunks)]
     offsets = [sum(sizes[:i]) for i in range(n_chunks)]
+
+    def _chunk(i: int):
+        # a full-width chunk (max_hamming=0 → one 64-bit chunk) can't be
+        # masked: (1<<64)-1 overflows a Java long — the signature IS the
+        # chunk, no shift/mask needed
+        if sizes[i] == 64:
+            return F.col("simhash")
+        return (F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << sizes[i]) - 1)))
+
     chunks = F.array(*[
-        F.struct(F.lit(i).alias("chunk_idx"),
-                 F.shiftrightunsigned(F.col("simhash"), offsets[i])
-                 .bitwiseAND(F.lit((1 << sizes[i]) - 1)).alias("chunk"))
+        F.struct(F.lit(i).alias("chunk_idx"), _chunk(i).alias("chunk"))
         for i in range(n_chunks)
     ])
     exploded = sigs.select("id", "simhash", F.explode(chunks).alias("c")) \
@@ -251,6 +266,12 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     iteration is one shuffle on doc_id — the standard large-scale CC
     shape (alternating-star variants optimize constant factors, not the
     shuffle count, and need the same joins).
+
+    ``max_iters`` is a cluster-DIAMETER bound: if labels are still
+    changing after the last iteration the returned ids would be split
+    clusters, so the function raises instead of silently returning
+    partial labels (a transitive chain of incrementally-edited docs can
+    exceed any fixed bound — raise ``max_iters`` for such graphs).
     """
     ids = docs.select(F.col(id_col).alias("id"))
     edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -275,6 +296,11 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in max_iters={max_iters} "
+            f"iterations ({changed} labels still changing): a near-dup "
+            "chain has diameter > max_iters — raise max_iters")
     return labels.select(F.col("id").alias(id_col),
                          F.col("label").alias("cluster_id"))
 

@@ -249,3 +249,113 @@ def test_dedup_clusters_planted(docs):
     planted = set(range(20)) | {40, 41}
     for d in set(range(60)) - planted:
         assert lab[d] == d  # singleton
+
+
+def test_simhash_pairs_max_hamming_zero(docs):
+    """max_hamming=0 means one full-width 64-bit chunk — the mask
+    (1<<64)-1 overflows a Java long, so the full-width chunk must join
+    on the raw signature. Pairs are exactly the identical-signature
+    ones (the planted exact dup at minimum)."""
+    sigs = simhash_signatures(docs)
+    got = {(r.a, r.b) for r in simhash_pairs(sigs, max_hamming=0).collect()}
+    spdf = sigs.toPandas()
+    sig_map = dict(zip(spdf["id"], spdf["simhash"].astype(np.uint64)))
+    ids = sorted(sig_map)
+    expected = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                if sig_map[a] == sig_map[b]}
+    assert got == expected and (40, 41) in got
+
+
+def test_simhash_pairs_rejects_bad_threshold(docs):
+    sigs = simhash_signatures(docs)
+    with pytest.raises(ValueError):
+        simhash_pairs(sigs, max_hamming=-1)
+    with pytest.raises(ValueError):
+        simhash_pairs(sigs, max_hamming=64)
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A transitive chain with diameter > max_iters must RAISE, not
+    silently return split clusters (the min label walks one hop per
+    iteration)."""
+    from osmspark.pipeline.dedup import dedup_clusters
+    n = 8
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                      "text": ["x"] * n}))
+    chain = spark.createDataFrame(
+        pd.DataFrame({"a": np.arange(n - 1, dtype=np.int64),
+                      "b": np.arange(1, n, dtype=np.int64)}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, chain, max_iters=2)
+    # and enough iterations resolves the same chain to one cluster
+    out = dedup_clusters(docs, chain, max_iters=n).toPandas()
+    assert set(out["cluster_id"]) == {0}
+
+
+def test_fnv1a_batch_offsets_fold_matches_reference():
+    """The concatenated-buffer fold must equal per-string FNV-1a for
+    mixed lengths — including one pathologically long shingle (the
+    case that used to inflate an (n, max_len) padded matrix) and empty
+    bytes (sentinel: hash stays the offset basis)."""
+    from osmspark.pipeline.dedup import _fnv1a_batch
+
+    def fnv1a_ref(s: bytes) -> int:
+        h = 14695981039346656037
+        for c in s:
+            h = ((h ^ c) * 1099511628211) % (1 << 64)
+        return h
+
+    rng = np.random.default_rng(7)
+    strs = [bytes(rng.integers(0, 256, rng.integers(0, 40)).astype(np.uint8))
+            for _ in range(50)]
+    strs += [b"", b"a" * 10_000, b"x"]
+    got = _fnv1a_batch(strs)
+    assert got.dtype == np.uint64
+    assert [int(v) for v in got] == [fnv1a_ref(s) for s in strs]
+    assert len(_fnv1a_batch([])) == 0
+
+
+def test_degenerate_docs_oracle_parity(spark, tmp_path):
+    """Empty / whitespace-only / sub-n-gram docs must hash identically
+    in the engine and the DuckDB oracle SQL (zeros(1) sentinel on both
+    sides) — a driver dataset containing such docs must not produce a
+    spurious oracle mismatch."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+    import __spark_entry__ as entry
+    from osmspark.pipeline.dedup import (
+        lsh_candidate_pairs, minhash_signatures,
+        simhash_pairs, simhash_signatures)
+
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": ["", "   ", "one", "two tokens", "one", "",
+                 "alpha beta gamma delta", "alpha beta gamma delta"]})
+    sf = tmp_path / "docs"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet")
+    docs = spark.createDataFrame(pdf)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+
+    sim_spark = {(r.a, r.b, r.hamming) for r in
+                 simhash_pairs(simhash_signatures(docs), max_hamming=6)
+                 .collect()}
+    sim_oracle = {tuple(t) for t in con.execute(
+        entry._simhash_oracle_sql(6)).fetchall()}
+    assert sim_spark == sim_oracle
+    # identical degenerate docs must register as 0-distance pairs
+    assert (0, 1, 0) in sim_spark and (0, 5, 0) in sim_spark
+
+    mh_spark = {(r.a, r.b) for r in
+                lsh_candidate_pairs(minhash_signatures(docs), bands=16)
+                .collect()}
+    mh_oracle = {tuple(t) for t in con.execute(
+        entry._minhash_lsh_oracle_sql(bands=16)).fetchall()}
+    assert mh_spark == mh_oracle
+    # all five no-shingle docs (empty/short) share the sentinel signature
+    assert (0, 1) in mh_spark and (2, 4) in mh_spark
