@@ -69,18 +69,27 @@ raw data: `scaling.json`
 
 ## 3. Headline pipeline (bench.py, sf0.1, local[32])
 
-See `bench_local32.json` — one JSON line per run:
-decode + byte-identical text extraction + hex/S2/raster tiling + PIP +
-kNN + MinHash-LSH dedup + ANN.
+**{headline} s total** (rendered from `bench_local32.json` — numbers
+below ARE the committed artifact, per-query min over {bench_reps}
+interleaved reps): decode + byte-identical text extraction + hex/S2/
+raster tiling + PIP + kNN + MinHash-LSH dedup + ANN.
+
+| query | sec |
+|---|---|
+{bench_rows}
+
+throughput: {docs_per_sec} docs/sec, {nodes_per_sec:,.0f} nodes/sec,
+{cells_per_sec} cells/sec.
 
 ## 4. Correctness gate
 
 `python -m pytest -x -q` (golden parity with the reference's pinned
 fixture values, SQL-expression vs NumPy encoder bit-parity, structural
 invariants) plus the driver's side-by-side DuckDB oracle runs of the
-`__spark_entry__.py` queries (see CORRECTNESS_r*.json): 33 of 35
-queries value-checked, the 2 approximate-by-design ANN top-k row sets
-rows-only with recall@10 pinned separately.
+`__spark_entry__.py` queries (see CORRECTNESS_r*.json): all 35 queries
+value-checked hash-exact — the two approximate-by-design ANN top-k
+sets are pinned by seeded-constant/VALUES oracles plus recall@10
+floors (ann_lsh_recall, ann_ivf_recall).
 """
 
 
@@ -109,7 +118,16 @@ def main():
                 f"| {t['nodes_per_sec']:,.0f} | {t['docs_per_sec']:,.1f} "
                 f"| {t['sec']} |"
                 for t in thr)
+    with open(os.path.join(HERE, "bench_local32.json")) as f:
+        bench = json.load(f)
+    bench_rows = "\n".join(f"| {q} | {v} |"
+                           for q, v in bench["queries"].items())
     out = TEMPLATE.format(
+        headline=bench["value"], bench_rows=bench_rows,
+        bench_reps=bench.get("bench_reps", 1),
+        docs_per_sec=bench["docs_per_sec"],
+        nodes_per_sec=bench["nodes_per_sec"],
+        cells_per_sec=bench["cells_per_sec"],
         thr_rows=thr_rows, n_pages=n_pages, nodes_per_page=nodes_per_page,
         lo=lo, hi=hi, n_big=round(sc.get("n_big", 0) / 1e6) or "?",
         scale_rows=scale_rows,

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -78,19 +80,31 @@ class StateStore:
 
 def run_stage(store: StateStore, stage: str, units: list[str],
               compute_unit, out_root: str | None = None,
-              write: bool = True) -> dict:
+              write: bool = True, max_workers: int = 8) -> dict:
     """Execute ``compute_unit(unit) -> DataFrame`` for every unit not yet
     completed; idempotent outputs under ``out_root/unit=<unit>``.
 
     Returns {"computed": [...], "skipped": [...]} — a killed-and-restarted
     job recomputes nothing that finished. Unit outputs overwrite their own
-    directory only, so a unit killed mid-write is safely re-run."""
+    directory only, so a unit killed mid-write is safely re-run.
+
+    Pending units are submitted from a driver thread pool
+    (``max_workers`` concurrent Spark jobs — Spark's scheduler runs jobs
+    from multiple threads concurrently), so at 10^4 tiles the wall-clock
+    is bounded by executor capacity, not units × job-launch latency. The
+    resume contract is unchanged: each unit's lineage row appends (under
+    a lock — the parquet append is small and serializing it avoids
+    committer staging-dir races) only AFTER its output is fully written,
+    so a kill mid-flight loses only in-flight units. A failing unit
+    raises after the in-flight units drain; its lineage row is never
+    written, so the rerun recomputes exactly the failed/unfinished set.
+    """
     done = {r.unit for r in store.completed_units(stage).collect()}
-    computed, skipped = [], []
-    for unit in units:
-        if unit in done:
-            skipped.append(unit)
-            continue
+    pending = [u for u in units if u not in done]
+    skipped = [u for u in units if u in done]
+    append_lock = threading.Lock()
+
+    def _run(unit: str) -> str:
         t0 = time.time()
         df = compute_unit(unit)
         if write:
@@ -99,9 +113,19 @@ def run_stage(store: StateStore, stage: str, units: list[str],
             n = store.spark.read.parquet(path).count()
         else:
             n = df.count()
-        store.append([{
-            "stage": stage, "unit": unit, "row_count": int(n),
-            "wall_ms": int((time.time() - t0) * 1000), "status": "ok",
-            "finished_at_ms": int(time.time() * 1000)}])
-        computed.append(unit)
-    return {"computed": computed, "skipped": skipped}
+        with append_lock:
+            store.append([{
+                "stage": stage, "unit": unit, "row_count": int(n),
+                "wall_ms": int((time.time() - t0) * 1000), "status": "ok",
+                "finished_at_ms": int(time.time() * 1000)}])
+        return unit
+
+    finished: set[str] = set()
+    if pending:
+        with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(pending))) as pool:
+            futures = [pool.submit(_run, u) for u in pending]
+            for fut in as_completed(futures):
+                finished.add(fut.result())
+    return {"computed": [u for u in units if u in finished],
+            "skipped": skipped}

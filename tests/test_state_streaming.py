@@ -53,6 +53,50 @@ def test_lineage_rows_are_append_only(spark, tmp_path, pages_df):
     assert {r.unit for r in store.completed_units("s").collect()} == {"u1", "u2"}
 
 
+def test_run_stage_units_run_concurrently(spark, tmp_path):
+    """≥2 units must be in flight at once (driver thread pool submits
+    concurrent Spark jobs), and a mid-flight failure must leave only
+    successful units in lineage so the rerun recomputes the rest."""
+    import threading
+    import time as _time
+
+    store = StateStore(spark, str(tmp_path / "state3"))
+    active, seen_max, lock = [0], [0], threading.Lock()
+
+    def compute(unit):
+        with lock:
+            active[0] += 1
+            seen_max[0] = max(seen_max[0], active[0])
+        _time.sleep(0.4)
+        with lock:
+            active[0] -= 1
+        return spark.range(int(unit) + 1).select(
+            F.col("id").alias("v"))
+
+    units = [str(i) for i in range(6)]
+    r = run_stage(store, "conc", units, compute,
+                  out_root=str(tmp_path / "out3"), max_workers=4)
+    assert r["computed"] == units
+    assert seen_max[0] >= 2
+
+    # failure path: unit "9" raises -> run_stage raises, but "7"/"8"
+    # complete and persist; the rerun computes only the failed unit
+    def flaky(unit):
+        if unit == "9":
+            raise ValueError("boom")
+        return spark.range(2).select(F.col("id").alias("v"))
+
+    with pytest.raises(ValueError):
+        run_stage(store, "flaky", ["7", "8", "9"], flaky,
+                  out_root=str(tmp_path / "out3"), max_workers=1)
+    done = {r_.unit for r_ in store.completed_units("flaky").collect()}
+    assert done == {"7", "8"}
+    r2 = run_stage(store, "flaky", ["7", "8", "9"],
+                   lambda u: spark.range(2).select(F.col("id").alias("v")),
+                   out_root=str(tmp_path / "out3"), max_workers=2)
+    assert r2["computed"] == ["9"] and sorted(r2["skipped"]) == ["7", "8"]
+
+
 def test_streaming_decode_counts(spark, tmp_path, pages_df):
     """Micro-batch streaming decode == batch decode (maxFilesPerTrigger
     backpressure = the reference's pause/resume analogue)."""
