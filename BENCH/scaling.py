@@ -54,9 +54,16 @@ REPO = os.path.dirname(HERE)
 
 N_PAGES = 3072
 NODES_PER_PAGE = 4000
-CACHE = f"/tmp/osmspark_scaling/p{N_PAGES}_n{NODES_PER_PAGE}"
+PAGE_FILES = 256  # fine files → ~8 splits/core at local[4], ~2 at [16]
+CACHE = f"/tmp/osmspark_scaling/p{N_PAGES}_n{NODES_PER_PAGE}_f{PAGE_FILES}"
 N_BIG = 320_000_000
-BIG_CACHE = f"/tmp/osmspark_scaling/points{N_BIG}"
+# OSM-native 1e-7° fixed-point int32 layout (see osmspark/spatial/
+# layout.py): halves the scanned bytes per point, which is what the
+# 16-thread DRAM wall on this host actually charges for. UNCLUSTERED on
+# purpose: the hex-sorted variant measured 2.2× slower on the PIP stage
+# (candidate rows concentrate in the few partitions covering the
+# polygons) — layout.py documents the trade
+BIG_CACHE = f"/tmp/osmspark_scaling/points{N_BIG}_fp_flat"
 
 STAGES = ["decode", "hex_tiles", "raster_tiles", "pip_join", "knn"]
 
@@ -67,7 +74,7 @@ def write_pages_if_needed(spark) -> None:
 
     if not os.path.exists(f"{CACHE}/_SUCCESS"):
         write_pages(spark, CACHE, N_PAGES, nodes_per_page=NODES_PER_PAGE,
-                    partitions=64)
+                    partitions=PAGE_FILES)
 
 
 def build_big_points(spark, path: str, n: int) -> None:
@@ -106,12 +113,19 @@ def build_big_points(spark, path: str, n: int) -> None:
     r = F.sqrt(F.lit(-2.0) * F.log(u1 + F.lit(1e-12)))
     z1 = r * F.cos(F.lit(2 * math.pi) * u2)
     z2 = r * F.sin(F.lit(2 * math.pi) * u2)
-    (spark.range(n, numPartitions=128)
-     .withColumn("_c", city)
-     .select(F.col("id"),
-             (F.element_at(lat_arr, F.col("_c") + 1) + F.lit(0.02) * z1).alias("lat"),
-             (F.element_at(lon_arr, F.col("_c") + 1) + F.lit(0.02) * z2).alias("lon"))
-     .write.mode("overwrite").parquet(path))
+    from osmspark.spatial import write_points_fixedpoint
+
+    df = (spark.range(n, numPartitions=128)
+          .withColumn("_c", city)
+          .select(F.col("id"),
+                  (F.element_at(lat_arr, F.col("_c") + 1) + F.lit(0.02) * z1).alias("lat"),
+                  (F.element_at(lon_arr, F.col("_c") + 1) + F.lit(0.02) * z2).alias("lon")))
+    # fixed-point int32: the scan-heavy stages are DRAM-bound at 16
+    # threads on this host — the warehouse layout halves bytes/row
+    # (losslessness pinned by tests/test_layout.py). 8 MiB row groups so
+    # split planning can slice the ~30 MiB files into balanced tasks.
+    write_points_fixedpoint(df, path, partitions=128,
+                            row_group_bytes=8 << 20)
 
 
 def worker(n_threads: int) -> None:
@@ -132,9 +146,22 @@ def worker(n_threads: int) -> None:
     spark = get_spark(app=f"scale{n_threads}", master=f"local[{n_threads}]",
                       shuffle_partitions=max(8, n_threads))
     spark.sparkContext.setLogLevel("ERROR")
+    # fine split packing: Spark's default bin size adapts to parallelism
+    # (~1 fat task per core), so a straggler task costs a whole wave; cap
+    # bins at 16 MB (≈ 2 row groups of the big table) with a small
+    # open-cost weight so BOTH levels read the same fine splits and waves
+    # stay balanced
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
+    # the inferred isnotnull(join-key) clone of the cell-encode tree
+    # costs a duplicate encode per row in the PIP cover join and tips
+    # the kNN candidate stage into the JIT huge-method cliff (75×) —
+    # see osmspark.session.without_inferred_join_key_filters
+    from osmspark.session import INFER_FILTERS_RULE
+    spark.conf.set("spark.sql.optimizer.excludedRules", INFER_FILTERS_RULE)
     if not os.path.exists(f"{CACHE}/_SUCCESS"):
         write_pages(spark, CACHE, N_PAGES, nodes_per_page=NODES_PER_PAGE,
-                    partitions=64)
+                    partitions=PAGE_FILES)
     pages = read_pages(spark, CACHE)
 
     def _warm_worker(batches):
@@ -158,7 +185,8 @@ def worker(n_threads: int) -> None:
      .mapInPandas(_warm_worker, "id long").count())
 
     build_big_points(spark, BIG_CACHE, N_BIG)
-    points = spark.read.parquet(BIG_CACHE)
+    from osmspark.spatial import read_points_fixedpoint
+    points = read_points_fixedpoint(spark, BIG_CACHE)
 
     # one polygon per city on the gaussian SHOULDER ([μ+0.02, μ+0.06]):
     # ~2.5% of each city's mass → ~4M refine rows, heavy enough to time,

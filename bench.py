@@ -53,6 +53,12 @@ def run_bench(master: str, sf_dir: str) -> dict:
 
     spark = get_spark(app="osmspark-bench", master=master)
     spark.sparkContext.setLogLevel("ERROR")
+    # drop the inferred isnotnull(join-key) filters: they clone the full
+    # cell-encode tree into the scan (duplicate encode per row; at 320M
+    # rows the kNN pass tipped into the JIT huge-method cliff, 75×) —
+    # see osmspark.session.without_inferred_join_key_filters
+    from osmspark.session import INFER_FILTERS_RULE
+    spark.conf.set("spark.sql.optimizer.excludedRules", INFER_FILTERS_RULE)
     n_cores = spark.sparkContext.defaultParallelism
 
     pages_path, n_pages, nodes_per_page = build_pages_cache(spark, sf_dir)

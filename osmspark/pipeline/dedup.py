@@ -115,6 +115,18 @@ def _fnv1a_batch(strings: list[bytes]) -> np.ndarray:
     return h
 
 
+def _spread_for_udf(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input is narrower than the
+    cluster: the signature UDFs are CPU-bound, and a source that arrived
+    as one small file (common for tiny dims / test fixtures) would pin
+    the whole batch on one core. A warehouse-scale input already has
+    ≥ parallelism partitions and passes through untouched — no shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
     """Distinct token n-grams → uint64 base hashes (FNV-1a, from-scratch)."""
     toks = text.split()
@@ -124,36 +136,93 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     return _fnv1a_batch([g.encode("utf-8") for g in grams])
 
 
+def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch shingle hashing: one FNV pass over every doc's distinct
+    n-grams instead of one small pass per doc (the per-doc loop spent most
+    of its time in Python call overhead, not hashing). Returns the flat
+    uint64 hash array plus per-doc gram counts; a doc with no grams
+    contributes one sentinel hash 0 — bit-identical to
+    ``_shingle_hashes``'s ``zeros(1)`` (the DuckDB oracles reproduce it)."""
+    grams_all: list[bytes] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    sentinel_idx: list[int] = []
+    for i, t in enumerate(texts):
+        toks = t.split()
+        grams = {" ".join(toks[j:j + n])
+                 for j in range(max(0, len(toks) - n + 1))}
+        if grams:
+            counts[i] = len(grams)
+            grams_all.extend(g.encode("utf-8") for g in grams)
+        else:
+            counts[i] = 1
+            sentinel_idx.append(len(grams_all))
+            grams_all.append(b"")
+    h = _fnv1a_batch(grams_all)
+    if sentinel_idx:
+        h[np.asarray(sentinel_idx, dtype=np.int64)] = 0
+    return h, counts
+
+
 def minhash_signatures(df: DataFrame, n_hashes: int = 64, ngram: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
                        seed: int = 42) -> DataFrame:
     """(id, signature array<long>) via vectorized universal hashing:
     min over shingles of ((a·h + b) mod 2^61−1)."""
     a_par, b_par = _minhash_params(n_hashes, seed)
+    df = _spread_for_udf(df)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            h = _shingle_hashes(t, ngram) & _MERSENNE  # keep < 2^61
-            # (n_shingles, n_hashes) universal hash, min over shingles
-            vals = (h[:, None] * a_par[None, :] + b_par[None, :]) % _MERSENNE
-            out.append(vals.min(axis=0).astype(np.int64))
-        return pd.Series(out)
+        # hash the BATCH's grams in one pass, then per-doc min via
+        # minimum.reduceat over doc boundaries; the (grams × n_hashes)
+        # universal-hash temporary is bounded by chunking at doc
+        # boundaries (~256k grams ≈ 128 MB) so a big Arrow batch can't
+        # blow worker memory. Values bit-identical to the per-doc loop.
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        h, counts = _batch_gram_hashes(texts, ngram)
+        h &= _MERSENNE  # keep < 2^61
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        out = np.empty((n_docs, n_hashes), dtype=np.int64)
+        budget = 1 << 18
+        d0 = 0
+        while d0 < n_docs:
+            d1 = int(np.searchsorted(ends, ends[d0] - counts[d0] + budget,
+                                     side="right"))
+            d1 = max(d1, d0 + 1)
+            hs = h[starts[d0]:ends[d1 - 1]]
+            vals = (hs[:, None] * a_par[None, :] + b_par[None, :]) % _MERSENNE
+            out[d0:d1] = np.minimum.reduceat(
+                vals, starts[d0:d1] - starts[d0], axis=0).astype(np.int64)
+            d0 = d1
+        return pd.Series(list(out))
 
     return df.select(F.col(id_col).alias("id"),
                      sig(F.col(text_col)).alias("signature"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
-                        n_hashes: int = 64) -> DataFrame:
+                        n_hashes: int = 64,
+                        materialize: bool = True) -> DataFrame:
     """Band the signatures; docs sharing any band bucket are candidates.
 
     (b bands × r rows): P(candidate) = 1 − (1 − j^r)^b. The bucket join is
     a groupBy on (band_idx, band_hash) — no all-pairs shuffle.
     ``n_hashes`` must match the signature length from minhash_signatures.
+
+    ``materialize`` (default) lazily local-checkpoints the signatures
+    frame so the Python signature UDF upstream computes ONCE — a plain
+    self-join evaluates each side's full lineage, doubling the UDF cost
+    (Spark does not reuse uncached subplans across join sides). Pass
+    ``materialize=False`` when ``signatures`` is already a stored table
+    (the warehouse shape: signatures land in their own table and the
+    checkpoint would only burn executor storage — ~0.5 KB/doc).
     """
     r = n_hashes // bands
+    if materialize:
+        signatures = signatures.localCheckpoint(eager=False)
     banded = signatures.select(
         "id",
         F.posexplode(
@@ -178,27 +247,34 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over token hashes (vectorized bit-vote)."""
+    df = _spread_for_udf(df)
 
     @F.pandas_udf(T.LongType())
     def sim(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
+        # batch-wide unigram hashing + per-doc bit votes via add.reduceat
+        # (one (grams × 64) uint8 bit matrix for the whole Arrow batch —
+        # 64 B/gram — instead of a Python loop per doc)
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pd.Series([], dtype=np.int64)
         bit_idx = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            hs = _shingle_hashes(t, 1)  # unigram hashes
-            bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
-            # votes MUST be signed: uint64 arithmetic wraps ones·2 − n
-            # to a huge positive for minority bits, setting every
-            # non-tied bit (caught by the DuckDB oracle)
-            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
-            sig = ((votes > 0).astype(np.uint64) << bit_idx).sum(
-                dtype=np.uint64)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
+        h, counts = _batch_gram_hashes(texts, 1)  # unigram hashes
+        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.uint8)
+        starts = np.cumsum(counts) - counts
+        ones = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+        # votes MUST be signed: uint64 arithmetic wraps ones·2 − n
+        # to a huge positive for minority bits, setting every
+        # non-tied bit (caught by the DuckDB oracle)
+        votes = ones * 2 - counts[:, None]
+        sigs = ((votes > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        return pd.Series(sigs.astype(np.int64))
 
     return df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("simhash"))
 
 
-def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
+                  materialize: bool = True) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming via chunk bucketing.
 
     COMPLETENESS requires the chunk count to follow the threshold: with
@@ -211,6 +287,10 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     exact Hamming distance filters in-bucket."""
     if not 0 <= max_hamming < 64:
         raise ValueError("max_hamming must be in [0, 64)")
+    if materialize:
+        # same single-computation device as lsh_candidate_pairs: the
+        # chunk self-join would otherwise run the signature UDF twice
+        sigs = sigs.localCheckpoint(eager=False)
     n_chunks = max_hamming + 1
     sizes = [64 // n_chunks + (1 if i < 64 % n_chunks else 0)
              for i in range(n_chunks)]

@@ -4,6 +4,12 @@ from .knn import (
     knn_join,
     write_points_bucketed,
 )
+from .layout import (
+    dequantize_points,
+    quantize_points,
+    read_points_fixedpoint,
+    write_points_fixedpoint,
+)
 from .pip import pip_join, pip_join_bbox, polygon_cover_cells, ray_cast_contains
 from .tiles import (
     hex_to_raster,

@@ -547,8 +547,14 @@ def _candidate_pass(points: DataFrame, q_pdf: pd.DataFrame,
     # materialize the ≤ |Q|·k survivors once; the summary below and the
     # caller's actions read these partitions. localCheckpoint blocks are
     # released by the ContextCleaner when this DataFrame is garbage-
-    # collected — nothing leaks across calls.
-    topk = topk.localCheckpoint(eager=True)
-    resolved = (topk.filter(F.col("n_cand") >= k)
-                .select("q_id").distinct().toPandas()["q_id"])
+    # collected — nothing leaks across calls. Planning happens here, so
+    # this is where the inferred isnotnull(cell-expr) clone must be
+    # suppressed (see session.without_inferred_join_key_filters: the
+    # clone pushed the stage past the JIT huge-method limit — 75×).
+    from ..session import without_inferred_join_key_filters
+
+    with without_inferred_join_key_filters(spark):
+        topk = topk.localCheckpoint(eager=True)
+        resolved = (topk.filter(F.col("n_cand") >= k)
+                    .select("q_id").distinct().toPandas()["q_id"])
     return topk, set(resolved.tolist())

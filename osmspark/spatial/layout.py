@@ -1,0 +1,101 @@
+"""Warehouse point layout: OSM-native 1e-7° fixed-point int32 coordinates.
+
+OSM coordinates are fixed-point by definition: the PBF format stores
+latitude as integer nanodegree offsets (``lat = (off + g·x)/1e9``,
+reference lib/pbfParser.js:341-349 via decode.py:307-308) and the OSM API
+rounds to 1e-7° — so every coordinate this engine decodes is an integer
+multiple of 1e-7°. Storing ``round(lat·1e7)`` as int32 is therefore
+LOSSLESS for PBF-decoded data (±180° spans ±1.8e9, inside int32), and the
+reconstruction ``lat_q / 1e7`` is bit-identical to the decoder's output:
+both are the correctly-rounded double of the same rational n·1e-7
+(the divisors 1e7 and 1e9 are exact doubles; the int numerators < 2^53).
+Dividing — NOT multiplying by the inexact double 1e-7 — is what makes the
+round-trip exact; a test pins it on the golden fixtures.
+
+Why bother at 100 TB: the (lat, lon) pair shrinks 16 → 8 bytes before
+encoding, and scan-heavy stages (tile encode, PIP prefilter, kNN candidate
+scan) are bandwidth-bound at high core counts — on this host the hex-tile
+scan-agg saturates DRAM near 16 threads (BENCH/host_calibration.json), so
+halving bytes directly lifts the multi-core ceiling. ``cluster_res``
+additionally range-partitions + sorts by a coarse hex cell: spatially
+local rows give parquet's int codecs small deltas (the bare scan measured
+~2× faster again) and make the per-partition min/max cell statistics tight
+so cell-range predicates prune row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..grid.hexgrid_sql import hex_cell_col
+
+__all__ = ["quantize_points", "dequantize_points",
+           "write_points_fixedpoint", "read_points_fixedpoint"]
+
+_SCALE = 1e7  # 1e-7° — OSM API precision; exact double
+
+
+def quantize_points(points: DataFrame, lat_col: str = "lat",
+                    lon_col: str = "lon") -> DataFrame:
+    """lat/lon doubles → 1e-7° fixed-point int32 (other columns pass
+    through). Round-to-nearest keeps sub-centimeter worst-case error for
+    non-OSM inputs; exact for OSM-decoded coordinates."""
+    cols = [c for c in points.columns if c not in (lat_col, lon_col)]
+    return points.select(
+        *cols,
+        F.round(F.col(lat_col) * _SCALE).cast("int").alias("lat_q"),
+        F.round(F.col(lon_col) * _SCALE).cast("int").alias("lon_q"))
+
+
+def dequantize_points(df: DataFrame, lat_col: str = "lat",
+                      lon_col: str = "lon") -> DataFrame:
+    """Reconstruct doubles IN THE SCAN PROJECTION (whole-stage codegen):
+    downstream operators see plain lat/lon; parquet only ships int32."""
+    cols = [c for c in df.columns if c not in ("lat_q", "lon_q")]
+    return df.select(
+        *cols,
+        (F.col("lat_q").cast("double") / F.lit(_SCALE)).alias(lat_col),
+        (F.col("lon_q").cast("double") / F.lit(_SCALE)).alias(lon_col))
+
+
+def write_points_fixedpoint(points: DataFrame, path: str,
+                            cluster_res: int | None = None,
+                            partitions: int | None = None,
+                            lat_col: str = "lat",
+                            lon_col: str = "lon",
+                            row_group_bytes: int | None = None) -> None:
+    """Write the fixed-point layout; ``cluster_res`` sorts spatially.
+
+    Clustering is one range-shuffle at write time — paid once, amortized
+    over every later scan (smaller files, tighter row-group stats for
+    cell-range predicates). CAVEAT measured at 320M rows: clustering
+    CONCENTRATES downstream per-region compute (a PIP refine's candidate
+    rows all land in the few partitions covering the polygons — 2.2×
+    slower than the unsorted layout on a polygon-heavy mix), so default
+    to unclustered unless scans are dominated by cell-range pruning.
+    ``row_group_bytes`` caps parquet row-group size so split planning can
+    slice files finer than one row group (the default 128 MiB group makes
+    a ~30 MiB compressed file one indivisible split)."""
+    q = quantize_points(points, lat_col, lon_col)
+    if cluster_res is not None:
+        cell = hex_cell_col(F.col("lat_q").cast("double") / F.lit(_SCALE),
+                            F.col("lon_q").cast("double") / F.lit(_SCALE),
+                            cluster_res)
+        q = q.withColumn("_cell", cell)
+        n = partitions or q.sparkSession.sparkContext.defaultParallelism * 4
+        q = (q.repartitionByRange(n, "_cell")
+             .sortWithinPartitions("_cell")
+             .drop("_cell"))
+    elif partitions is not None:
+        q = q.repartition(partitions)
+    writer = q.write.mode("overwrite")
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)
+
+
+def read_points_fixedpoint(spark: SparkSession, path: str,
+                           lat_col: str = "lat",
+                           lon_col: str = "lon") -> DataFrame:
+    """Scan the layout back as (…, lat, lon) doubles."""
+    return dequantize_points(spark.read.parquet(path), lat_col, lon_col)
