@@ -152,7 +152,11 @@ def worker(n_threads: int) -> None:
     # open-cost weight so BOTH levels read the same fine splits and waves
     # stay balanced
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 << 20))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
+    # 2 MiB open-cost: packs the 1.4 MiB page files ~4-5/bin (~55 decode
+    # tasks — 3.5 waves at local[16] instead of 2 ragged ones; measured
+    # decode ratio loss came from the half-empty second wave). The big
+    # points table is unaffected (31 MiB files split by size).
+    spark.conf.set("spark.sql.files.openCostInBytes", str(2 << 20))
     # the inferred isnotnull(join-key) clone of the cell-encode tree
     # costs a duplicate encode per row in the PIP cover join and tips
     # the kNN candidate stage into the JIT huge-method cliff (75×) —

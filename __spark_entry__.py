@@ -652,6 +652,32 @@ def _q_decode_way_golden(spark, sf_dir):
         F.element_at("tags", "name").alias("name_tag"))
 
 
+def _q_way_geometry_golden(spark, sf_dir):
+    """Way-geometry assembly (ways×nodes ref join) on the golden fixture.
+
+    Every expected coordinate is one of the reference's own pinned node
+    values (test/pbfTest.js:116-130) walked in way 27776903's ref order
+    (pbfTest.js:189-197); centroid/length are left-fold aggregates over
+    that walk, reproduced literal-for-literal in the oracle."""
+    from osmspark.pbf.source import nodes_from_pages, ways_from_pages
+    from osmspark.spatial import (
+        assemble_way_geometries, with_way_centroid, with_way_length_deg)
+    pages = _fixture_pages(spark).filter(
+        F.col("url") == "https://fixture.test/doc/0")
+    g = with_way_length_deg(with_way_centroid(
+        assemble_way_geometries(ways_from_pages(pages),
+                                nodes_from_pages(pages))))
+    return g.select(
+        "way_id", "n_refs", "n_missing",
+        F.element_at("lats", 1).alias("lat0"),
+        F.element_at("lons", 1).alias("lon0"),
+        F.element_at("lats", 3).alias("lat2"),
+        F.element_at("lons", 3).alias("lon2"),
+        F.element_at("lats", 5).alias("lat4"),
+        F.element_at("lons", 5).alias("lon4"),
+        "centroid_lat", "centroid_lon", "length_deg")
+
+
 def _q_decode_relation_golden(spark, sf_dir):
     from osmspark.pbf.source import relations_from_pages
     pages = _fixture_pages(spark)
@@ -956,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode path (PBF wire → entities; golden-pinned VALUES oracles)
         "decode_nodes_golden": _q_decode_nodes_golden,
         "decode_way_golden": _q_decode_way_golden,
+        "way_geometry_golden": _q_way_geometry_golden,
         "decode_relation_golden": _q_decode_relation_golden,
         "decode_header_golden": _q_header_golden,
         "decode_entity_counts": _q_decode_counts,
@@ -1047,6 +1074,20 @@ def oracle_sql() -> dict[str, str]:
             (56688, 28, 6947637, 'kmvar', 2, 'node', '319408586', 'way', '27776903', 'bus')
           ) AS t(id, version, changeset, "user", n_members, m0_type, m0_ref,
                  m1_type, m1_ref, route)
+        """,
+        # the walk values are pbfTest.js's pinned node coordinates in way
+        # 27776903's ref order; centroid/length literals are the exact
+        # IEEE left-fold results over that walk (same fold order as the
+        # engine's F.aggregate expressions)
+        "way_geometry_golden": """
+          SELECT * FROM (VALUES
+            (27776903, 5, 0,
+             51.507406, -0.1083348, 51.5074089, -0.1080108,
+             51.5074723, -0.1075014,
+             5.1507437200000005e1, -1.0790937999999999e-1,
+             8.42011452066341e-4)
+          ) AS t(way_id, n_refs, n_missing, lat0, lon0, lat2, lon2,
+                 lat4, lon4, centroid_lat, centroid_lon, length_deg)
         """,
         "decode_header_golden": """
           SELECT * FROM (VALUES ('0.40.1', 2)) AS t(writingprogram, n_required)

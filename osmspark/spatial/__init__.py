@@ -4,6 +4,11 @@ from .knn import (
     knn_join,
     write_points_bucketed,
 )
+from .geometry import (
+    assemble_way_geometries,
+    with_way_centroid,
+    with_way_length_deg,
+)
 from .layout import (
     dequantize_points,
     quantize_points,

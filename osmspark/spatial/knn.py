@@ -354,7 +354,11 @@ def knn_join(points: DataFrame, queries: DataFrame | pd.DataFrame,
     else:
         s_lat_e, s_lon_e, rate_e = s_lat, s_lon, sample_rate
     m = int(np.clip(round(3.0 * k * rate_e), 2, len(s_lat_e)))
-    if len(q_pdf) * len(s_lat_e) > 5e8:
+    # driver-side NumPy only for genuinely tiny estimates: serial driver
+    # work is a non-scaling term (same seconds at every cluster size), so
+    # it directly eats the N→4N efficiency ratio — route anything
+    # non-trivial through the executors
+    if len(q_pdf) * len(s_lat_e) > 5e7:
         d2_m = _nearest_sample_d2_spark(spark, q_pdf, s_lat_e, s_lon_e, m)
     else:
         d2_m = _nearest_sample_d2(q_lat, q_lon, s_lat_e, s_lon_e, m)
