@@ -49,16 +49,26 @@ Protocol: same job, same input, `local[{lo}]` vs `local[{hi}]` (the
 rule's "e.g. … or N and 4N cores" sandbox proxy), interleaved subprocess
 reps, per-stage min, steady-state timing (warm run excluded). Decode
 runs on the 12M-node pages table; spatial stages on a {n_big}M-point
-skew-clustered table with 8192 city-weighted kNN queries (k=10, density
-sample prebuilt as the table's index statistic).
+city-skewed table stored in the fixed-point int32 layout
+(`osmspark/spatial/layout.py` — half the scan bytes of f64) with 8192
+city-weighted kNN queries (k=10, density sample prebuilt as the
+table's index statistic).
 
 Level choice: `host_calibration.json` — the same scan-agg measured at
 local[2/4/8/16/32] runs 17.8/9.1/5.2/3.0/3.3 s, i.e. this VM's memory
 subsystem saturates near 16 threads (32 is NO faster than 16), while
-2→8 is the host's linear region. N→4N therefore measures {lo}→{hi};
-the 4→16 run is kept in `scaling_4_16.json` (total 0.79 — its
-denominator is host-bandwidth-capped, not plan-serialized; every stage
-there is a scan/broadcast-join/window with no sequential structure).
+2→8 is the host's linear region; a pinned-thread pure-Python burn
+scales only 0.86 from 4→16 procs (16 physical cores + SMT, all-core
+turbo), so ~0.86 is this HOST's 4→16 ceiling for any engine. N→4N
+therefore measures {lo}→{hi}; the 4→16 run is kept alongside in
+`scaling_4_16.json`: total {eff416} ({eff416_stages}). Note the 4→16
+composite FELL round-over-round (0.79 → {eff416}) because the absolute
+times improved at BOTH levels — local[4] {t4_416} s (was 109.3) and
+local[16] {t16_416} s (was 34.6): removing CPU waste (the inferred-
+filter JIT cliff, duplicate signature-UDF evaluation) speeds the
+4-thread denominator more than the 16-thread numerator, which sits
+nearer the chip's bandwidth/turbo ceiling. Throughput, not the ratio,
+is what a 1000-executor deployment buys.
 
 | stage | local[{lo}] sec | local[{hi}] sec | speedup | efficiency |
 |---|---|---|---|---|
@@ -86,16 +96,21 @@ throughput: {docs_per_sec} docs/sec, {nodes_per_sec:,.0f} nodes/sec,
 `python -m pytest -x -q` (golden parity with the reference's pinned
 fixture values, SQL-expression vs NumPy encoder bit-parity, structural
 invariants) plus the driver's side-by-side DuckDB oracle runs of the
-`__spark_entry__.py` queries (see CORRECTNESS_r*.json): all 35 queries
-value-checked hash-exact — the two approximate-by-design ANN top-k
-sets are pinned by seeded-constant/VALUES oracles plus recall@10
-floors (ann_lsh_recall, ann_ivf_recall).
+`__spark_entry__.py` queries (see CORRECTNESS_r*.json): all 36 queries
+value-checked hash-exact — the approximate-by-design ANN top-k sets
+are pinned by seeded-constant oracles (hyperplane/centroid constants
+inlined into the SQL) plus recall@10 floors (ann_lsh_recall,
+ann_ivf_recall).
 """
 
 
 def main():
     with open(os.path.join(HERE, "scaling.json")) as f:
         sc = json.load(f)
+    with open(os.path.join(HERE, "scaling_4_16.json")) as f:
+        sc416 = json.load(f)
+    eff416_stages = ", ".join(
+        f"{s} {v}" for s, v in sc416["efficiency"].items())
     lo, hi = sc["levels"]
     stage_lo = sc["stage_sec_min"][str(lo)]
     stage_hi = sc["stage_sec_min"][str(hi)]
@@ -133,7 +148,9 @@ def main():
         scale_rows=scale_rows,
         t_lo=sc["total_sec"][str(lo)], t_hi=sc["total_sec"][str(hi)],
         t_speedup=round(sc["total_sec"][str(lo)] / sc["total_sec"][str(hi)], 3),
-        t_eff=sc["total_efficiency"])
+        t_eff=sc["total_efficiency"],
+        eff416=sc416["total_efficiency"], eff416_stages=eff416_stages,
+        t4_416=sc416["total_sec"]["4"], t16_416=sc416["total_sec"]["16"])
     with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
         f.write(out)
     print("wrote BASELINE.md; total_efficiency =", sc["total_efficiency"])

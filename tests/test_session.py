@@ -1,0 +1,48 @@
+"""Session utilities: scoped optimizer-rule exclusion."""
+
+from __future__ import annotations
+
+from osmspark.session import INFER_FILTERS_RULE, without_inferred_join_key_filters
+
+
+def _get(spark, key):
+    try:
+        return spark.conf.get(key)
+    except Exception:
+        return None
+
+
+def test_rule_excluded_inside_scope_and_restored(spark):
+    key = "spark.sql.optimizer.excludedRules"
+    before = _get(spark, key)
+    with without_inferred_join_key_filters(spark):
+        assert INFER_FILTERS_RULE in (spark.conf.get(key) or "")
+    assert _get(spark, key) == before
+
+
+def test_scope_merges_with_existing_exclusions(spark):
+    key = "spark.sql.optimizer.excludedRules"
+    other = "org.apache.spark.sql.catalyst.optimizer.ConstantFolding"
+    before = _get(spark, key)
+    spark.conf.set(key, other)
+    try:
+        with without_inferred_join_key_filters(spark):
+            val = spark.conf.get(key)
+            assert other in val and INFER_FILTERS_RULE in val
+        assert spark.conf.get(key) == other
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+
+
+def test_restores_on_exception(spark):
+    key = "spark.sql.optimizer.excludedRules"
+    before = _get(spark, key)
+    try:
+        with without_inferred_join_key_filters(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert _get(spark, key) == before
