@@ -67,7 +67,7 @@ def run_bench(master: str, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     timings_all: dict[str, list[float]] = {}
     counters: dict[str, float] = {}
-    n_reps = int(os.environ.get("OSMSPARK_BENCH_REPS", "3"))
+    n_reps = int(os.environ.get("OSMSPARK_BENCH_REPS", "5"))
 
     def timed(name: str, fn):
         # min-of-N (VERDICT r2 item 8): this host's timing is noisy

@@ -115,12 +115,39 @@ def _fnv1a_batch(strings: list[bytes]) -> np.ndarray:
     return h
 
 
-def _spread_for_udf(df: DataFrame) -> DataFrame:
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True when the analyzed plan is just a scan under Project/Filter
+    wrappers — the only shape where probing the physical partition count
+    is cheap. On anything with joins/aggs/UDFs upstream,
+    ``df.rdd.getNumPartitions()`` forces full physical planning through
+    the RDD-conversion path and reports a pre-AQE count anyway."""
+    try:
+        p = df._jdf.queryExecution().analyzed()
+        while p.getClass().getSimpleName() in (
+                "Project", "Filter", "SubqueryAlias"):
+            p = p.children().apply(0)
+        return p.getClass().getSimpleName() in (
+            "LogicalRelation", "LocalRelation", "Range", "LogicalRDD",
+            "DataSourceV2Relation")
+    except Exception:
+        return False
+
+
+def _spread_for_udf(df: DataFrame, spread: bool | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the input is narrower than the
     cluster: the signature UDFs are CPU-bound, and a source that arrived
     as one small file (common for tiny dims / test fixtures) would pin
     the whole batch on one core. A warehouse-scale input already has
-    ≥ parallelism partitions and passes through untouched — no shuffle."""
+    ≥ parallelism partitions and passes through untouched — no shuffle.
+
+    ``spread=None`` (default) applies the heuristic only to bare-scan
+    inputs, where the partition-count probe is cheap; pass ``True`` to
+    force the spread on a derived input (you know it's narrow) or
+    ``False`` to skip the probe entirely."""
+    if spread is False:
+        return df
+    if spread is None and not _is_bare_scan(df):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -165,11 +192,13 @@ def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
 
 def minhash_signatures(df: DataFrame, n_hashes: int = 64, ngram: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42, spread: bool | None = None
+                       ) -> DataFrame:
     """(id, signature array<long>) via vectorized universal hashing:
-    min over shingles of ((a·h + b) mod 2^61−1)."""
+    min over shingles of ((a·h + b) mod 2^61−1). ``spread`` is forwarded
+    to :func:`_spread_for_udf` (None = spread bare scans only)."""
     a_par, b_par = _minhash_params(n_hashes, seed)
-    df = _spread_for_udf(df)
+    df = _spread_for_udf(df, spread)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
@@ -215,10 +244,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
     ``materialize`` (default) lazily local-checkpoints the signatures
     frame so the Python signature UDF upstream computes ONCE — a plain
     self-join evaluates each side's full lineage, doubling the UDF cost
-    (Spark does not reuse uncached subplans across join sides). Pass
-    ``materialize=False`` when ``signatures`` is already a stored table
-    (the warehouse shape: signatures land in their own table and the
-    checkpoint would only burn executor storage — ~0.5 KB/doc).
+    (Spark does not reuse uncached subplans across join sides).
+    Fault-tolerance trade-off: ``localCheckpoint`` truncates lineage and
+    stores blocks on executors only, so on a multi-executor cluster an
+    executor loss mid-job fails the job instead of recomputing — the
+    single-machine-friendly default. Pass ``materialize=False`` on a
+    cluster, and ALWAYS when ``signatures`` is already a stored table
+    (the warehouse shape: signatures land in their own table, keeping
+    full lineage recoverability, and the checkpoint would only burn
+    executor storage — ~0.5 KB/doc).
     """
     r = n_hashes // bands
     if materialize:
@@ -245,29 +279,45 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
 # --------------------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       spread: bool | None = None) -> DataFrame:
     """64-bit SimHash over token hashes (vectorized bit-vote)."""
-    df = _spread_for_udf(df)
+    df = _spread_for_udf(df, spread)
 
     @F.pandas_udf(T.LongType())
     def sim(texts: pd.Series) -> pd.Series:
-        # batch-wide unigram hashing + per-doc bit votes via add.reduceat
-        # (one (grams × 64) uint8 bit matrix for the whole Arrow batch —
-        # 64 B/gram — instead of a Python loop per doc)
+        # batch-wide unigram hashing + per-doc bit votes via add.reduceat.
+        # The (grams × 64) uint8 bit matrix is CHUNKED at doc boundaries
+        # (same budget loop as minhash_signatures): a 65536-record Arrow
+        # batch of long texts would otherwise materialize a multi-GB
+        # matrix in one shot; each chunk is ≤ ~16 MB and reduceat's dtype
+        # arg accumulates int64 without an int64 copy of the matrix.
         n_docs = len(texts)
         if n_docs == 0:
             return pd.Series([], dtype=np.int64)
         bit_idx = np.arange(64, dtype=np.uint64)
         h, counts = _batch_gram_hashes(texts, 1)  # unigram hashes
-        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.uint8)
-        starts = np.cumsum(counts) - counts
-        ones = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
-        # votes MUST be signed: uint64 arithmetic wraps ones·2 − n
-        # to a huge positive for minority bits, setting every
-        # non-tied bit (caught by the DuckDB oracle)
-        votes = ones * 2 - counts[:, None]
-        sigs = ((votes > 0).astype(np.uint64) << bit_idx[None, :]).sum(
-            axis=1, dtype=np.uint64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        sigs = np.empty(n_docs, dtype=np.uint64)
+        budget = 1 << 18
+        d0 = 0
+        while d0 < n_docs:
+            d1 = int(np.searchsorted(ends, ends[d0] - counts[d0] + budget,
+                                     side="right"))
+            d1 = max(d1, d0 + 1)
+            hs = h[starts[d0]:ends[d1 - 1]]
+            bits = ((hs[:, None] >> bit_idx[None, :])
+                    & np.uint64(1)).astype(np.uint8)
+            ones = np.add.reduceat(bits, starts[d0:d1] - starts[d0],
+                                   axis=0, dtype=np.int64)
+            # votes MUST be signed: uint64 arithmetic wraps ones·2 − n
+            # to a huge positive for minority bits, setting every
+            # non-tied bit (caught by the DuckDB oracle)
+            votes = ones * 2 - counts[d0:d1, None]
+            sigs[d0:d1] = ((votes > 0).astype(np.uint64)
+                           << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
+            d0 = d1
         return pd.Series(sigs.astype(np.int64))
 
     return df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("simhash"))
@@ -288,8 +338,9 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
     if not 0 <= max_hamming < 64:
         raise ValueError("max_hamming must be in [0, 64)")
     if materialize:
-        # same single-computation device as lsh_candidate_pairs: the
-        # chunk self-join would otherwise run the signature UDF twice
+        # same single-computation device as lsh_candidate_pairs — and the
+        # same fault-tolerance trade-off (see its docstring): prefer
+        # materialize=False on a multi-executor cluster / stored tables
         sigs = sigs.localCheckpoint(eager=False)
     n_chunks = max_hamming + 1
     sizes = [64 // n_chunks + (1 if i < 64 % n_chunks else 0)

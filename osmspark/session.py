@@ -3,12 +3,22 @@
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 INFER_FILTERS_RULE = (
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
+
+# process-wide refcount for the scoped rule exclusion below: SQL confs are
+# session-global, so overlapping scopes from concurrent driver threads
+# (run_stage units each planning a kNN pass) would otherwise race — one
+# thread's restore re-enabling the rule mid-action for another
+# (reintroducing the 75× JIT cliff) or leaving a stale value behind.
+_infer_lock = threading.Lock()
+_infer_depth = 0
+_infer_saved: str | None = None
 
 
 @contextmanager
@@ -27,22 +37,32 @@ def without_inferred_join_key_filters(spark: SparkSession):
     non-null inputs and the inferred filter can never reject a row.
 
     Scope: wrap the ACTION (planning happens at action time), not the
-    DataFrame construction.
+    DataFrame construction. Thread-safe: overlapping scopes refcount a
+    process-wide depth — the rule is excluded from the first enter to the
+    last exit, and the pre-existing conf value saved at depth 0 is what
+    the last exit restores (pinned by tests/test_session.py).
     """
+    global _infer_depth, _infer_saved
     key = "spark.sql.optimizer.excludedRules"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, INFER_FILTERS_RULE if not old
-                   else f"{old},{INFER_FILTERS_RULE}")
+    with _infer_lock:
+        if _infer_depth == 0:
+            try:
+                _infer_saved = spark.conf.get(key)
+            except Exception:
+                _infer_saved = None
+            spark.conf.set(key, INFER_FILTERS_RULE if not _infer_saved
+                           else f"{_infer_saved},{INFER_FILTERS_RULE}")
+        _infer_depth += 1
     try:
         yield
     finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+        with _infer_lock:
+            _infer_depth -= 1
+            if _infer_depth == 0:
+                if _infer_saved is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, _infer_saved)
 
 
 def get_spark(app: str = "osmspark", master: str | None = None,

@@ -39,11 +39,14 @@ def assemble_way_geometries(ways: DataFrame, nodes: DataFrame,
     (``n_missing = 0`` ⇒ the polyline is exactly the way's ref walk).
     Duplicate refs (closed rings repeat their first node) are preserved:
     the join fans out per occurrence and position sorting restores the
-    walk order.
+    walk order. Degenerate ways (empty or null ``refs_col``) surface as
+    (way_id, [], [], 0, 0) rows — ``posexplode_outer`` keeps them, per
+    the module's never-silently-dropped-rows contract.
     """
+    n_refs = F.greatest(F.coalesce(F.size(refs_col), F.lit(0)), F.lit(0))
     wr = ways.select(F.col(way_id).alias("way_id"),
-                     F.size(refs_col).alias("n_refs"),
-                     F.posexplode(refs_col).alias("pos", "ref"))
+                     n_refs.alias("n_refs"),
+                     F.posexplode_outer(refs_col).alias("pos", "ref"))
     nd = nodes.select(F.col(node_id).alias("ref"), "lat", "lon")
     joined = wr.join(nd, "ref", "left")
     # collect_list drops nulls: missing refs vanish from pts but stay in

@@ -215,24 +215,61 @@ def _coarse_cover(q_lat: np.ndarray, q_lon: np.ndarray, r: int, ring: int,
 def density_sample(points: DataFrame, point_id: str = "id",
                    target: int = 100_000, seed: int = 42
                    ) -> tuple[pd.DataFrame, float]:
-    """Hash-sampled (lat, lon) subset + realized sample rate.
+    """Hash-sampled (lat, lon) subset + realized sample rate — ONE scan.
 
-    The kNN density sketch: deterministic (xxhash64 bucket, no RNG state),
-    one JVM-only scan. At warehouse scale build it once alongside the
-    point table and pass it to every ``knn_join`` call — it plays the
-    role of a spatial index's statistics, amortized across queries."""
-    n_total = points.count()
-    if n_total <= target:
-        pdf = points.select("lat", "lon").toPandas()
-        return pdf, 1.0
+    The kNN density sketch: deterministic (xxhash64 bucket, no RNG
+    state), JVM-only. The keep threshold is sized from the optimizer's
+    size-in-bytes statistic (parquet footer metadata — no job) and the
+    exact row count rides the SAME scan via an ``Observation``
+    (CollectMetrics is a pushdown barrier, so the count sees every row —
+    pinned by tests), so the realized rate is exact without the separate
+    full ``count()`` the r3 convenience path paid. Estimate repair stays
+    driver-side and cheap: an overshot sample is bottom-k'd on its hash
+    (a uniform k-subset of a uniform sample is uniform); only a badly
+    undershot estimate (>8× off — a non-file plan with garbage stats)
+    falls back to one exact-keep rescan, the old two-scan cost. At
+    warehouse scale build the sketch once alongside the point table and
+    pass it to every ``knn_join`` call — it plays the role of a spatial
+    index's statistics, amortized across queries."""
+    from pyspark.sql import Observation
+
     buckets = 1 << 20
-    keep = max(1, int(target / n_total * buckets))
-    pdf = (points
-           .filter(F.pmod(F.xxhash64(F.col(point_id), F.lit(seed)),
-                          F.lit(buckets)) < keep)
-           .select("lat", "lon").toPandas())
+    # rows estimate from plan stats: file bytes over an 8 B/row floor —
+    # deliberately conservative: underestimating bytes/row OVERestimates
+    # rows, which only undershoots the sample size; the realized rate is
+    # exact either way (measured n_total from the same scan)
+    try:
+        est_bytes = int(points._jdf.queryExecution().optimizedPlan()
+                        .stats().sizeInBytes().toString())
+    except Exception:
+        est_bytes = 0
+    est_rows = max(1, est_bytes // 8)
+    h = F.pmod(F.xxhash64(F.col(point_id), F.lit(seed)), F.lit(buckets))
+
+    def scan(keep: int) -> tuple[pd.DataFrame, int]:
+        obs = Observation()
+        pdf = (points
+               .observe(obs, F.count(F.lit(1)).alias("n_total"))
+               .withColumn("_h", h)
+               .filter(F.col("_h") < keep)
+               .select("lat", "lon", "_h").toPandas())
+        return pdf, int(obs.get["n_total"])
+
+    keep = min(buckets, max(1, round(target / est_rows * buckets)))
+    pdf, n_total = scan(keep)
+    if n_total == 0:
+        return pdf[["lat", "lon"]], 1.0
+    want = min(target, n_total)
+    if len(pdf) < max(1, want // 8) and keep < buckets:
+        # stats were garbage (non-file plan): one exact-keep rescan
+        keep = min(buckets, max(1, round(target / n_total * buckets)))
+        pdf, n_total = scan(keep)
     rate = len(pdf) / n_total
-    return pdf, max(rate, 1e-12)
+    if len(pdf) > 4 * target:
+        pdf = pdf.nsmallest(target, "_h")
+        rate = target / n_total
+    pdf = pdf[["lat", "lon"]].reset_index(drop=True)
+    return pdf, max(min(rate, 1.0), 1e-12)
 
 
 def _nearest_sample_d2(q_lat: np.ndarray, q_lon: np.ndarray,

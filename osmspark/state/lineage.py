@@ -96,23 +96,35 @@ def run_stage(store: StateStore, stage: str, units: list[str],
     a lock — the parquet append is small and serializing it avoids
     committer staging-dir races) only AFTER its output is fully written,
     so a kill mid-flight loses only in-flight units. A failing unit
-    raises after the in-flight units drain; its lineage row is never
-    written, so the rerun recomputes exactly the failed/unfinished set.
+    raises after the in-flight units drain; queued not-yet-started units
+    are CANCELLED (``shutdown(cancel_futures=True)``), and no lineage row
+    is written for the failed or cancelled units, so the rerun recomputes
+    exactly the failed + cancelled + unfinished set (pinned by
+    tests/test_state_streaming.py::test_run_stage_failure_cancels_queued).
     """
     done = {r.unit for r in store.completed_units(stage).collect()}
     pending = [u for u in units if u not in done]
     skipped = [u for u in units if u in done]
     append_lock = threading.Lock()
+    stop = threading.Event()  # set by the first failure: queued units bail
 
     def _run(unit: str) -> str:
+        if stop.is_set():
+            raise RuntimeError(
+                f"unit {unit} cancelled: an earlier unit failed")
         t0 = time.time()
-        df = compute_unit(unit)
-        if write:
-            path = os.path.join(out_root or store.root, stage, f"unit={unit}")
-            df.write.mode("overwrite").parquet(path)
-            n = store.spark.read.parquet(path).count()
-        else:
-            n = df.count()
+        try:
+            df = compute_unit(unit)
+            if write:
+                path = os.path.join(out_root or store.root, stage,
+                                    f"unit={unit}")
+                df.write.mode("overwrite").parquet(path)
+                n = store.spark.read.parquet(path).count()
+            else:
+                n = df.count()
+        except BaseException:
+            stop.set()  # fail fast: units the pool hasn't started yet bail
+            raise
         with append_lock:
             store.append([{
                 "stage": stage, "unit": unit, "row_count": int(n),
@@ -122,10 +134,14 @@ def run_stage(store: StateStore, stage: str, units: list[str],
 
     finished: set[str] = set()
     if pending:
-        with ThreadPoolExecutor(
-                max_workers=min(max_workers, len(pending))) as pool:
+        pool = ThreadPoolExecutor(max_workers=min(max_workers, len(pending)))
+        try:
             futures = [pool.submit(_run, u) for u in pending]
             for fut in as_completed(futures):
                 finished.add(fut.result())
+        finally:
+            # first failure: in-flight units drain (their lineage rows
+            # commit), queued units never start — the docstring contract
+            pool.shutdown(wait=True, cancel_futures=True)
     return {"computed": [u for u in units if u in finished],
             "skipped": skipped}

@@ -83,6 +83,26 @@ def test_centroid_and_length_match_fold_order(spark, golden_pbf):
     assert row["length_deg"] == exp_len
 
 
+def test_empty_and_null_refs_ways_surface(spark):
+    """Degenerate ways (empty / null node_refs) must NOT vanish — the
+    never-silently-dropped-rows contract (posexplode_outer, not inner)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("node_refs", T.ArrayType(T.LongType()))])
+    ways = spark.createDataFrame(
+        [(1, [10]), (2, []), (3, None)], schema)
+    nodes = spark.createDataFrame(pd.DataFrame(
+        {"id": [10], "lat": [5.0], "lon": [6.0]}))
+    rows = {r["way_id"]: r
+            for r in assemble_way_geometries(ways, nodes).collect()}
+    assert set(rows) == {1, 2, 3}
+    for wid in (2, 3):
+        assert rows[wid]["lats"] == [] and rows[wid]["lons"] == []
+        assert rows[wid]["n_refs"] == 0 and rows[wid]["n_missing"] == 0
+
+
 def test_single_point_and_empty_ways(spark):
     ways = spark.createDataFrame(
         pd.DataFrame({"id": [1, 2], "node_refs": [[10], [11, 12]]}))

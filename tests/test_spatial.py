@@ -217,6 +217,26 @@ def test_pip_sql_raycast_matches_numpy_concave(spark, pts):
     assert got == want and len(want) > 0
 
 
+def test_density_sample_one_scan_exact_rate(spark, pts, tmp_path_factory):
+    """The single-scan sketch: the realized rate must be exact — the row
+    count rides the same scan via an Observation (CollectMetrics is a
+    pushdown barrier, so the count sees ALL rows, not the filtered ones),
+    and len(sample)/rate recovers the true table size."""
+    from osmspark.spatial.knn import density_sample
+
+    df, _, _ = pts
+    path = str(tmp_path_factory.mktemp("ds") / "points")
+    df.write.parquet(path)
+    scan = spark.read.parquet(path)
+    pdf, rate = density_sample(scan, target=500)
+    assert 0 < len(pdf) <= 4 * 500
+    assert abs(len(pdf) / rate - N) < 1e-6
+    assert list(pdf.columns) == ["lat", "lon"]
+    # target above the table size: full keep, rate exactly 1
+    pdf_all, rate_all = density_sample(scan, target=10 * N)
+    assert len(pdf_all) == N and rate_all == 1.0
+
+
 def test_knn_bucketed_matches_bruteforce(spark, pts, tmp_path_factory):
     """write_points_bucketed + knn_join(part_res=...) is still exact:
     the coarse-cover partition pruning must never drop a candidate,

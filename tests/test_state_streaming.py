@@ -97,6 +97,31 @@ def test_run_stage_units_run_concurrently(spark, tmp_path):
     assert r2["computed"] == ["9"] and sorted(r2["skipped"]) == ["7", "8"]
 
 
+def test_run_stage_failure_cancels_queued(spark, tmp_path):
+    """First failure cancels QUEUED units: with 1 worker, a failure in
+    the second unit means the third never starts (no compute call, no
+    lineage row) — the rerun recomputes exactly failed + cancelled."""
+    store = StateStore(spark, str(tmp_path / "state4"))
+    calls = []
+
+    def compute(unit):
+        calls.append(unit)
+        if unit == "b":
+            raise ValueError("boom")
+        return spark.range(1).select(F.col("id").alias("v"))
+
+    with pytest.raises(ValueError):
+        run_stage(store, "cancel", ["a", "b", "c"], compute,
+                  out_root=str(tmp_path / "out4"), max_workers=1)
+    assert calls == ["a", "b"]  # "c" was queued and never started
+    done = {r.unit for r in store.completed_units("cancel").collect()}
+    assert done == {"a"}
+    r2 = run_stage(store, "cancel", ["a", "b", "c"],
+                   lambda u: spark.range(1).select(F.col("id").alias("v")),
+                   out_root=str(tmp_path / "out4"), max_workers=1)
+    assert r2["computed"] == ["b", "c"] and r2["skipped"] == ["a"]
+
+
 def test_streaming_decode_counts(spark, tmp_path, pages_df):
     """Micro-batch streaming decode == batch decode (maxFilesPerTrigger
     backpressure = the reference's pause/resume analogue)."""
