@@ -65,7 +65,49 @@ N_BIG = 320_000_000
 # polygons) — layout.py documents the trade
 BIG_CACHE = f"/tmp/osmspark_scaling/points{N_BIG}_fp_flat"
 
-STAGES = ["decode", "hex_tiles", "raster_tiles", "pip_join", "knn"]
+STAGES = ["decode", "hex_tiles", "raster_tiles", "pip_join", "knn",
+          "way_geom"]
+
+# way-geometry assembly over the co-bucketed warehouse layout
+# (osmspark/spatial/geometry.py write_way_join_bucketed): refs and nodes
+# bucketed+sorted on node id, so the 160M×160M ref join is a shuffle-free
+# SortMergeJoin and the only shuffle is the (way_id)-keyed reassembly —
+# the planet-scale shape. 80M (= N_BIG/4) keeps one execution of the
+# stage to tens of seconds at the LOW level; the layout itself is what's
+# being scale-proven, not the table size.
+WAY_N = N_BIG // 4
+WAY_BUCKETS = 128
+WAY_BKT = f"/tmp/osmspark_scaling/way_bkt_{WAY_N}"
+
+
+def build_way_tables(spark, points) -> None:
+    """Build (once) or re-register the co-bucketed refs/nodes tables:
+    way_id = id DIV 8 — 8 consecutive node ids per way, constructed
+    directly in the exploded shape (no collect_list shuffle needed)."""
+    from pyspark.sql import functions as F
+
+    from osmspark.spatial import register_way_join_tables
+
+    done = all(os.path.exists(f"{WAY_BKT}/{t}/_SUCCESS")
+               for t in ("scale_refs", "scale_nodes"))
+    if done:
+        register_way_join_tables(spark, WAY_BKT, WAY_BUCKETS,
+                                 "scale_refs", "scale_nodes")
+        return
+    refs = (spark.range(WAY_N, numPartitions=128)
+            .select(F.expr("id DIV 8").alias("way_id"),
+                    F.lit(8).cast("int").alias("n_refs"),
+                    (F.col("id") % 8).cast("int").alias("pos"),
+                    F.col("id").alias("ref")))
+    nd = points.filter(F.col("id") < WAY_N).select("id", "lat", "lon")
+    for name, df, col in (("scale_refs", refs, "ref"),
+                          ("scale_nodes", nd, "id")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.repartition(WAY_BUCKETS, F.col(col))
+         .write.mode("overwrite")
+         .bucketBy(WAY_BUCKETS, col).sortBy(col)
+         .option("path", os.path.join(WAY_BKT, name))
+         .saveAsTable(name))
 
 
 def write_pages_if_needed(spark) -> None:
@@ -189,8 +231,10 @@ def worker(n_threads: int) -> None:
      .mapInPandas(_warm_worker, "id long").count())
 
     build_big_points(spark, BIG_CACHE, N_BIG)
-    from osmspark.spatial import read_points_fixedpoint
+    from osmspark.spatial import (
+        assemble_way_geometries_bucketed, read_points_fixedpoint)
     points = read_points_fixedpoint(spark, BIG_CACHE)
+    build_way_tables(spark, points)
 
     # one polygon per city on the gaussian SHOULDER ([μ+0.02, μ+0.06]):
     # ~2.5% of each city's mass → ~4M refine rows, heavy enough to time,
@@ -244,6 +288,8 @@ def worker(n_threads: int) -> None:
         "knn": (lambda: knn_join(points, qpdf, 10, res=12,
                                  sample=sample_pdf,
                                  sample_rate=sample_rate).count(), 1),
+        "way_geom": (lambda: assemble_way_geometries_bucketed(
+            spark, "scale_refs", "scale_nodes").count(), 1),
     }
     out = {}
     for name, (fn, repeats) in stages.items():

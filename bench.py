@@ -209,6 +209,23 @@ def run_bench(master: str, sf_dir: str) -> dict:
     counters["n_knn_rows"] = timed(
         "knn_k10", lambda: knn_join(points, queries_df, 10).count())
 
+    # 7b. way-geometry assembly: the ways×nodes ref join every consumer of
+    # the reference's way output must run (osm-read emits nodeRefs only,
+    # lib/pbfParser.js:443-473). Ways synthesized once from the decoded
+    # node ids (8 consecutive ids per way) — build cost cached, the timed
+    # stage is the explode → join-on-ref → per-way reassembly.
+    from osmspark.spatial import assemble_way_geometries
+    ways_path = f"{pages_path}_ways"
+    if not os.path.exists(f"{ways_path}/_SUCCESS"):
+        (points.groupBy(F.expr("id DIV 8").alias("id"))
+         .agg(F.sort_array(F.collect_list("id")).alias("node_refs"))
+         .write.mode("overwrite").parquet(ways_path))
+    ways = spark.read.parquet(ways_path)
+    assemble_way_geometries(ways.limit(256), points).count()  # warm
+    counters["n_ways"] = timed(
+        "way_geometry",
+        lambda: assemble_way_geometries(ways, points).count())
+
     # 8. dedup + ANN over the driver tables at this sf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -5,9 +5,14 @@ from .knn import (
     write_points_bucketed,
 )
 from .geometry import (
+    assemble_from_exploded_refs,
     assemble_way_geometries,
+    assemble_way_geometries_bucketed,
+    explode_way_refs,
+    register_way_join_tables,
     with_way_centroid,
     with_way_length_deg,
+    write_way_join_bucketed,
 )
 from .layout import (
     dequantize_points,

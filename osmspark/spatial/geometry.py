@@ -13,19 +13,26 @@ Scale notes: the refs→nodes join is the single biggest shuffle in any
 planet-scale OSM pipeline (planet: ~9×10^8 ways averaging ~9 refs vs
 ~8×10^9 nodes). It shuffles both sides on node id — co-locate by
 bucketing/sorting both decoded tables on id at write time to make it a
-shuffle-free sort-merge join; the aggregation shuffles (way_id, pos,
-lat, lon) — 20 bytes/ref with map-side combine. Nothing ever collects to
-the driver; missing refs (nodes filtered out upstream, or absent from
-the extract — common with bbox-clipped extracts) are counted per way,
-never silently dropped rows.
+shuffle-free sort-merge join (that layout is built by
+:func:`write_way_join_bucketed` and consumed by
+:func:`assemble_way_geometries_bucketed`; the absent Exchange is pinned
+by tests/test_geometry.py); the aggregation shuffles (way_id, pos, lat,
+lon) — 20 bytes/ref with map-side combine. Nothing ever collects to the
+driver; missing refs (nodes filtered out upstream, or absent from the
+extract — common with bbox-clipped extracts) are counted per way, never
+silently dropped rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import os
 
-__all__ = ["assemble_way_geometries", "with_way_centroid",
-           "with_way_length_deg"]
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["assemble_way_geometries", "assemble_way_geometries_bucketed",
+           "assemble_from_exploded_refs", "explode_way_refs",
+           "write_way_join_bucketed", "register_way_join_tables",
+           "with_way_centroid", "with_way_length_deg"]
 
 
 def assemble_way_geometries(ways: DataFrame, nodes: DataFrame,
@@ -43,12 +50,30 @@ def assemble_way_geometries(ways: DataFrame, nodes: DataFrame,
     (way_id, [], [], 0, 0) rows — ``posexplode_outer`` keeps them, per
     the module's never-silently-dropped-rows contract.
     """
+    return assemble_from_exploded_refs(
+        explode_way_refs(ways, way_id, refs_col), nodes, node_id)
+
+
+def explode_way_refs(ways: DataFrame, way_id: str = "id",
+                     refs_col: str = "node_refs") -> DataFrame:
+    """(way_id, n_refs, pos, ref) — the storable exploded-refs shape.
+
+    At warehouse scale this IS the layout to persist: bucketed by ``ref``
+    against a node table bucketed by id, the refs×nodes join needs no
+    shuffle (see :func:`write_way_join_bucketed`). Degenerate ways keep
+    one (pos=null, ref=null) row (``posexplode_outer``)."""
     n_refs = F.greatest(F.coalesce(F.size(refs_col), F.lit(0)), F.lit(0))
-    wr = ways.select(F.col(way_id).alias("way_id"),
-                     n_refs.alias("n_refs"),
-                     F.posexplode_outer(refs_col).alias("pos", "ref"))
+    return ways.select(F.col(way_id).alias("way_id"),
+                       n_refs.alias("n_refs"),
+                       F.posexplode_outer(refs_col).alias("pos", "ref"))
+
+
+def assemble_from_exploded_refs(refs: DataFrame, nodes: DataFrame,
+                                node_id: str = "id") -> DataFrame:
+    """Assembly over a pre-exploded refs table (way_id, n_refs, pos, ref):
+    the shared tail of the shuffle and bucketed paths."""
     nd = nodes.select(F.col(node_id).alias("ref"), "lat", "lon")
-    joined = wr.join(nd, "ref", "left")
+    joined = refs.join(nd, "ref", "left")
     # collect_list drops nulls: missing refs vanish from pts but stay in
     # n_refs; array_sort on struct orders by the leading pos field
     pts = F.array_sort(F.collect_list(
@@ -61,6 +86,72 @@ def assemble_way_geometries(ways: DataFrame, nodes: DataFrame,
                     F.transform("pts", lambda p: p["lon"]).alias("lons"),
                     "n_refs",
                     (F.col("n_refs") - F.size("pts")).alias("n_missing")))
+
+
+_REFS_DDL = "way_id BIGINT, n_refs INT, pos INT, ref BIGINT"
+_NODES_DDL = "id BIGINT, lat DOUBLE, lon DOUBLE"
+
+
+def write_way_join_bucketed(nodes: DataFrame, ways: DataFrame, path: str,
+                            n_buckets: int = 128,
+                            refs_table: str = "osm_way_refs",
+                            nodes_table: str = "osm_nodes_bkt",
+                            way_id: str = "id", refs_col: str = "node_refs",
+                            node_id: str = "id") -> None:
+    """Bucket+sort BOTH sides of the refs×nodes join on node id — the
+    planet-scale layout the module docstring prescribes.
+
+    Writes two external bucketed parquet tables under ``path`` (one file
+    per bucket: the repartition keys each bucket to one task, so the
+    read-back scan satisfies the sort spec without re-sorting) and
+    registers them in the session catalog. Reading them back through
+    :func:`assemble_way_geometries_bucketed` plans the join as a
+    SortMergeJoin over the two bucketed scans with NO Exchange on either
+    side — at planet scale that deletes the 8×10^9-row node shuffle from
+    every geometry build. Pick ``n_buckets`` so a bucket is O(1 GB)
+    (buckets = read tasks for the join)."""
+    spark = nodes.sparkSession
+    refs = explode_way_refs(ways, way_id, refs_col).select(
+        F.col("way_id").cast("long"), F.col("n_refs").cast("int"),
+        F.col("pos").cast("int"), F.col("ref").cast("long"))
+    nd = nodes.select(F.col(node_id).cast("long").alias("id"),
+                      F.col("lat").cast("double"),
+                      F.col("lon").cast("double"))
+    for name, df, col in ((refs_table, refs, "ref"), (nodes_table, nd, "id")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.repartition(n_buckets, F.col(col))
+         .write.mode("overwrite")
+         .bucketBy(n_buckets, col).sortBy(col)
+         .option("path", os.path.join(path, name))
+         .saveAsTable(name))
+
+
+def register_way_join_tables(spark: SparkSession, path: str,
+                             n_buckets: int = 128,
+                             refs_table: str = "osm_way_refs",
+                             nodes_table: str = "osm_nodes_bkt") -> None:
+    """Re-register existing bucketed files in a FRESH session's catalog
+    (the in-memory catalog dies with the session; bucket ids are
+    recovered from the file names, so external DDL over the same
+    CLUSTERED BY spec reads the layout back intact)."""
+    for name, ddl, col in ((refs_table, _REFS_DDL, "ref"),
+                           (nodes_table, _NODES_DDL, "id")):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({col}) SORTED BY ({col}) INTO {n_buckets} "
+            f"BUCKETS LOCATION '{os.path.join(path, name)}'")
+
+
+def assemble_way_geometries_bucketed(spark: SparkSession,
+                                     refs_table: str = "osm_way_refs",
+                                     nodes_table: str = "osm_nodes_bkt"
+                                     ) -> DataFrame:
+    """Way-geometry assembly over the co-bucketed layout: the refs×nodes
+    join reads bucket i of each table in the same task — no Exchange, no
+    sort (both sides stored sorted by the key). Only the final
+    (way_id)-keyed aggregation shuffles, and that side is 20 bytes/ref."""
+    return assemble_from_exploded_refs(spark.table(refs_table),
+                                       spark.table(nodes_table))
 
 
 def _fold_sum(arr):

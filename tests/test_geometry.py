@@ -83,6 +83,61 @@ def test_centroid_and_length_match_fold_order(spark, golden_pbf):
     assert row["length_deg"] == exp_len
 
 
+def test_bucketed_way_join_no_exchange_and_exact(spark, tmp_path_factory):
+    """The warehouse layout: write_way_join_bucketed + the bucketed
+    assembly must (a) plan the refs×nodes join as a SortMergeJoin with
+    ZERO Exchange — both sides read co-bucketed — and (b) return exactly
+    the shuffle path's rows. Also pins that a FRESH catalog re-registers
+    the same files (register_way_join_tables: bucket ids recovered from
+    file names) without losing the shuffle-free plan."""
+    from osmspark.spatial import (
+        assemble_way_geometries,
+        assemble_way_geometries_bucketed,
+        register_way_join_tables,
+        write_way_join_bucketed,
+    )
+
+    n = 2000
+    nodes = spark.range(n).select(
+        "id", (F.col("id") % 90 * 1.0).alias("lat"),
+        (F.col("id") % 180 * 1.0).alias("lon"))
+    ways = (nodes.groupBy(F.expr("id DIV 4").alias("id"))
+            .agg(F.sort_array(F.collect_list("id")).alias("node_refs")))
+    root = str(tmp_path_factory.mktemp("bkt"))
+    write_way_join_bucketed(nodes, ways, root, n_buckets=8,
+                            refs_table="t_refs", nodes_table="t_nodes")
+    # fresh-catalog path: drop the catalog entries, re-register over files
+    spark.sql("DROP TABLE t_refs")
+    spark.sql("DROP TABLE t_nodes")
+    register_way_join_tables(spark, root, 8, "t_refs", "t_nodes")
+
+    confs = {"spark.sql.adaptive.enabled": "false",
+             "spark.sql.autoBroadcastJoinThreshold": "-1"}
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = spark.table("t_refs").join(
+            spark.table("t_nodes").withColumnRenamed("id", "ref"), "ref")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+
+        def key(rows):
+            return {(r["way_id"], tuple(r["lats"]), tuple(r["lons"]),
+                     r["n_refs"], r["n_missing"]) for r in rows}
+
+        got = key(assemble_way_geometries_bucketed(
+            spark, "t_refs", "t_nodes").collect())
+        want = key(assemble_way_geometries(ways, nodes).collect())
+        assert got == want and len(want) == n // 4
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS t_refs")
+        spark.sql("DROP TABLE IF EXISTS t_nodes")
+
+
 def test_empty_and_null_refs_ways_surface(spark):
     """Degenerate ways (empty / null node_refs) must NOT vanish — the
     never-silently-dropped-rows contract (posexplode_outer, not inner)."""
