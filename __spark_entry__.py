@@ -678,6 +678,34 @@ def _q_way_geometry_golden(spark, sf_dir):
         "centroid_lat", "centroid_lon", "length_deg")
 
 
+def _q_relation_geometry_golden(spark, sf_dir):
+    """Relation (multipolygon) assembly — the relations→ways→nodes
+    two-level join (osmspark/spatial/geometry.py) on the golden fixture.
+
+    Relation 56688's ordered members are the reference's own pinned
+    values (test/xmlPbfTest.js:115-133: node 319408586 role '', way
+    27776903 role ''; member decode at lib/pbfParser.js:486-531); the
+    walk values are the pinned node coordinates in the member way's ref
+    order (pbfTest.js:189-197)."""
+    from osmspark.pbf.source import (
+        nodes_from_pages, relations_from_pages, ways_from_pages)
+    from osmspark.spatial import assemble_relation_geometries
+    pages = _fixture_pages(spark).filter(
+        F.col("url") == "https://fixture.test/doc/0")
+    g = assemble_relation_geometries(
+        relations_from_pages(pages), ways_from_pages(pages),
+        nodes_from_pages(pages))
+    return g.select(
+        "rel_id", "role", "n_members", "n_way_members", "n_missing_ways",
+        "n_missing_nodes", "ring_closed",
+        F.size("lats").alias("n_points"),
+        F.element_at("way_ids", 1).alias("way0"),
+        F.element_at("lats", 1).alias("lat0"),
+        F.element_at("lons", 1).alias("lon0"),
+        F.element_at("lats", 5).alias("lat4"),
+        F.element_at("lons", 5).alias("lon4"))
+
+
 def _q_decode_relation_golden(spark, sf_dir):
     from osmspark.pbf.source import relations_from_pages
     pages = _fixture_pages(spark)
@@ -983,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_nodes_golden": _q_decode_nodes_golden,
         "decode_way_golden": _q_decode_way_golden,
         "way_geometry_golden": _q_way_geometry_golden,
+        "relation_geometry_golden": _q_relation_geometry_golden,
         "decode_relation_golden": _q_decode_relation_golden,
         "decode_header_golden": _q_header_golden,
         "decode_entity_counts": _q_decode_counts,
@@ -1088,6 +1117,17 @@ def oracle_sql() -> dict[str, str]:
              8.42011452066341e-4)
           ) AS t(way_id, n_refs, n_missing, lat0, lon0, lat2, lon2,
                  lat4, lon4, centroid_lat, centroid_lon, length_deg)
+        """,
+        # relation 56688's member list and the member way's walk are the
+        # reference's pinned values (xmlPbfTest.js:115-133, pbfTest.js
+        # node table); the open service way is not a ring
+        "relation_geometry_golden": """
+          SELECT * FROM (VALUES
+            (56688, '', 2, 1, 0, 0, false, 5, 27776903,
+             51.507406, -0.1083348, 51.5074723, -0.1075014)
+          ) AS t(rel_id, role, n_members, n_way_members, n_missing_ways,
+                 n_missing_nodes, ring_closed, n_points, way0,
+                 lat0, lon0, lat4, lon4)
         """,
         "decode_header_golden": """
           SELECT * FROM (VALUES ('0.40.1', 2)) AS t(writingprogram, n_required)

@@ -6,8 +6,10 @@ from .knn import (
 )
 from .geometry import (
     assemble_from_exploded_refs,
+    assemble_relation_geometries,
     assemble_way_geometries,
     assemble_way_geometries_bucketed,
+    explode_relation_members,
     explode_way_refs,
     register_way_join_tables,
     with_way_centroid,

@@ -83,6 +83,80 @@ def test_centroid_and_length_match_fold_order(spark, golden_pbf):
     assert row["length_deg"] == exp_len
 
 
+def test_golden_relation_assembles_member_way(spark, golden_pbf):
+    """Relation 56688's ordered members are the reference's own pinned
+    values (test/xmlPbfTest.js:115-133: node 319408586 role '', way
+    27776903 role ''); the assembled walk is the member way's ref walk."""
+    from osmspark.pbf.source import (
+        nodes_from_pages, relations_from_pages, ways_from_pages)
+    from osmspark.spatial import assemble_relation_geometries
+
+    pages = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://fixture.test/doc/0"],
+                      "html": [golden_pbf]}))
+    out = assemble_relation_geometries(
+        relations_from_pages(pages), ways_from_pages(pages),
+        nodes_from_pages(pages)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["rel_id"] == 56688 and r["role"] == ""
+    assert r["way_ids"] == [27776903]
+    assert r["n_members"] == 2 and r["n_way_members"] == 1
+    assert r["n_missing_ways"] == 0 and r["n_missing_nodes"] == 0
+    assert r["lats"] == [p[0] for p in GOLDEN_WALK]
+    assert r["lons"] == [p[1] for p in GOLDEN_WALK]
+    assert r["ring_closed"] is False  # open service way, not a ring
+
+
+def test_multipolygon_roles_stitching_missing_and_nodeonly(spark):
+    """Synthetic multipolygon: the outer ring split across two ways
+    stitches closed in member order; the inner role keeps its own row;
+    a way member absent from the ways table is counted, not dropped;
+    node members surface as an empty-walk row; a node-only relation
+    still appears."""
+    from pyspark.sql import types as T
+    from osmspark.spatial import assemble_relation_geometries
+
+    nodes = spark.createDataFrame(pd.DataFrame({
+        "id": [10, 11, 12, 13, 20, 21, 22],
+        "lat": [0.0, 0.0, 1.0, 1.0, 0.2, 0.2, 0.4],
+        "lon": [0.0, 1.0, 1.0, 0.0, 0.2, 0.4, 0.3]}))
+    ways = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3],
+        "node_refs": [[10, 11, 12], [12, 13, 10], [20, 21, 22, 20]]}))
+    member_t = T.ArrayType(T.StructType([
+        T.StructField("ref", T.StringType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("type", T.StringType())]))
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("members", member_t)])
+    rels = spark.createDataFrame([
+        (9, [("1", "outer", "way"), ("2", "outer", "way"),
+             ("3", "inner", "way"), ("99", "inner", "way"),
+             ("10", "", "node")]),
+        (8, [("10", "", "node"), ("11", "", "node")]),
+    ], schema)
+    rows = {(r["rel_id"], r["role"]): r
+            for r in assemble_relation_geometries(rels, ways, nodes).collect()}
+    assert set(rows) == {(9, "outer"), (9, "inner"), (9, ""), (8, "")}
+
+    outer = rows[(9, "outer")]
+    assert outer["way_ids"] == [1, 2]
+    assert outer["lats"] == [0.0, 0.0, 1.0, 1.0, 1.0, 0.0]  # w1 then w2
+    assert outer["ring_closed"] is True  # walk returns to (0, 0)
+    assert outer["n_way_members"] == 2 and outer["n_missing_ways"] == 0
+
+    inner = rows[(9, "inner")]
+    assert inner["way_ids"] == [3, 99]
+    assert inner["n_missing_ways"] == 1  # way 99 absent, counted
+    assert inner["ring_closed"] is True  # w3 alone closes; 99 adds nothing
+    assert len(inner["lats"]) == 4
+
+    assert rows[(9, "")]["n_way_members"] == 0
+    assert rows[(9, "")]["lats"] == [] and rows[(9, "")]["ring_closed"] is False
+    assert rows[(8, "")]["n_members"] == 2  # node-only relation surfaces
+
+
 def test_bucketed_way_join_no_exchange_and_exact(spark, tmp_path_factory):
     """The warehouse layout: write_way_join_bucketed + the bucketed
     assembly must (a) plan the refs×nodes join as a SortMergeJoin with
