@@ -588,6 +588,56 @@ _NATION_RECTS_SQL = """
 """
 
 
+# concave polygons for the ray-cast refine oracle: a U (the notch makes
+# refine ≠ bbox) and a dart (reflex vertex). Vertices carry .005/.006
+# offsets so no 2-dp event point sits near a boundary, and NO two
+# consecutive vertices share a lat (no horizontal edges → the crossing
+# test never divides by zero in either engine).
+_CONCAVE_RINGS = {
+    0: ([0.005, 0.006, 20.005, 20.006, 5.005, 5.006, 20.007, 20.008],
+        [0.005, 30.005, 30.006, 20.005, 20.006, 10.005, 10.006, 0.006]),
+    1: ([-40.005, -20.005, -40.006, -30.005],
+        [-60.005, -50.005, -40.005, -50.006]),
+}
+
+
+def _concave_polys_pandas():
+    import pandas as pd
+    rows = []
+    for pid, (rl, rlo) in _CONCAVE_RINGS.items():
+        rows.append({"poly_id": pid, "name": f"concave-{pid}",
+                     "min_lat": min(rl), "max_lat": max(rl),
+                     "min_lon": min(rlo), "max_lon": max(rlo),
+                     "ring_lat": list(rl), "ring_lon": list(rlo)})
+    return pd.DataFrame(rows)
+
+
+def _pip_concave_oracle_sql() -> str:
+    """DuckDB oracle for the CONCAVE ray-cast refine: the even-odd
+    crossing rule (osmspark/spatial/pip.py ray_cast_contains) recomputed
+    edge-by-edge in SQL with the ring vertices inlined via repr() — the
+    identical IEEE expression shape ((xj−xi)·(lat−yi))/(yj−yi)+xi, so
+    crossing decisions agree bit-for-bit with the NumPy refine."""
+    selects = []
+    for pid, (rl, rlo) in _CONCAVE_RINGS.items():
+        n = len(rl)
+        terms = []
+        j = n - 1
+        for i in range(n):
+            yi, xi, yj, xj = rl[i], rlo[i], rl[j], rlo[j]
+            terms.append(
+                f"(CASE WHEN (({yi!r} > lat) != ({yj!r} > lat))"
+                f" AND (lon < ({xj!r} - {xi!r}) * (lat - {yi!r})"
+                f" / ({yj!r} - {yi!r}) + {xi!r}) THEN 1 ELSE 0 END)")
+            j = i
+        selects.append(
+            f"SELECT id, {pid} AS poly_id FROM pts"
+            f" WHERE ({' + '.join(terms)}) % 2 = 1")
+    body = "\nUNION ALL\n".join(selects)
+    return (f"WITH pts AS ({_EVENT_POINTS_SQL})\n{body}\n"
+            "ORDER BY id, poly_id")
+
+
 def _nation_rects_pandas(spark: SparkSession, sf_dir: str):
     pdf = _nation_rects(spark, sf_dir).toPandas()
     pdf["ring_lat"] = pdf.apply(
@@ -848,6 +898,17 @@ def _q_pip_raycast(spark, sf_dir):
             .select("id", "poly_id").orderBy("id", "poly_id"))
 
 
+def _q_pip_concave(spark, sf_dir):
+    """Full pip_join broadcast path (cover cells → bbox prefilter →
+    pandas ray-cast refine) against CONCAVE polygons — the U-notch makes
+    refine strictly tighter than bbox, so this pins the even-odd
+    crossing logic end-to-end against an independent SQL recomputation."""
+    from osmspark.spatial import pip_join
+    pts = _event_points(spark, sf_dir)
+    return (pip_join(pts, _concave_polys_pandas(), res=4)
+            .select("id", "poly_id").orderBy("id", "poly_id"))
+
+
 def _q_hex_tiles(spark, sf_dir):
     from osmspark.spatial import tile_counts
     pts = _event_points(spark, sf_dir)
@@ -1028,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_planar_k5": _q_knn,
         "pip_bbox": _q_pip_bbox,
         "pip_raycast_rect": _q_pip_raycast,
+        "pip_raycast_concave": _q_pip_concave,
         "hex_tiles_r7": _q_hex_tiles,
         "s2_tiles_l10": _q_s2_tiles,
         "hex_rollup_totals": _q_hex_rollup,
@@ -1225,6 +1287,7 @@ def oracle_sql() -> dict[str, str]:
            AND pts.lon BETWEEN rects.min_lon AND rects.max_lon
           ORDER BY id, poly_id
         """,
+        "pip_raycast_concave": _pip_concave_oracle_sql(),
         "hex_rollup_totals": f"""
           -- conservation oracle: rollup must preserve the total point count
           WITH pts AS ({_EVENT_POINTS_SQL})
