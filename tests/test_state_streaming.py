@@ -142,6 +142,97 @@ def test_streaming_decode_counts(spark, tmp_path, pages_df):
     assert len(q.recentProgress) >= 2
 
 
+def test_streaming_windowed_sink_kill_resume_no_recompute(spark, tmp_path):
+    """Streaming × lineage: a windowed tile-count stream killed (stop())
+    and restarted from the same checkpoint resumes WITHOUT recomputing
+    emitted windows — each window's lineage row stays unique, its unit
+    parquet stays intact, and a replayed foreachBatch is a no-op."""
+    import pandas as pd
+
+    from osmspark.state import StateStore
+    from osmspark.streaming import (
+        make_windowed_sink_batch_writer,
+        sink_windowed_tiles,
+        stream_windowed_tile_counts,
+    )
+
+    src = tmp_path / "nodes_src"
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "win_out")
+    store = StateStore(spark, str(tmp_path / "state_stream"))
+    h = 3_600_000
+    base = 1735689600000  # 2025-01-01T00:00:00Z, on a 10-min boundary
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["timestamp_ms", "lat", "lon"])
+        (spark.createDataFrame(pdf)
+         .coalesce(1).write.mode("append").parquet(str(src)))
+
+    def windowed():
+        stream = (spark.readStream
+                  .schema("timestamp_ms long, lat double, lon double")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src)))
+        return stream_windowed_tile_counts(stream, res=7,
+                                           window="10 minutes",
+                                           watermark="30 minutes")
+
+    # run 1: window A ([00:00,00:10), 4 rows in 2 cells) in file 1; a
+    # 01:00 row in file 2 advances the watermark past A's end, so A
+    # emits; the 01:00 window F stays open (un-emitted) at the kill
+    write([(base + i * 60_000, 51.5, -0.12) for i in range(3)]
+          + [(base + 60_000, 48.85, 2.35)])
+    write([(base + h, 51.5, -0.12)])
+    q = sink_windowed_tiles(windowed(), store, out, ckpt,
+                            available_now=False)
+    q.processAllAvailable()
+    q.stop()  # the kill
+
+    unit_a, unit_f = str(base), str(base + h)
+    done1 = {r.unit for r in
+             store.completed_units("windowed_tiles").collect()}
+    assert done1 == {unit_a}
+    a_rows = sorted((r["cell"], r["n_points"]) for r in
+                    spark.read.parquet(out)
+                    .filter(F.col("unit") == base).collect())
+    assert sorted(n for _, n in a_rows) == [1, 3]  # Paris 1, London 3
+
+    # run 2 (the restart): one more file at 02:00 closes window F; A is
+    # NOT recomputed — same checkpoint, offsets already committed
+    write([(base + 2 * h, 51.5, -0.12)])
+    q2 = sink_windowed_tiles(windowed(), store, out, ckpt,
+                             available_now=False)
+    q2.processAllAvailable()
+    q2.stop()
+    per_unit = {r["unit"]: r["n"] for r in
+                store.lineage().filter(F.col("stage") == "windowed_tiles")
+                .groupBy("unit").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_unit == {unit_a: 1, unit_f: 1}  # one lineage row per window
+    a_rows2 = sorted((r["cell"], r["n_points"]) for r in
+                     spark.read.parquet(out)
+                     .filter(F.col("unit") == base).collect())
+    assert a_rows2 == a_rows  # window A's unit untouched by the resume
+
+    # replayed batch (kill mid-commit → foreachBatch re-runs): no-op
+    writer = make_windowed_sink_batch_writer(store, out, "windowed_tiles")
+    # materialize the batch (a real foreachBatch batch is never backed by
+    # the sink's own files — lazily re-reading them after the first
+    # overwrite would read deleted parquet)
+    replay_pdf = (spark.read.parquet(out)
+                  .filter(F.col("unit") == base).drop("unit").toPandas())
+    replay = spark.createDataFrame(replay_pdf)
+    writer(replay, 99)
+    writer(replay, 99)
+    per_unit3 = {r["unit"]: r["n"] for r in
+                 store.lineage().filter(F.col("stage") == "windowed_tiles")
+                 .groupBy("unit").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_unit3 == {unit_a: 1, unit_f: 1}
+    a_rows3 = sorted((r["cell"], r["n_points"]) for r in
+                     spark.read.parquet(out)
+                     .filter(F.col("unit") == base).collect())
+    assert a_rows3 == a_rows
+
+
 def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     """Event-time windowed tile counts (C2 contract): a closed window
     emits exactly once in append mode, and rows arriving later than the
