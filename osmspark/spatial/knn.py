@@ -239,11 +239,16 @@ def density_sample(points: DataFrame, point_id: str = "id",
     # rows, which only undershoots the sample size; the realized rate is
     # exact either way (measured n_total from the same scan)
     try:
-        est_bytes = int(points._jdf.queryExecution().optimizedPlan()
-                        .stats().sizeInBytes().toString())
+        sz = (points._jdf.queryExecution().optimizedPlan()
+              .stats().sizeInBytes())
+        # py4j hands small BigInts back as Python ints, big ones as refs
+        est_bytes = int(sz) if isinstance(sz, int) else int(sz.toString())
     except Exception:
         est_bytes = 0
-    est_rows = max(1, est_bytes // 8)
+    # unknown stats: assume BIG (10^9 rows) — an undershot sample falls
+    # through to the exact-keep rescan below (bounded, old two-scan
+    # cost), while assuming small would collect the whole table
+    est_rows = max(1, est_bytes // 8) if est_bytes > 0 else 1_000_000_000
     h = F.pmod(F.xxhash64(F.col(point_id), F.lit(seed)), F.lit(buckets))
 
     def scan(keep: int) -> tuple[pd.DataFrame, int]:
