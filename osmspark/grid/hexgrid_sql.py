@@ -20,8 +20,8 @@ from pyspark.sql import Column, functions as F
 from . import hexgrid
 
 __all__ = ["hex_qr_cols", "hex_pack_col", "hex_cell_col",
-           "hex_cell_col_multires", "hex_kring_array_col",
-           "hex_kring_explode"]
+           "hex_cell_col_multires", "hex_center_cols", "hex_parent_col",
+           "hex_kring_array_col", "hex_kring_explode"]
 
 _OFFSET = hexgrid._OFFSET
 _SQRT3_3 = float(hexgrid._SQRT3) / 3.0  # identical double to the numpy constant
@@ -116,6 +116,42 @@ def hex_cell_col_multires(lat: Column, lon: Column, res_col: Column,
     return (F.shiftleft(res_col.cast("long"), 60)
             + (q2.cast("long") + F.lit(_OFFSET)) * F.lit(1 << 30)
             + (r2.cast("long") + F.lit(_OFFSET)))
+
+
+def hex_center_cols(cell: Column) -> tuple[Column, Column]:
+    """Cell id → (lat, lon) hex-center Columns — mirrors
+    hexgrid.cell_to_center op-for-op: per-res edge sizes resolve through
+    a literal CASE chain carrying the exact ``edge_deg`` float64 values
+    (never a runtime pow(), which can differ from NumPy in the last
+    ulp), so centers are bit-identical."""
+    res = F.shiftright(cell, 60).bitwiseAND(F.lit(15))
+    q = (F.shiftright(cell, 30).bitwiseAND(F.lit((1 << 30) - 1))
+         - F.lit(_OFFSET)).cast("double")
+    r = (cell.bitwiseAND(F.lit((1 << 30) - 1))
+         - F.lit(_OFFSET)).cast("double")
+    size = None
+    for rv in range(hexgrid.MAX_RES + 1):
+        branch = F.lit(hexgrid.edge_deg(rv))
+        size = (F.when(res == rv, branch) if size is None
+                else size.when(res == rv, branch))
+    lon = size * F.lit(float(hexgrid._SQRT3)) * (q + r / F.lit(2.0))
+    lat = size * F.lit(1.5) * r
+    return lat, lon
+
+
+def hex_parent_col(cell: Column, parent_res: int) -> Column:
+    """Ancestor cell id at ``parent_res``, pure SQL — center containment
+    exactly like hexgrid.parent (decode center, re-encode coarser), so
+    rollups never leave whole-stage codegen. == hexgrid.parent bit-for-
+    bit (pinned by tests/test_grid.py).
+
+    PLAN-SIZE CAVEAT: this single-Column form inlines the center CASE
+    trees into every reference inside the encode — fine in a one-off
+    select, but in a pipeline stage the Catalyst substitution cost grows
+    multiplicatively (s2_sql.py:40-52 landmine). Production rollups
+    stage the centers as columns first (see spatial/tiles.py rollup)."""
+    lat, lon = hex_center_cols(cell)
+    return hex_cell_col(lat, lon, parent_res)
 
 
 def _kring_offsets(k: int) -> list[tuple[int, int]]:

@@ -63,9 +63,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from . import s2 as _s2
 
-__all__ = ["with_s2_cell_sql"]
+__all__ = ["with_s2_cell_sql", "s2_parent_col"]
 
 _MAX_LEVEL = _s2.MAX_LEVEL
+
+
+def s2_parent_col(cell: Column, level: int) -> Column:
+    """Ancestor at ``level``, pure SQL: the standard S2 lsb arithmetic
+    (mask off finer position bits, set the level sentinel). uint64 bit
+    ops == int64 bit ops on the same bit pattern, so this matches
+    s2.parent exactly (pinned by tests/test_grid.py)."""
+    lsb = int(_s2.lsb_for_level(level))
+    mask = ~(lsb - 1) & ((1 << 64) - 1)
+    if mask >= 1 << 63:
+        mask -= 1 << 64
+    return cell.bitwiseAND(F.lit(mask)).bitwiseOR(F.lit(lsb))
 
 
 def _pack_table() -> int:

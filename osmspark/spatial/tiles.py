@@ -103,21 +103,27 @@ def tile_counts(df: DataFrame, res: int, grid: str = "hex",
 def rollup(tiles: DataFrame, parent_res: int, grid: str = "hex") -> DataFrame:
     """Re-aggregate per-cell counts to a coarser resolution.
 
-    Operates on the (small) tile table, not raw points: parent ids come
-    from a vectorized UDF over cell ids; counts sum exactly (child counts
-    partition parent counts — pinned by tests)."""
+    Operates on the tile table, not raw points; parent ids are pure SQL
+    expressions (hex: decode-center → re-encode, the same center
+    containment as hexgrid.parent; s2: lsb mask arithmetic) — no Python
+    worker even when the tile table itself is big. Counts sum exactly
+    (child counts partition parent counts — pinned by tests)."""
     if grid == "hex":
-        @F.pandas_udf(T.LongType())
-        def par(cell: pd.Series) -> pd.Series:
-            return pd.Series(hexgrid.parent(cell.to_numpy(), parent_res))
+        from ..grid.hexgrid_sql import hex_cell_col, hex_center_cols
+        # stage the decoded centers as COLUMNS before re-encoding:
+        # inlining them duplicates the per-res CASE tree once per
+        # reference inside the encode and Catalyst pays ~seconds of
+        # substitution per action (the s2_sql.py:40-52 landmine —
+        # measured 1.0 → 2.6s on the bench rollup); across a projection
+        # boundary the encode references two plain attributes
+        c_lat, c_lon = hex_center_cols(F.col("cell"))
+        tiles = tiles.withColumns({"_clat": c_lat, "_clon": c_lon})
+        par = hex_cell_col(F.col("_clat"), F.col("_clon"), parent_res)
     else:
-        @F.pandas_udf(T.LongType())
-        def par(cell: pd.Series) -> pd.Series:
-            return pd.Series(
-                s2.parent(cell.to_numpy().astype(np.uint64), parent_res)
-                .astype(np.int64))
+        from ..grid.s2_sql import s2_parent_col
+        par = s2_parent_col(F.col("cell"), parent_res)
     return (tiles
-            .withColumn("parent_cell", par(F.col("cell")))
+            .withColumn("parent_cell", par)
             .groupBy("parent_cell")
             .agg(F.sum("n_points").alias("n_points"))
             .withColumnRenamed("parent_cell", "cell")
@@ -147,16 +153,12 @@ def raster_tile_counts(df: DataFrame, zoom: int,
 
 def hex_to_raster(tiles: DataFrame, zoom: int) -> DataFrame:
     """Vector→raster: map each hex cell's centroid into a z/x/y tile and
-    re-aggregate counts (classic rasterization of a vector layer)."""
-    @F.pandas_udf("lat double, lon double")
-    def center(cell: pd.Series) -> pd.DataFrame:
-        lat, lon = hexgrid.cell_to_center(cell.to_numpy())
-        return pd.DataFrame({"lat": lat, "lon": lon})
-
-    with_center = tiles.withColumn("_c", center(F.col("cell")))
-    pts = with_center.select(
-        F.col("_c.lat").alias("lat"), F.col("_c.lon").alias("lon"),
-        F.col("n_points"))
+    re-aggregate counts (classic rasterization of a vector layer). Cell
+    centers are pure SQL (hex_center_cols) — no Python worker."""
+    from ..grid.hexgrid_sql import hex_center_cols
+    c_lat, c_lon = hex_center_cols(F.col("cell"))
+    pts = tiles.select(c_lat.alias("lat"), c_lon.alias("lon"),
+                       F.col("n_points"))
     n = float(1 << zoom)
     lat = F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), F.col("lat")))
     lat_rad = F.radians(lat)

@@ -196,3 +196,32 @@ def test_hex_multires_matches_fixed_res(spark):
         want[m] = H.cell_id(got["lat"].to_numpy()[m],
                             got["lon"].to_numpy()[m], rv)
     assert np.array_equal(got["cell"].to_numpy(), want)
+
+
+def test_sql_parent_cols_match_numpy(spark):
+    """hex_parent_col / s2_parent_col (the rollup path, now pure SQL) are
+    bit-identical to hexgrid.parent / s2.parent across res pairs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osmspark.grid.hexgrid_sql import hex_parent_col
+    from osmspark.grid.s2_sql import s2_parent_col
+
+    rng = np.random.default_rng(123)
+    lat = rng.uniform(-89.9, 89.9, 5000)
+    lon = rng.uniform(-180, 180, 5000)
+    for child, parent in ((7, 6), (9, 5), (12, 11), (3, 0)):
+        cells = H.cell_id(lat, lon, child)
+        df = spark.createDataFrame(pd.DataFrame({"cell": cells}))
+        got = np.array([r[0] for r in
+                        df.select(hex_parent_col(F.col("cell"), parent))
+                        .collect()])
+        assert np.array_equal(got, H.parent(cells, parent)), (child, parent)
+    for child, parent in ((10, 8), (14, 6), (30, 10)):
+        cells = S.cell_id(lat, lon, child).astype(np.int64)
+        df = spark.createDataFrame(pd.DataFrame({"cell": cells}))
+        got = np.array([r[0] for r in
+                        df.select(s2_parent_col(F.col("cell"), parent))
+                        .collect()])
+        want = S.parent(cells.astype(np.uint64), parent).astype(np.int64)
+        assert np.array_equal(got, want), (child, parent)
