@@ -923,6 +923,31 @@ def _q_s2_tiles(spark, sf_dir):
             .select("cell", "n_points").orderBy("cell"))
 
 
+def _q_trip_metrics(spark, sf_dir):
+    """Geodesic length + signed shoelace ring area over many synthetic
+    polylines — the consumer metrics layer on top of way-geometry
+    assembly, exercised at row counts the golden fixture can't give.
+
+    Event points are grouped into 97 "trips" (id mod 97) and walked in
+    id order THROUGH THE REAL ways×nodes ref join
+    (assemble_way_geometries), then measured: haversine meters
+    (per-segment floor to whole meters, int64 sum — order-insensitive,
+    so the oracle's window-function recomputation is bit-exact) and the
+    (lon, lat) shoelace area (multiply/subtract only — IEEE-exact; same
+    sequential left fold as the engine's other array folds, mirrored by
+    the oracle's ordered list_reduce)."""
+    from osmspark.spatial import (
+        assemble_way_geometries, with_ring_area, with_way_length_m)
+    pts = _event_points(spark, sf_dir)
+    trips = (pts.groupBy((F.col("id") % 97).alias("trip_id"))
+             .agg(F.sort_array(F.collect_list("id")).alias("node_refs")))
+    g = with_ring_area(with_way_length_m(
+        assemble_way_geometries(trips, pts, way_id="trip_id")))
+    return (g.select(F.col("way_id").alias("trip_id"), "n_refs",
+                     "n_missing", "length_m", "ring_area_deg2")
+            .orderBy("trip_id"))
+
+
 def _q_hex_rollup(spark, sf_dir):
     from osmspark.spatial import rollup, tile_counts
     pts = _event_points(spark, sf_dir)
@@ -1093,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_tiles_r7": _q_hex_tiles,
         "s2_tiles_l10": _q_s2_tiles,
         "hex_rollup_totals": _q_hex_rollup,
+        "trip_metrics": _q_trip_metrics,
         # pipeline
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1292,6 +1318,44 @@ def oracle_sql() -> dict[str, str]:
           -- conservation oracle: rollup must preserve the total point count
           WITH pts AS ({_EVENT_POINTS_SQL})
           SELECT count(*) AS total_points FROM pts
+        """,
+        # independent window-function recomputation of the trip metrics:
+        # haversine terms replicate the engine's exact op order (each
+        # degree multiplied by pi()/180 FIRST, sin((to-from)/2),
+        # cos(from)*cos(to), s2 + c*(s*s)); per-segment floor-to-meters
+        # summed as BIGINT is order-insensitive, and the shoelace fold is
+        # an ordered list_reduce (same IEEE left fold as F.aggregate)
+        "trip_metrics": f"""
+          WITH pts AS ({_EVENT_POINTS_SQL}),
+          trips AS (
+            SELECT id % 97 AS trip_id, id, lat, lon FROM pts),
+          seg AS (
+            SELECT trip_id, id, lat, lon,
+                   LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+                   COALESCE(LEAD(lat) OVER w, FIRST_VALUE(lat) OVER w) AS nlat,
+                   COALESCE(LEAD(lon) OVER w, FIRST_VALUE(lon) OVER w) AS nlon
+            FROM trips WINDOW w AS (PARTITION BY trip_id ORDER BY id)),
+          terms AS (
+            SELECT trip_id, id,
+              CASE WHEN plat IS NULL THEN NULL ELSE
+                CAST(FLOOR((2.0 * 6371008.8) * ASIN(SQRT(
+                  (SIN(((lat * (pi() / 180.0)) - (plat * (pi() / 180.0))) / 2)
+                   * SIN(((lat * (pi() / 180.0)) - (plat * (pi() / 180.0))) / 2))
+                  + (COS(plat * (pi() / 180.0)) * COS(lat * (pi() / 180.0)))
+                    * (SIN(((lon * (pi() / 180.0)) - (plon * (pi() / 180.0))) / 2)
+                       * SIN(((lon * (pi() / 180.0)) - (plon * (pi() / 180.0))) / 2))
+                ))) AS BIGINT) END AS seg_m,
+              (lon * nlat) - (nlon * lat) AS cross_t
+            FROM seg)
+          SELECT trip_id,
+                 CAST(COUNT(*) AS INT) AS n_refs,
+                 CAST(0 AS INT) AS n_missing,
+                 CAST(SUM(seg_m) AS BIGINT) AS length_m,
+                 CASE WHEN COUNT(*) >= 3 THEN
+                   list_reduce(list(cross_t ORDER BY id),
+                               (a, b) -> a + b) / 2.0
+                 END AS ring_area_deg2
+          FROM terms GROUP BY trip_id ORDER BY trip_id
         """,
         "dedup_exact": """
           SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -5,6 +5,7 @@ from .knn import (
     write_points_bucketed,
 )
 from .geometry import (
+    EARTH_RADIUS_M,
     assemble_from_exploded_refs,
     assemble_relation_geometries,
     assemble_way_geometries,
@@ -12,8 +13,10 @@ from .geometry import (
     explode_relation_members,
     explode_way_refs,
     register_way_join_tables,
+    with_ring_area,
     with_way_centroid,
     with_way_length_deg,
+    with_way_length_m,
     write_way_join_bucketed,
 )
 from .layout import (

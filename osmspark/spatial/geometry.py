@@ -33,7 +33,8 @@ __all__ = ["assemble_way_geometries", "assemble_way_geometries_bucketed",
            "assemble_from_exploded_refs", "assemble_relation_geometries",
            "explode_way_refs", "explode_relation_members",
            "write_way_join_bucketed", "register_way_join_tables",
-           "with_way_centroid", "with_way_length_deg"]
+           "with_way_centroid", "with_way_length_deg",
+           "with_way_length_m", "with_ring_area"]
 
 
 def assemble_way_geometries(ways: DataFrame, nodes: DataFrame,
@@ -287,3 +288,78 @@ def with_way_length_deg(geoms: DataFrame,
         return _fold_sum(segs)
 
     return geoms.withColumn(out, seg_len(F.col("lats"), F.col("lons")))
+
+
+#: IUGG mean Earth radius — the conventional haversine sphere.
+EARTH_RADIUS_M = 6371008.8
+
+_DEG2RAD = 3.141592653589793 / 180.0  # closest double to pi, then /180
+
+
+def with_way_length_m(geoms: DataFrame, out: str = "length_m",
+                      radius_m: float = EARTH_RADIUS_M) -> DataFrame:
+    """Great-circle (haversine) polyline length in METERS (0.0 for < 2
+    points) — the geodesic companion to :func:`with_way_length_deg`.
+
+    Pure array expressions in whole-stage codegen, no Python worker.
+    Each segment is the textbook haversine
+    ``2·R·asin(sqrt(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)))``; per-segment
+    lengths are FLOORED TO WHOLE METERS and summed as int64, so the sum
+    is order-insensitive and exact (a bigint add), and a last-ulp
+    difference between the JVM's and another engine's sin/cos/asin
+    cannot flip the result unless a segment lands within one ulp of a
+    meter boundary (probability ~1e-9 per segment; the DuckDB oracle
+    relies on this — same rationale as the S2 oracle's boundary note).
+    Meter granularity per segment is far below the haversine model error
+    itself (the sphere-vs-ellipsoid gap is ~0.3%).
+    """
+    def hav(col_lat, col_lon):
+        m = F.greatest(F.size(col_lat) - 1, F.lit(0))
+        la1 = F.transform(F.slice(col_lat, 1, m), lambda x: x * _DEG2RAD)
+        la2 = F.transform(F.slice(col_lat, 2, m), lambda x: x * _DEG2RAD)
+        lo1 = F.transform(F.slice(col_lon, 1, m), lambda x: x * _DEG2RAD)
+        lo2 = F.transform(F.slice(col_lon, 2, m), lambda x: x * _DEG2RAD)
+        sin_dla = F.zip_with(la1, la2, lambda a, b: F.sin((b - a) / 2))
+        sin_dlo = F.zip_with(lo1, lo2, lambda a, b: F.sin((b - a) / 2))
+        cos_prod = F.zip_with(la1, la2,
+                              lambda a, b: F.cos(a) * F.cos(b))
+        terms = F.zip_with(
+            F.zip_with(sin_dla, cos_prod, lambda s, c: F.struct(
+                (s * s).alias("s2"), c.alias("c"))),
+            sin_dlo,
+            lambda sc, s: sc["s2"] + sc["c"] * (s * s))
+        metres = F.transform(
+            terms, lambda t: F.floor(
+                F.lit(2.0 * radius_m) * F.asin(F.sqrt(t))).cast("long"))
+        return F.aggregate(metres, F.lit(0).cast("long"),
+                           lambda acc, x: acc + x)
+
+    return geoms.withColumn(out, hav(F.col("lats"), F.col("lons")))
+
+
+def with_ring_area(geoms: DataFrame, out: str = "ring_area_deg2"
+                   ) -> DataFrame:
+    """Signed shoelace area of the (lon, lat) ring in square degrees.
+
+    The ring is implicitly closed (the wrap-around edge last→first is
+    included), so it gives the enclosed area whether or not the walk
+    repeats its first vertex; positive = counter-clockwise in (lon, lat)
+    axes — the sign distinguishes multipolygon outer/inner winding.
+    Null for < 3 points (no area). Every term is multiply/subtract on
+    the input doubles — IEEE-exact in any engine — and the fold is the
+    same sequential left fold as :func:`with_way_length_deg`'s, so an
+    oracle reproduces it bit-for-bit with an ordered left fold.
+    """
+    n = F.size("lats")
+    # x = lon, y = lat; rotate by 1 with wrap for the "next" vertex
+    nxt = lambda col: F.concat(
+        F.slice(col, 2, F.greatest(F.size(col) - 1, F.lit(0))),
+        F.slice(col, 1, 1))
+    cross = F.zip_with(
+        F.zip_with(F.col("lons"), F.col("lats"),
+                   lambda x, y: F.struct(x.alias("x"), y.alias("y"))),
+        F.zip_with(nxt(F.col("lons")), nxt(F.col("lats")),
+                   lambda x, y: F.struct(x.alias("x"), y.alias("y"))),
+        lambda a, b: a["x"] * b["y"] - b["x"] * a["y"])
+    signed = F.aggregate(cross, F.lit(0.0), lambda acc, t: acc + t) / 2.0
+    return geoms.withColumn(out, F.when(n >= 3, signed))

@@ -212,6 +212,49 @@ def test_bucketed_way_join_no_exchange_and_exact(spark, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS t_nodes")
 
 
+def test_relation_assembly_over_bucketed_way_geoms(spark, tmp_path_factory):
+    """The docstring's scale shape: build way geometries ONCE from the
+    co-bucketed layout and feed them to relation assembly via way_geoms=
+    — results identical to the direct relations→ways→nodes path."""
+    from pyspark.sql import types as T
+    from osmspark.spatial import (
+        assemble_relation_geometries,
+        assemble_way_geometries_bucketed,
+        write_way_join_bucketed,
+    )
+
+    nodes = spark.range(400).select(
+        "id", (F.col("id") % 90 * 1.0).alias("lat"),
+        (F.col("id") % 180 * 1.0).alias("lon"))
+    ways = (nodes.groupBy(F.expr("id DIV 4").alias("id"))
+            .agg(F.sort_array(F.collect_list("id")).alias("node_refs")))
+    member_t = T.ArrayType(T.StructType([
+        T.StructField("ref", T.StringType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("type", T.StringType())]))
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("members", member_t)])
+    rels = spark.createDataFrame(
+        [(1, [(str(w), "outer", "way") for w in (3, 4, 5)]),
+         (2, [("7", "inner", "way"), ("999", "outer", "way")])], schema)
+    root = str(tmp_path_factory.mktemp("rel_bkt"))
+    write_way_join_bucketed(nodes, ways, root, n_buckets=4,
+                            refs_table="r_refs", nodes_table="r_nodes")
+    try:
+        def key(rows):
+            return {(r["rel_id"], r["role"], tuple(r["way_ids"]),
+                     tuple(r["lats"]), r["n_missing_ways"]) for r in rows}
+        via_bucketed = key(assemble_relation_geometries(
+            rels, way_geoms=assemble_way_geometries_bucketed(
+                spark, "r_refs", "r_nodes")).collect())
+        direct = key(assemble_relation_geometries(
+            rels, ways, nodes).collect())
+        assert via_bucketed == direct and len(direct) == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r_refs")
+        spark.sql("DROP TABLE IF EXISTS r_nodes")
+
+
 def test_empty_and_null_refs_ways_surface(spark):
     """Degenerate ways (empty / null node_refs) must NOT vanish — the
     never-silently-dropped-rows contract (posexplode_outer, not inner)."""
@@ -244,3 +287,44 @@ def test_single_point_and_empty_ways(spark):
     assert rows[2]["n_missing"] == 2
     assert rows[2]["centroid_lat"] is None
     assert rows[2]["length_deg"] == 0.0
+
+
+def test_way_length_m_matches_independent_haversine(spark):
+    """Floored-meter haversine sum vs an independent NumPy haversine
+    (different op order / no floor): must agree within n_segments
+    meters — the floor's worst case — on a varied global walk."""
+    import numpy as np
+    from osmspark.spatial import EARTH_RADIUS_M, with_way_length_m
+
+    lats = [51.5074, 48.8566, -33.8688, 35.6895, 64.1466, -54.8019]
+    lons = [-0.1278, 2.3522, 151.2093, 139.6917, -21.9426, -68.3030]
+    geoms = spark.createDataFrame(
+        pd.DataFrame({"way_id": [1], "lats": [lats], "lons": [lons]}))
+    got = with_way_length_m(geoms).collect()[0]["length_m"]
+
+    la, lo = np.radians(np.array(lats)), np.radians(np.array(lons))
+    h = (np.sin(np.diff(la) / 2) ** 2
+         + np.cos(la[:-1]) * np.cos(la[1:]) * np.sin(np.diff(lo) / 2) ** 2)
+    expect = float(np.sum(2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(h))))
+    assert expect > 3.0e7  # a real multi-continent walk, not a degenerate 0
+    assert abs(got - expect) <= len(lats) - 1
+
+
+def test_ring_area_square_winding_and_closure(spark):
+    """Shoelace: unit square = ±1 deg² by winding; explicit closure
+    (repeating vertex 0) must not change the area (the wrap edge is
+    implicit); < 3 points has no area (null)."""
+    from osmspark.spatial import with_ring_area
+
+    sq_lats, sq_lons = [0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0]
+    rows = spark.createDataFrame(pd.DataFrame({
+        "way_id": [1, 2, 3, 4],
+        "lats": [sq_lats, sq_lats[::-1], sq_lats + sq_lats[:1], [0.0, 1.0]],
+        "lons": [sq_lons, sq_lons[::-1], sq_lons + sq_lons[:1], [0.0, 1.0]],
+    }))
+    out = {r["way_id"]: r["ring_area_deg2"]
+           for r in with_ring_area(rows).collect()}
+    assert out[1] == 1.0       # counter-clockwise in (lon, lat)
+    assert out[2] == -1.0      # reversed walk flips the sign
+    assert out[3] == 1.0       # explicitly closed ring, same area
+    assert out[4] is None      # a segment encloses nothing

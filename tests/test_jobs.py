@@ -49,3 +49,44 @@ def test_tiling_job_resumes(spark, tmp_path, pages_df):
     main(argv)  # resume path: all units skipped, output unchanged
     merged2 = spark.read.parquet(f"{out}/tiles_r6_merged")
     assert merged2.agg({"n_points": "sum"}).collect()[0][0] == total_1
+
+
+def test_geometry_job_end_to_end_and_resume(spark, tmp_path, pages_df):
+    """Geometry job: bucketed layout -> way geoms -> relation geoms, all
+    lineage-checkpointed; a second invocation recomputes nothing and the
+    way output matches the direct (shuffle-path) assembly."""
+    import pyspark.sql.functions as F
+
+    from osmspark.jobs.geometry_job import main
+    from osmspark.pbf.source import nodes_from_pages, ways_from_pages
+    from osmspark.spatial import assemble_way_geometries
+
+    src = str(tmp_path / "pages")
+    pages_df.write.parquet(src)
+    out = str(tmp_path / "out_geom")
+    state = str(tmp_path / "state_geom")
+    argv = ["--pages", src, "--out", out, "--state", state,
+            "--buckets", "4"]
+    try:
+        main(argv)
+        ways_out = spark.read.parquet(f"{out}/way_geom/unit=all")
+        pages = spark.read.parquet(src)
+        direct = assemble_way_geometries(ways_from_pages(pages),
+                                         nodes_from_pages(pages))
+
+        def key(rows):
+            return {(r["way_id"], tuple(r["lats"]), r["n_missing"])
+                    for r in rows}
+
+        assert key(ways_out.collect()) == key(direct.collect())
+        rels_out = spark.read.parquet(f"{out}/rel_geom/unit=all")
+        golden = rels_out.filter(F.col("rel_id") == 56688).collect()
+        assert len(golden) == 1 and golden[0]["way_ids"] == [27776903]
+
+        # resume: nothing recomputes (lineage row counts unchanged)
+        lin1 = spark.read.parquet(f"{state}/lineage").count()
+        main(argv)
+        assert spark.read.parquet(f"{state}/lineage").count() == lin1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS geomjob_refs")
+        spark.sql("DROP TABLE IF EXISTS geomjob_nodes")
