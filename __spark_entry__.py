@@ -1091,6 +1091,43 @@ def _q_media_decode(spark, sf_dir):
             .orderBy("media_id"))
 
 
+# --- temporal ---------------------------------------------------------------
+
+def _q_asof_last_error(spark, sf_dir):
+    """Each click joined as-of to the user's most recent prior error.
+
+    Union-window as-of (osmspark/pipeline/temporal.py) — ONE shuffle on
+    user_id, no range join. Oracle: DuckDB's native ASOF LEFT JOIN, a
+    genuinely independent implementation of the same semantics.
+    Unmatched clicks surface as (-1, -1) so the int columns stay
+    non-null for the hash compare."""
+    from osmspark.pipeline.temporal import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("user_id", "ts", "event_id")
+    out = asof_join(clicks, errors, on="user_id",
+                    right_cols=["event_id"], right_id="event_id")
+    return (out.select(
+        "event_id",
+        F.coalesce(F.col("r_event_id"), F.lit(-1)).alias("err_event_id"),
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp"))
+                   - F.unix_micros(F.col("r_ts").cast("timestamp")),
+                   F.lit(-1)).alias("gap_us"))
+        .orderBy("event_id"))
+
+
+def _q_session_stats(spark, sf_dir):
+    """Gap sessionization (30 min) over the event log; value summed as
+    integer cents so the aggregate is order-insensitive and engine-exact.
+    One shuffle for the session window + a partial-agg groupBy."""
+    from osmspark.pipeline.temporal import session_stats
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (session_stats(ev, gap_s=1800)
+            .orderBy("user_id", "session_seq"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # decode path (PBF wire → entities; golden-pinned VALUES oracles)
@@ -1108,6 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_latest_order": _q_window_latest_order,
         "rollup_orders": _q_rollup_orders,
         "events_by_type": _q_events_by_type,
+        # temporal
+        "asof_last_error": _q_asof_last_error,
+        "session_stats_30m": _q_session_stats,
         # spatial
         "raster_tiles_z6": _q_raster_tiles,
         "grid_tiles_halfdeg": _q_grid_tiles_halfdeg,
@@ -1453,6 +1493,42 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN kind = 'audio' THEN NULL ELSE h_ END AS height,
                  CASE WHEN kind = 'image' THEN NULL ELSE dur END AS duration_ms
           FROM dims ORDER BY media_id
+        """,
+        # DuckDB's native ASOF LEFT JOIN — an independent implementation
+        # of the union-window operator's semantics (greatest err ts <=
+        # click ts per user, inclusive)
+        "asof_last_error": """
+          SELECT c.event_id,
+                 coalesce(e.event_id, -1) AS err_event_id,
+                 coalesce(epoch_us(c.ts) - epoch_us(e.ts), -1) AS gap_us
+          FROM (SELECT * FROM events WHERE event_type = 'click') c
+          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+            ON c.user_id = e.user_id AND c.ts >= e.ts
+          ORDER BY c.event_id
+        """,
+        "session_stats_30m": """
+          WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS newf
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          sess AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(newf) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM flagged)
+          SELECT user_id, session_seq,
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 count(*) AS n_events,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+          FROM sess
+          GROUP BY user_id, session_seq
+          ORDER BY user_id, session_seq
         """,
         "s2_tiles_l10": _s2_tiles_oracle_sql(10),
         "simhash_pairs": _simhash_oracle_sql(6),
