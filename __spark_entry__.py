@@ -1091,6 +1091,19 @@ def _q_media_decode(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_dwithin(spark, sf_dir):
+    """Within-distance join: supplier sites × event points within 2°.
+
+    Grid-bucketed equi-join (osmspark/spatial/dwithin.py) — cell key =
+    floor(coord/r), 3×3 neighborhood explode on the small side, exact
+    dist² refine, no cross join (plan-pinned in tests). Oracle: the
+    brute-force pair filter, computable at sf0.01 scale."""
+    from osmspark.spatial.dwithin import dwithin_join
+    sup = _supplier_queries(spark, sf_dir).withColumnRenamed("q_id", "id")
+    pts = _event_points(spark, sf_dir)
+    return (dwithin_join(sup, pts, 2.0).orderBy("a_id", "b_id"))
+
+
 # --- temporal ---------------------------------------------------------------
 
 def _q_asof_last_error(spark, sf_dir):
@@ -1158,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_tiles_r7": _q_hex_tiles,
         "s2_tiles_l10": _q_s2_tiles,
         "hex_rollup_totals": _q_hex_rollup,
+        "dwithin_pairs": _q_dwithin,
         "trip_metrics": _q_trip_metrics,
         # pipeline
         "dedup_exact": _q_dedup_exact,
@@ -1493,6 +1507,18 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN kind = 'audio' THEN NULL ELSE h_ END AS height,
                  CASE WHEN kind = 'image' THEN NULL ELSE dur END AS duration_ms
           FROM dims ORDER BY media_id
+        """,
+        # brute-force pair filter — independent of the grid-bucketed join
+        "dwithin_pairs": f"""
+          WITH sup AS ({_SUPPLIER_QUERIES_SQL}),
+               pts AS ({_EVENT_POINTS_SQL})
+          SELECT sup.q_id AS a_id, pts.id AS b_id,
+                 (sup.lat - pts.lat) * (sup.lat - pts.lat)
+                 + (sup.lon - pts.lon) * (sup.lon - pts.lon) AS dist2
+          FROM sup, pts
+          WHERE (sup.lat - pts.lat) * (sup.lat - pts.lat)
+                + (sup.lon - pts.lon) * (sup.lon - pts.lon) <= 4.0
+          ORDER BY a_id, b_id
         """,
         # DuckDB's native ASOF LEFT JOIN — an independent implementation
         # of the union-window operator's semantics (greatest err ts <=
