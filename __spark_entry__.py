@@ -1091,6 +1091,17 @@ def _q_media_decode(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_raster_pyramid(spark, sf_dir):
+    """Tile counts at zooms 4/6/8 in ONE scan via GROUPING SETS; the
+    oracle recomputes every zoom independently from the raw mercator
+    formula, so the shift-derivation's nested-floor identity is what
+    the hash compare verifies."""
+    from osmspark.spatial.tiles import tile_pyramid
+    pts = _event_points(spark, sf_dir)
+    return (tile_pyramid(pts, (4, 6, 8))
+            .orderBy("zoom", "tile_x", "tile_y"))
+
+
 def _q_dwithin(spark, sf_dir):
     """Within-distance join: supplier sites × event points within 2°.
 
@@ -1172,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tiles_l10": _q_s2_tiles,
         "hex_rollup_totals": _q_hex_rollup,
         "dwithin_pairs": _q_dwithin,
+        "raster_pyramid_z468": _q_raster_pyramid,
         "trip_metrics": _q_trip_metrics,
         # pipeline
         "dedup_exact": _q_dedup_exact,
@@ -1507,6 +1519,29 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN kind = 'audio' THEN NULL ELSE h_ END AS height,
                  CASE WHEN kind = 'image' THEN NULL ELSE dur END AS duration_ms
           FROM dims ORDER BY media_id
+        """,
+        # each zoom from the raw formula — independent of the finest-zoom
+        # bit-shift derivation the engine uses (nested-floor identity)
+        "raster_pyramid_z468": f"""
+          WITH pts AS ({_EVENT_POINTS_SQL}),
+          clamped AS (SELECT greatest(-85.05112878, least(85.05112878, lat)) AS lat, lon FROM pts)
+          
+            SELECT 4 AS zoom,
+                   greatest(0, least(15, floor((lon + 180.0) / 360.0 * 16.0)::BIGINT)) AS tile_x,
+                   greatest(0, least(15, floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 16.0)::BIGINT)) AS tile_y,
+                   count(*) AS n_points
+            FROM clamped GROUP BY 1, 2, 3 UNION ALL 
+            SELECT 6 AS zoom,
+                   greatest(0, least(63, floor((lon + 180.0) / 360.0 * 64.0)::BIGINT)) AS tile_x,
+                   greatest(0, least(63, floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 64.0)::BIGINT)) AS tile_y,
+                   count(*) AS n_points
+            FROM clamped GROUP BY 1, 2, 3 UNION ALL 
+            SELECT 8 AS zoom,
+                   greatest(0, least(255, floor((lon + 180.0) / 360.0 * 256.0)::BIGINT)) AS tile_x,
+                   greatest(0, least(255, floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 256.0)::BIGINT)) AS tile_y,
+                   count(*) AS n_points
+            FROM clamped GROUP BY 1, 2, 3
+          ORDER BY zoom, tile_x, tile_y
         """,
         # brute-force pair filter — independent of the grid-bucketed join
         "dwithin_pairs": f"""

@@ -25,7 +25,8 @@ from ..grid import hexgrid, s2
 from ..grid.hexgrid_sql import hex_cell_col
 
 __all__ = ["with_hex_cell", "with_s2_cell", "tile_counts", "rollup",
-           "raster_tile_counts", "hex_to_raster", "raster_to_points"]
+           "raster_tile_counts", "tile_pyramid", "hex_to_raster",
+           "raster_to_points"]
 
 
 def _hex_udf(res: int):
@@ -149,6 +150,52 @@ def raster_tile_counts(df: DataFrame, zoom: int,
             .groupBy("tile_x", "tile_y")
             .agg(F.count(F.lit(1)).alias("n_points"))
             .withColumn("zoom", F.lit(zoom)))
+
+
+def tile_pyramid(df: DataFrame, zooms: tuple[int, ...] = (4, 6, 8),
+                 lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Per-tile counts at SEVERAL zooms in ONE scan + ONE shuffle.
+
+    The naive pyramid is one groupBy per zoom — Z scans of the point
+    table. Here the z/x/y id is computed once at the finest zoom and
+    coarser ids derive by bit shift (``x_z' = x_z >> (z - z')`` — exact
+    by the nested-floor identity ``floor(floor(a·2^z)/2^(z-z')) =
+    floor(a·2^z')``, which the oracle verifies by computing every zoom
+    from the raw formula independently). GROUPING SETS then aggregates
+    all zooms in one pass: Spark's Expand emits one row per grouping
+    set into a single partial-agg → shuffle → final-agg pipeline.
+    At 100 TB this is the difference between Z full scans and one.
+    """
+    zs = sorted(set(int(z) for z in zooms), reverse=True)
+    zmax = zs[0]
+    n = float(1 << zmax)
+    lat = F.greatest(F.lit(-85.05112878),
+                     F.least(F.lit(85.05112878), F.col(lat_col)))
+    lat_rad = F.radians(lat)
+    x = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    y = F.floor((F.lit(1.0) - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad))
+                 / F.lit(float(np.pi))) / F.lit(2.0) * F.lit(n))
+    x = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), x.cast("long")))
+    y = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), y.cast("long")))
+    out = df.withColumn(f"_x{zmax}", x).withColumn(f"_y{zmax}", y)
+    for z in zs[1:]:
+        out = out.withColumn(f"_x{z}", F.shiftright(F.col(f"_x{zmax}"),
+                                                    zmax - z))
+        out = out.withColumn(f"_y{z}", F.shiftright(F.col(f"_y{zmax}"),
+                                                    zmax - z))
+    sets = [[f"_x{z}", f"_y{z}"] for z in zs]
+    flat = [c for s in sets for c in s]
+    zoom = None
+    for z in zs:
+        cond = F.grouping(f"_x{z}") == 0
+        zoom = F.when(cond, F.lit(z)) if zoom is None \
+            else zoom.when(cond, F.lit(z))
+    agg = (out.groupingSets(sets, *[F.col(c) for c in flat])
+           .agg(F.count(F.lit(1)).alias("n_points"),
+                zoom.alias("zoom"),
+                F.coalesce(*[F.col(f"_x{z}") for z in zs]).alias("tile_x"),
+                F.coalesce(*[F.col(f"_y{z}") for z in zs]).alias("tile_y")))
+    return agg.select("zoom", "tile_x", "tile_y", "n_points")
 
 
 def hex_to_raster(tiles: DataFrame, zoom: int) -> DataFrame:
