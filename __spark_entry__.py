@@ -1091,6 +1091,20 @@ def _q_media_decode(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_doc_splits(spark, sf_dir):
+    """Deterministic 80/10/10 corpus split (md5-bucket, per-row pure
+    function of doc_id — randomSplit is per-run, wrong for curation);
+    summarized per (split, lang). Oracle reproduces the md5 bucketing in
+    DuckDB — bit-identical digests prove engine portability."""
+    from osmspark.pipeline.split import hash_split
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (hash_split(docs, seed=7)
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("split", "lang"))
+
+
 def _q_raster_pyramid(spark, sf_dir):
     """Tile counts at zooms 4/6/8 in ONE scan via GROUPING SETS; the
     oracle recomputes every zoom independently from the raw mercator
@@ -1184,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_rollup_totals": _q_hex_rollup,
         "dwithin_pairs": _q_dwithin,
         "raster_pyramid_z468": _q_raster_pyramid,
+        "doc_split_counts": _q_doc_splits,
         "trip_metrics": _q_trip_metrics,
         # pipeline
         "dedup_exact": _q_dedup_exact,
@@ -1519,6 +1534,18 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN kind = 'audio' THEN NULL ELSE h_ END AS height,
                  CASE WHEN kind = 'image' THEN NULL ELSE dur END AS duration_ms
           FROM dims ORDER BY media_id
+        """,
+        "doc_split_counts": """
+          WITH b AS (
+            SELECT lang, n_chars,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+                   % 10000 AS bucket
+            FROM documents)
+          SELECT CASE WHEN bucket < 8000 THEN 'train'
+                      WHEN bucket < 9000 THEN 'val'
+                      ELSE 'test' END AS split,
+                 lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+          FROM b GROUP BY 1, 2 ORDER BY split, lang
         """,
         # each zoom from the raw formula — independent of the finest-zoom
         # bit-shift derivation the engine uses (nested-floor identity)

@@ -1,0 +1,59 @@
+"""Deterministic dataset splitting for training-data pipelines.
+
+``randomSplit`` is the wrong tool for corpus curation: it is seeded per
+RUN (recomputing the lineage can reassign rows), not per ROW — a
+document's split must be a pure function of its identity so re-runs,
+incremental appends, and other engines (the DuckDB oracle, a downstream
+trainer's own loader) all agree. ``hash_split`` derives the assignment
+from ``md5(id || ':' || seed)`` — md5 is bit-identical everywhere, the
+first 8 hex chars give a uniform 32-bit integer, and the bucket
+``h % 10_000`` maps to weight thresholds.
+
+Scale: pure JVM expression (no Python, no shuffle, no state); the
+split column is computable at scan time so a ``filter(split='train')``
+pushes down to a stored column if you materialize it. Skew-free by
+construction (md5 uniformity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["hash_split", "split_column"]
+
+_BUCKETS = 10_000
+
+
+def split_column(id_col: Column, weights: dict[str, float],
+                 seed: int = 0) -> Column:
+    """CASE expression assigning a split name from a row id.
+
+    ``weights`` values must sum to 1.0 (±1e-9); bucket boundaries are
+    ``round(cumsum(w)·10_000)`` so the assignment is exact at 4 decimal
+    places of weight. Iteration order of the dict defines the bucket
+    layout — use the same order everywhere (Python dicts preserve it).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1.0, got {total}")
+    h = F.conv(F.substring(
+        F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}"))), 1, 8),
+        16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(_BUCKETS))
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        hi = round(acc * _BUCKETS)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    return expr
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               weights: dict[str, float] | None = None, seed: int = 0,
+               out: str = "split") -> DataFrame:
+    """Attach a deterministic split column (default 80/10/10)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn(out, split_column(F.col(id_col), weights, seed))

@@ -1,0 +1,57 @@
+"""hash_split: per-row determinism, engine portability (DuckDB md5),
+weight calibration, and the no-shuffle plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from osmspark.pipeline.split import hash_split
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame({"doc_id": range(5000)})
+    return spark.createDataFrame(pdf)
+
+
+def test_deterministic_and_stable_under_subset(docs, spark):
+    full = hash_split(docs).toPandas().set_index("doc_id")["split"]
+    sub = hash_split(docs.filter("doc_id % 3 = 0")).toPandas() \
+        .set_index("doc_id")["split"]
+    # a row's split never depends on which other rows are present
+    assert (full.loc[sub.index] == sub).all()
+
+
+def test_matches_duckdb_md5(docs):
+    got = hash_split(docs, seed=7).toPandas()
+    con = duckdb.connect()
+    exp = con.execute("""
+      SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+                   % 10000 AS b
+            FROM range(5000) t(doc_id))
+    """).fetchdf()
+    m = got.merge(exp, on="doc_id", suffixes=("", "_o"))
+    assert (m["split"] == m["split_o"]).all()
+
+
+def test_weights_calibrated(docs):
+    out = hash_split(docs).toPandas()["split"].value_counts(normalize=True)
+    assert abs(out["train"] - 0.8) < 0.02
+    assert abs(out["val"] - 0.1) < 0.01
+    assert abs(out["test"] - 0.1) < 0.01
+
+
+def test_bad_weights_rejected(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, weights={"a": 0.5, "b": 0.4})
+
+
+def test_no_shuffle(docs):
+    plan = hash_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
