@@ -1091,6 +1091,17 @@ def _q_media_decode(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_kring_smooth(spark, sf_dir):
+    """Focal (k-ring) sum over the r7 hex tile layer — neighbor ids are
+    plain integer adds on the packed axial (q, r) bit fields, so the
+    whole convolution is codegen integer arithmetic on the TILE table
+    (post-aggregation), never the raw points."""
+    from osmspark.spatial import kring_smooth, tile_counts
+    pts = _event_points(spark, sf_dir)
+    tiles = tile_counts(pts, 7, grid="hex").select("cell", "n_points")
+    return kring_smooth(tiles, ring=1).orderBy("cell")
+
+
 def _q_doc_splits(spark, sf_dir):
     """Deterministic 80/10/10 corpus split (md5-bucket, per-row pure
     function of doc_id — randomSplit is per-run, wrong for curation);
@@ -1199,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_pairs": _q_dwithin,
         "raster_pyramid_z468": _q_raster_pyramid,
         "doc_split_counts": _q_doc_splits,
+        "hex_kring_smooth": _q_kring_smooth,
         "trip_metrics": _q_trip_metrics,
         # pipeline
         "dedup_exact": _q_dedup_exact,
@@ -1534,6 +1546,16 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN kind = 'audio' THEN NULL ELSE h_ END AS height,
                  CASE WHEN kind = 'image' THEN NULL ELSE dur END AS duration_ms
           FROM dims ORDER BY media_id
+        """,
+        # focal sum: the r7 tile oracle (full SQL hex encoder) scattered
+        # to its 7 disk targets by integer delta adds on the packed id
+        "hex_kring_smooth": f"""
+          WITH tiles AS ({_hex_tiles_oracle_sql(7)}),
+          deltas(d) AS (VALUES (-1073741824), (-1073741823), (-1), (0), (1), (1073741823), (1073741824))
+          SELECT tiles.cell + deltas.d AS cell,
+                 sum(n_points) AS n_smooth, 1 AS ring
+          FROM tiles CROSS JOIN deltas
+          GROUP BY 1 ORDER BY cell
         """,
         "doc_split_counts": """
           WITH b AS (

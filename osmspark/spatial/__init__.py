@@ -26,12 +26,15 @@ from .layout import (
     write_points_fixedpoint,
 )
 from .pip import pip_join, pip_join_bbox, polygon_cover_cells, ray_cast_contains
+from .dwithin import dwithin_join
 from .tiles import (
     hex_to_raster,
+    kring_smooth,
     raster_tile_counts,
     raster_to_points,
     rollup,
     tile_counts,
+    tile_pyramid,
     with_hex_cell,
     with_s2_cell,
 )

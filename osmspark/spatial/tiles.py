@@ -25,8 +25,8 @@ from ..grid import hexgrid, s2
 from ..grid.hexgrid_sql import hex_cell_col
 
 __all__ = ["with_hex_cell", "with_s2_cell", "tile_counts", "rollup",
-           "raster_tile_counts", "tile_pyramid", "hex_to_raster",
-           "raster_to_points"]
+           "raster_tile_counts", "tile_pyramid", "kring_smooth",
+           "hex_to_raster", "raster_to_points"]
 
 
 def _hex_udf(res: int):
@@ -196,6 +196,34 @@ def tile_pyramid(df: DataFrame, zooms: tuple[int, ...] = (4, 6, 8),
                 F.coalesce(*[F.col(f"_x{z}") for z in zs]).alias("tile_x"),
                 F.coalesce(*[F.col(f"_y{z}") for z in zs]).alias("tile_y")))
     return agg.select("zoom", "tile_x", "tile_y", "n_points")
+
+
+def kring_smooth(tiles: DataFrame, ring: int = 1,
+                 value_col: str = "n_points") -> DataFrame:
+    """Focal (neighborhood) sum over a hex tile layer: each cell's
+    smoothed value is the sum of ``value_col`` over its k-ring disk —
+    the hex analogue of a raster convolution with a box kernel.
+
+    The cell id packs axial (q, r) in bit fields (hexgrid.pack), so a
+    neighbor id is PLAIN INTEGER ADDITION: ``id + (dq<<30) + dr``. The
+    operator explodes each tile to its |disk(ring)| = 1+3·ring·(ring+1)
+    scatter targets (a driver-built literal array) and re-aggregates —
+    one shuffle on the cell key, all codegen, no Python, and it runs on
+    the TILE table (post-aggregation), never the raw points. Cells with
+    zero own-count but a nonzero neighborhood appear in the output —
+    standard focal-sum semantics on a sparse layer."""
+    deltas = [(dq, dr)
+              for dq in range(-ring, ring + 1)
+              for dr in range(max(-ring, -dq - ring),
+                              min(ring, -dq + ring) + 1)]
+    arr = F.array(*[F.lit((dq << 30) + dr) for dq, dr in deltas])
+    return (tiles
+            .select(F.col("cell"), F.col(value_col))
+            .withColumn("_d", F.explode(arr))
+            .withColumn("cell", F.col("cell") + F.col("_d"))
+            .groupBy("cell")
+            .agg(F.sum(value_col).alias("n_smooth"))
+            .withColumn("ring", F.lit(ring)))
 
 
 def hex_to_raster(tiles: DataFrame, zoom: int) -> DataFrame:
