@@ -1091,6 +1091,15 @@ def _q_media_decode(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids, engine-exact via component
+    quantization (float sums are order-dependent; int sums are not);
+    row-per-component output so the oracle compares scalars."""
+    from osmspark.pipeline.ann import embedding_centroids
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (embedding_centroids(emb).orderBy("label", "pos"))
+
+
 def _q_kring_smooth(spark, sf_dir):
     """Focal (k-ring) sum over the r7 hex tile layer — neighbor ids are
     plain integer adds on the packed axial (q, r) bit fields, so the
@@ -1211,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_pyramid_z468": _q_raster_pyramid,
         "doc_split_counts": _q_doc_splits,
         "hex_kring_smooth": _q_kring_smooth,
+        "embedding_centroids": _q_embedding_centroids,
         "trip_metrics": _q_trip_metrics,
         # pipeline
         "dedup_exact": _q_dedup_exact,
@@ -1546,6 +1556,17 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN kind = 'audio' THEN NULL ELSE h_ END AS height,
                  CASE WHEN kind = 'image' THEN NULL ELSE dur END AS duration_ms
           FROM dims ORDER BY media_id
+        """,
+        "embedding_centroids": """
+          WITH idx AS (
+            SELECT label, embedding AS e,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+          SELECT label, i - 1 AS pos,
+                 CAST(sum(CAST(floor(CAST(e[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+                   / (1000000.0 * count(*)) AS centroid,
+                 count(*) AS n_vecs
+          FROM idx GROUP BY 1, 2 ORDER BY label, pos
         """,
         # focal sum: the r7 tile oracle (full SQL hex encoder) scattered
         # to its 7 disk targets by integer delta adds on the packed id

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["ann_bruteforce_topk", "ann_lsh_topk", "train_ivf_centroids",
-           "ivf_assign", "ann_ivf_topk", "ann_recall_vs_bruteforce"]
+           "ivf_assign", "ann_ivf_topk", "ann_recall_vs_bruteforce",
+           "embedding_centroids"]
 
 
 def _cosine_cols():
@@ -237,3 +238,30 @@ def ann_recall_vs_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
                    / F.count(F.lit(1))).alias("recall_q")))
     return per_q.agg(F.count(F.lit(1)).alias("n_queries"),
                      F.round(F.avg("recall_q"), 4).alias("recall"))
+
+
+def embedding_centroids(embeddings: DataFrame, label_col: str = "label",
+                        vec_col: str = "embedding",
+                        scale: float = 1e6) -> DataFrame:
+    """Per-label centroid components, engine-exact.
+
+    A float centroid (avg of array elements) is summation-order
+    dependent — useless for cross-engine verification and flaky under
+    shuffle nondeterminism. Here each component quantizes to
+    ``floor(x·scale)`` int64 FIRST; integer sums are order-insensitive,
+    and the final ``sum/(scale·n)`` division is one deterministic float
+    op. Plan: posexplode → groupBy(label, pos) — Spark's partial
+    aggregation means the shuffle carries ≤ |labels|·dim·partitions
+    rows, never the raw vectors. Output is (label, pos, centroid, n) —
+    row-per-component, so the DuckDB oracle (unnest WITH ORDINALITY)
+    compares values exactly without array-format ambiguity."""
+    exploded = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "x"))
+    return (exploded
+            .groupBy("label", "pos")
+            .agg(F.sum(F.floor(F.col("x") * scale).cast("long")).alias("_s"),
+                 F.count(F.lit(1)).alias("n_vecs"))
+            .withColumn("centroid",
+                        F.col("_s") / (F.lit(scale) * F.col("n_vecs")))
+            .select("label", "pos", "centroid", "n_vecs"))
