@@ -1091,6 +1091,15 @@ def _q_media_decode(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Per-language cap of 40 docs by seeded md5 order — the corpus
+    mixing primitive; fully reproduced in DuckDB (bit-identical md5)."""
+    from osmspark.pipeline.split import stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (stratified_sample(docs, "lang", 40, seed=3)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 def _q_embedding_centroids(spark, sf_dir):
     """Per-label embedding centroids, engine-exact via component
     quantization (float sums are order-dependent; int sums are not);
@@ -1221,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": _q_doc_splits,
         "hex_kring_smooth": _q_kring_smooth,
         "embedding_centroids": _q_embedding_centroids,
+        "stratified_sample_lang": _q_stratified_sample,
         "trip_metrics": _q_trip_metrics,
         # pipeline
         "dedup_exact": _q_dedup_exact,
@@ -1556,6 +1566,14 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN kind = 'audio' THEN NULL ELSE h_ END AS height,
                  CASE WHEN kind = 'image' THEN NULL ELSE dur END AS duration_ms
           FROM dims ORDER BY media_id
+        """,
+        "stratified_sample_lang": """
+          WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR || ':3'), doc_id) AS rn
+            FROM documents)
+          SELECT doc_id, lang FROM ranked WHERE rn <= 40 ORDER BY doc_id
         """,
         "embedding_centroids": """
           WITH idx AS (

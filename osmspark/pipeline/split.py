@@ -17,9 +17,9 @@ construction (md5 uniformity).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["hash_split", "split_column"]
+__all__ = ["hash_split", "split_column", "stratified_sample"]
 
 _BUCKETS = 10_000
 
@@ -57,3 +57,24 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     """Attach a deterministic split column (default 80/10/10)."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     return df.withColumn(out, split_column(F.col(id_col), weights, seed))
+
+
+def stratified_sample(df: DataFrame, group_col: str, n_per_group: int,
+                      id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Deterministic per-group cap: keep the ``n_per_group`` rows of each
+    group with the smallest ``md5(id:seed)`` — a seeded uniform draw
+    that is a pure function of row identity (stable under re-runs,
+    appends change only what a new id displaces) and reproducible in
+    any engine with md5. The workhorse of corpus mixing (per-language /
+    per-source caps).
+
+    One shuffle on the group key + a window top-n; for heavy groups at
+    warehouse scale Spark's partial windowed top-n doesn't exist, so
+    pre-filter hot groups with an approximate hash threshold first if a
+    single group approaches a partition's memory (documented, not
+    needed at driver scale)."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_per_group)
+            .drop("_rn"))

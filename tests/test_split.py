@@ -55,3 +55,34 @@ def test_bad_weights_rejected(docs):
 def test_no_shuffle(docs):
     plan = hash_split(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_stratified_sample_deterministic_and_capped(spark):
+    from osmspark.pipeline.split import stratified_sample
+
+    pdf = pd.DataFrame({"doc_id": range(1000),
+                        "lang": ["en", "de", "fr", "zh"] * 250})
+    df = spark.createDataFrame(pdf)
+    a = stratified_sample(df, "lang", 25).toPandas()
+    b = stratified_sample(df.repartition(7), "lang", 25).toPandas()
+    assert a.groupby("lang").size().tolist() == [25] * 4
+    assert set(map(tuple, a[["lang", "doc_id"]].to_numpy())) \
+        == set(map(tuple, b[["lang", "doc_id"]].to_numpy()))
+    # matches a hand-computed md5 order
+    import hashlib
+    for lang in ["en"]:
+        ids = pdf[pdf.lang == lang]["doc_id"]
+        exp = sorted(ids, key=lambda i: (hashlib.md5(
+            f"{i}:0".encode()).hexdigest(), i))[:25]
+        got = sorted(a[a.lang == lang]["doc_id"])
+        assert got == sorted(exp)
+
+
+def test_stratified_sample_small_group_kept_whole(spark):
+    from osmspark.pipeline.split import stratified_sample
+
+    pdf = pd.DataFrame({"doc_id": range(10),
+                        "lang": ["en"] * 8 + ["tiny"] * 2})
+    out = stratified_sample(spark.createDataFrame(pdf), "lang", 5).toPandas()
+    assert (out[out.lang == "tiny"]["doc_id"].sort_values().tolist()
+            == [8, 9])
