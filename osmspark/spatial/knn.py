@@ -367,6 +367,9 @@ def knn_join(points: DataFrame, queries: DataFrame | pd.DataFrame,
         t = _dbg(t, "density_sample")
     if len(sample) == 0:
         return _empty_result(spark)
+    # table row count recovered from the realized sample rate (no job);
+    # feeds the scan-vs-candidates merge trade in _quantize_levels
+    scan_rows = len(sample) / max(sample_rate, 1e-12)
 
     factor = 1.5 * ring - 0.5
     q_lat = q_pdf["lat"].to_numpy(dtype=np.float64)
@@ -417,7 +420,18 @@ def knn_join(points: DataFrame, queries: DataFrame | pd.DataFrame,
     r_ideal = np.clip(np.nan_to_num(r_ideal, posinf=res), -1, res).astype(np.int64)
 
     parts: list[DataFrame] = []
-    pending = q_pdf.assign(r_est=r_ideal)
+    # per-query ball clamp: the exactness argument only needs ≥ k
+    # candidates inside ANY complete ball, and every ball ≤ the level's
+    # guarantee radius is complete (k-ring containment) — so cap each
+    # query's candidate ball at √7·r_target, the largest slack a query
+    # gets from its own ideal level (g_ideal ∈ [r_target, √7·r_target]).
+    # Unmerged queries see the same or a smaller ball (identical
+    # resolution behavior); queries merged to a COARSER branch keep
+    # design-occupancy candidates instead of inheriting the coarse
+    # level's full ball (up to 7^gap× the rows through the window) —
+    # this is what makes scan-merging near-free (see _quantize_levels)
+    pending = q_pdf.assign(r_est=r_ideal,
+                           r_clamp=np.sqrt(7.0) * r_target)
     # empty-region queries (r_ideal < 0): even a res-0 ball can't hold k
     # points — the map-only broadcast scan is the right tool directly
     to_broadcast = pending[pending["r_est"] < 0]
@@ -431,12 +445,23 @@ def knn_join(points: DataFrame, queries: DataFrame | pd.DataFrame,
     # while a candidate pass stays in JVM codegen (~17 s for 81
     # stragglers, scans only). Brute force remains the LAST resort for
     # queries even pass 2 can't place (sparser than the coarsest ring).
+    cand_per_query = 3.0 * k * safety * safety
     for _attempt in range(2):
         if not len(pending):
             break
-        # retries carry few queries: cap them to 2 scan branches
-        groups_i = max_groups if _attempt == 0 else min(max_groups, 2)
-        assigned = _quantize_levels(pending["r_est"].to_numpy(), groups_i)
+        # retries carry few queries: cap them to 2 scan branches — and
+        # NEVER scan-merge them: the merge cost model prices candidates
+        # at design occupancy, which only the clamp guarantees; retries
+        # run unclamped (full level ball), where merging a dense-core
+        # straggler 4 levels coarser once put 31M candidates/query
+        # through the window (measured 190 s vs 6 s at local[16])
+        if _attempt == 0:
+            assigned = _quantize_levels(pending["r_est"].to_numpy(),
+                                        max_groups, scan_rows,
+                                        cand_per_query)
+        else:
+            assigned = _quantize_levels(pending["r_est"].to_numpy(),
+                                        min(max_groups, 2))
 
         # (a bbox-union pre-filter for tiny retry sets was tried here —
         # the pushed-down OR-chain knocked the parquet reader out of its
@@ -449,8 +474,10 @@ def knn_join(points: DataFrame, queries: DataFrame | pd.DataFrame,
             parts.append(topk.filter(F.col("n_cand") >= k)
                          .select("q_id", "p_id", "dist2", "rank"))
         failed_mask = ~pending["q_id"].isin(resolved_set).to_numpy()
+        # retries mean the estimate was wrong: drop the clamp so the
+        # retry level's FULL guarantee ball decides
         pending = pending[failed_mask].assign(
-            r_est=assigned[failed_mask] - 2)
+            r_est=assigned[failed_mask] - 2, r_clamp=np.inf)
         to_broadcast = pd.concat(
             [to_broadcast, pending[pending["r_est"] < 0]])
         pending = pending[pending["r_est"] >= 0]
@@ -470,26 +497,54 @@ def knn_join(points: DataFrame, queries: DataFrame | pd.DataFrame,
     return out
 
 
-def _quantize_levels(r_est: np.ndarray, max_groups: int) -> np.ndarray:
-    """Reduce the ideal-resolution set to ≤ max_groups levels.
+def _quantize_levels(r_est: np.ndarray, max_groups: int,
+                     scan_rows: float | None = None,
+                     cand_per_query: float = 0.0) -> np.ndarray:
+    """Reduce the ideal-resolution set to ≤ max_groups levels — then
+    keep merging while a merge is CHEAPER THAN THE SCAN IT DELETES.
 
-    Each union branch in the candidate pass costs one table scan, so the
-    level count is capped; a query may only move COARSER (its guarantee
-    ball stays complete). Greedy: repeatedly merge the level whose move
-    to the next-coarser level adds the fewest expected candidates
-    (count · 7^gap — aperture-7 area growth). This keeps dense-core
-    queries near their ideal res (a blanket clamp once routed ~450
-    sparse-city queries into balls holding < k points → mass brute-force
-    fallback, the dominant cost of the whole join)."""
+    Each union branch in the candidate pass costs one full table scan,
+    so the level count is capped; a query may only move COARSER (its
+    guarantee ball stays complete). Greedy: repeatedly merge the level
+    whose move to the next-coarser level adds the fewest expected
+    candidate rows (candidate mass · 7^gap — aperture-7 area growth;
+    ``mass`` tracks inflation already accrued by earlier merges). This
+    keeps dense-core queries near their ideal res (a blanket clamp once
+    routed ~450 sparse-city queries into balls holding < k points →
+    mass brute-force fallback, the dominant cost of the whole join).
+
+    The adaptive phase is the scan-vs-candidates trade measured on the
+    320M-point scaling table: one branch = one full scan (~3 s at
+    local[16]; the stage was 4 scans = 12 s of its 19 s wall), while a
+    merged level only adds candidate rows to the shared window. With
+    ``scan_rows`` (from the table's plan stats / density sample) and
+    ``cand_per_query`` (≈ 3k·safety², the ball's design occupancy), a
+    merge that adds fewer candidate rows than ``scan_rows/8`` — a
+    candidate row through shuffle+window costs roughly 8 scanned
+    fixed-point rows — deletes a scan for less than its price. Small
+    tables merge toward 1 branch (scans are cheap but so is
+    everything); huge tables merge aggressively because full scans are
+    the dominant term. Completeness is untouched: merging only ever
+    moves queries coarser."""
     vals, counts = np.unique(r_est, return_counts=True)  # ascending
     levels = [int(v) for v in vals]
     cnts = [int(c) for c in counts]
-    while len(levels) > max_groups:
-        costs = [cnts[i] * 7.0 ** (levels[i] - levels[i - 1])
+    # expected candidate mass per level (query count × accrued ball
+    # inflation): merging level i into i-1 multiplies its mass by the
+    # 7^gap area growth
+    mass = [float(c) * max(cand_per_query, 1.0) for c in cnts]
+    while len(levels) > 1:
+        costs = [mass[i] * 7.0 ** (levels[i] - levels[i - 1])
                  for i in range(1, len(levels))]
         i = int(np.argmin(costs)) + 1
+        if len(levels) <= max_groups:
+            if scan_rows is None:
+                break
+            if costs[i - 1] > scan_rows / 8.0:
+                break
+        mass[i - 1] += costs[i - 1]
         cnts[i - 1] += cnts[i]
-        del levels[i], cnts[i]
+        del levels[i], cnts[i], mass[i]
     out = np.full(len(r_est), levels[0], dtype=np.int64)
     for lv in levels:  # ascending: ends at the finest level ≤ r_est
         out = np.where(r_est >= lv, lv, out)
@@ -536,6 +591,13 @@ def _candidate_pass(points: DataFrame, q_pdf: pd.DataFrame,
             cover = _coarse_cover(q_lat[mask], q_lon[mask], r, ring,
                                   part_res)
             branch_pts = pts.filter(F.col(part_col).isin(cover))
+        # per-query candidate ball: the level's guarantee radius, capped
+        # by the query's own clamp (completeness holds for ANY radius ≤
+        # the guarantee radius — see knn_join's clamp comment)
+        if "r_clamp" in q_pdf.columns:
+            g_q = np.minimum(g, q_pdf["r_clamp"].to_numpy()[mask])
+        else:
+            g_q = np.full(mask.sum(), g)
         # ring cells per query, computed on the driver (|Q|·ring_size
         # rows) and broadcast
         q_cells = spark.createDataFrame(pd.DataFrame({
@@ -543,7 +605,7 @@ def _candidate_pass(points: DataFrame, q_pdf: pd.DataFrame,
             "q_id": np.repeat(q_pdf["q_id"].to_numpy()[mask], n_ring),
             "q_lat": np.repeat(q_lat[mask], n_ring),
             "q_lon": np.repeat(q_lon[mask], n_ring),
-            "g2": g * g}))
+            "g2": np.repeat(g_q * g_q, n_ring)}))
         branches.append(
             branch_pts
             .withColumn("cell",
