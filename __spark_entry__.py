@@ -1091,6 +1091,15 @@ def _q_media_decode(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_geohash_cells(spark, sf_dir):
+    """Geohash (precision 5) per-cell counts — the third grid family
+    (hex, S2, geohash), Morton interleave + base32 in pure SQL; the
+    oracle re-states the identical bit arithmetic in DuckDB."""
+    from osmspark.grid.geohash_sql import geohash_counts
+    pts = _event_points(spark, sf_dir)
+    return geohash_counts(pts, 5).orderBy("geohash")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language cap of 40 docs by seeded md5 order — the corpus
     mixing primitive; fully reproduced in DuckDB (bit-identical md5)."""
@@ -1231,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_kring_smooth": _q_kring_smooth,
         "embedding_centroids": _q_embedding_centroids,
         "stratified_sample_lang": _q_stratified_sample,
+        "geohash_cells_p5": _q_geohash_cells,
         "trip_metrics": _q_trip_metrics,
         # pipeline
         "dedup_exact": _q_dedup_exact,
@@ -1566,6 +1576,14 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN kind = 'audio' THEN NULL ELSE h_ END AS height,
                  CASE WHEN kind = 'image' THEN NULL ELSE dur END AS duration_ms
           FROM dims ORDER BY media_id
+        """,
+        # Morton interleave + base32 restated bit-for-bit in DuckDB
+        "geohash_cells_p5": f"""
+          WITH pts AS ({_EVENT_POINTS_SQL}),
+          q AS (SELECT greatest(0, least(8191, CAST(floor((lon + 180.0) / 360.0 * 8192.0) AS BIGINT))) AS lq, greatest(0, least(4095, CAST(floor((lat + 90.0) / 180.0 * 4096.0) AS BIGINT))) AS aq FROM pts),
+          m AS (SELECT ((((((((((((((((lq) | ((lq) << 16)) & 281470681808895)) | (((((lq) | ((lq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | ((((((((lq) | ((lq) << 16)) & 281470681808895)) | (((((lq) | ((lq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | (((((((((((lq) | ((lq) << 16)) & 281470681808895)) | (((((lq) | ((lq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | ((((((((lq) | ((lq) << 16)) & 281470681808895)) | (((((lq) | ((lq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) | ((((((((((((((lq) | ((lq) << 16)) & 281470681808895)) | (((((lq) | ((lq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | ((((((((lq) | ((lq) << 16)) & 281470681808895)) | (((((lq) | ((lq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | (((((((((((lq) | ((lq) << 16)) & 281470681808895)) | (((((lq) | ((lq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | ((((((((lq) | ((lq) << 16)) & 281470681808895)) | (((((lq) | ((lq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) << 1)) & 6148914691236517205) | ((((((((((((((((aq) | ((aq) << 16)) & 281470681808895)) | (((((aq) | ((aq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | ((((((((aq) | ((aq) << 16)) & 281470681808895)) | (((((aq) | ((aq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | (((((((((((aq) | ((aq) << 16)) & 281470681808895)) | (((((aq) | ((aq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | ((((((((aq) | ((aq) << 16)) & 281470681808895)) | (((((aq) | ((aq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) | ((((((((((((((aq) | ((aq) << 16)) & 281470681808895)) | (((((aq) | ((aq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | ((((((((aq) | ((aq) << 16)) & 281470681808895)) | (((((aq) | ((aq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) | (((((((((((aq) | ((aq) << 16)) & 281470681808895)) | (((((aq) | ((aq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) | ((((((((aq) | ((aq) << 16)) & 281470681808895)) | (((((aq) | ((aq) << 16)) & 281470681808895)) << 8)) & 71777214294589695)) << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323)) << 1)) & 6148914691236517205) << 1)) AS m FROM q)
+          SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((m >> 20) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((m >> 15) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((m >> 10) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((m >> 5) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((m >> 0) & 31) + 1 AS INT), 1) AS geohash, count(*) AS n_points
+          FROM m GROUP BY 1 ORDER BY geohash
         """,
         "stratified_sample_lang": """
           WITH ranked AS (
