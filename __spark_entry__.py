@@ -1091,6 +1091,21 @@ def _q_media_decode(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def _q_simplify_trips(spark, sf_dir):
+    """Douglas-Peucker over the 97 trip polylines (tolerance 25 deg) —
+    the render/generalization consumer op on assembled geometries. The
+    oracle is a DuckDB RECURSIVE CTE running the same split recursion
+    with division-free predicates (cross^2 > tol^2*len^2), so the kept
+    vertex set matches exactly."""
+    from osmspark.spatial import assemble_way_geometries
+    from osmspark.spatial.simplify import simplify_polylines
+    pts = _event_points(spark, sf_dir)
+    trips = (pts.groupBy((F.col("id") % 97).alias("trip_id"))
+             .agg(F.sort_array(F.collect_list("id")).alias("node_refs")))
+    g = assemble_way_geometries(trips, pts, way_id="trip_id")
+    return simplify_polylines(g, 25.0).orderBy("way_id", "pos")
+
+
 def _q_geohash_cells(spark, sf_dir):
     """Geohash (precision 5) per-cell counts — the third grid family
     (hex, S2, geohash), Morton interleave + base32 in pure SQL; the
@@ -1241,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": _q_embedding_centroids,
         "stratified_sample_lang": _q_stratified_sample,
         "geohash_cells_p5": _q_geohash_cells,
+        "simplify_trips_dp": _q_simplify_trips,
         "trip_metrics": _q_trip_metrics,
         # pipeline
         "dedup_exact": _q_dedup_exact,
@@ -1576,6 +1592,53 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN kind = 'audio' THEN NULL ELSE h_ END AS height,
                  CASE WHEN kind = 'image' THEN NULL ELSE dur END AS duration_ms
           FROM dims ORDER BY media_id
+        """,
+        # Douglas-Peucker as a RECURSIVE CTE: every (s,e) segment either
+        # terminates (max interior cross^2 <= tol^2*len^2) or splits at
+        # the first-max interior vertex; kept = distinct endpoints
+        "simplify_trips_dp": f"""
+          WITH RECURSIVE pts AS ({_EVENT_POINTS_SQL}),
+          trips AS (
+            SELECT id % 97 AS trip_id,
+                   list(lat ORDER BY id) AS la,
+                   list(lon ORDER BY id) AS lo_
+            FROM pts GROUP BY 1),
+          seg(trip_id, s, e) AS (
+            SELECT trip_id, 1, len(la) FROM trips
+            UNION ALL
+            SELECT q.trip_id, u.pair[1], u.pair[2]
+            FROM (
+              SELECT trip_id, s, e,
+                     s + list_indexof(vals, list_max(vals)) AS sp,
+                     list_max(vals) AS mx, thresh
+              FROM (
+                SELECT trip_id, s, e,
+                       CASE WHEN len2 = 0.0 THEN 625.0
+                            ELSE 625.0 * len2 END AS thresh,
+                       list_transform(generate_series(s + 1, e - 1), i ->
+                         CASE WHEN len2 = 0.0 THEN ((lo_[i]-x1)*(lo_[i]-x1) + (la[i]-y1)*(la[i]-y1))
+                              ELSE (dx*(la[i]-y1) - dy*(lo_[i]-x1)) * (dx*(la[i]-y1) - dy*(lo_[i]-x1)) END) AS vals
+                FROM (
+                  SELECT g1.trip_id, g1.s, g1.e, t.la, t.lo_,
+                         t.lo_[g1.s] AS x1, t.la[g1.s] AS y1,
+                         t.lo_[g1.e] - t.lo_[g1.s] AS dx,
+                         t.la[g1.e] - t.la[g1.s] AS dy,
+                         (t.lo_[g1.e] - t.lo_[g1.s])
+                           * (t.lo_[g1.e] - t.lo_[g1.s])
+                         + (t.la[g1.e] - t.la[g1.s])
+                           * (t.la[g1.e] - t.la[g1.s]) AS len2
+                  FROM seg g1 JOIN trips t USING (trip_id)
+                  WHERE g1.e - g1.s >= 2) g0) g
+              WHERE mx > thresh
+            ) q CROSS JOIN unnest([[q.s, q.sp], [q.sp, q.e]]) AS u(pair)),
+          kept AS (
+            SELECT DISTINCT trip_id, p FROM (
+              SELECT trip_id, s AS p FROM seg
+              UNION ALL SELECT trip_id, e FROM seg))
+          SELECT k.trip_id AS way_id, CAST(k.p - 1 AS INT) AS pos,
+                 t.la[k.p] AS lat, t.lo_[k.p] AS lon
+          FROM kept k JOIN trips t USING (trip_id)
+          ORDER BY way_id, pos
         """,
         # Morton interleave + base32 restated bit-for-bit in DuckDB
         "geohash_cells_p5": f"""
