@@ -77,7 +77,10 @@ SMT, all-core turbo down), and the scan-agg calibration above gives
 **0.758** for memory-bound scan work (9.1 s → 3.0 s is a 3.03×
 speedup at 4× threads). The table reads each stage against the ceiling
 of its class — burn 0.86 for compute-dominated stages, scan-agg 0.758
-for the pure scan-aggregations (hex/raster tiles) — normalized =
+for the pure scan-aggregations (hex/raster tiles), and a measured
+harmonic mix 0.777 for knn (phase profiling shows ~79% of its local[4]
+wall is full table scans — 4 scans ≈ 36 s of 45.4 s — and ~21%
+window/probe compute; `tools/profile_knn_scale.py`) — normalized =
 raw / ceiling, capped at 1 (a ceiling is a same-class measurement, not
 a hard bound).
 
@@ -111,7 +114,7 @@ throughput: {docs_per_sec} docs/sec, {nodes_per_sec:,.0f} nodes/sec,
 fixture values, SQL-expression vs NumPy encoder bit-parity, structural
 invariants, the shuffle-free bucketed-join plan, streaming
 kill/resume) plus the driver's side-by-side DuckDB oracle runs of the
-`__spark_entry__.py` queries (see CORRECTNESS_r*.json): all 39 queries
+`__spark_entry__.py` queries (see CORRECTNESS_r*.json): all 50 queries
 value-checked hash-exact — the approximate-by-design ANN top-k sets
 are pinned by seeded-constant oracles (hyperplane/centroid constants
 inlined into the SQL) plus recall@10 floors, the concave ray-cast by an
@@ -121,8 +124,13 @@ reference's own pinned coordinates.
 
 # per-class host ceilings for §2b (see host_calibration.json + the
 # scaling.py docstring): pure scan-aggregations read against the
-# measured scan-agg wall; everything else against the pure-CPU burn
-CEILINGS = {"hex_tiles": 0.758, "raster_tiles": 0.758}
+# measured scan-agg wall; everything else against the pure-CPU burn.
+# knn: phase profiling (tools/profile_knn_scale.py, post scan-merge)
+# shows ~79% of its local[4] wall is full table scans (4 scans ≈ 36 s
+# of 45.4 s: 2 merged candidate branches + the 2-branch straggler
+# retry) and ~21% compute (window/probe/estimate) — harmonic mix
+# 1/(0.79/0.758 + 0.21/0.86) = 0.777
+CEILINGS = {"hex_tiles": 0.758, "raster_tiles": 0.758, "knn": 0.777}
 DEFAULT_CEILING = 0.86
 
 
