@@ -948,6 +948,27 @@ def _q_trip_metrics(spark, sf_dir):
             .orderBy("trip_id"))
 
 
+def _q_ring_metrics(spark, sf_dir):
+    """Integer-exact ring metrics (signed area, winding, area-weighted
+    centroid, quantum-grid perimeter) over the 97 assembled trip rings.
+
+    Unlike trip_metrics' double folds (whose oracle must replicate the
+    fold ORDER), every sum here is an exact int64 on the
+    translation-normalized quantized grid (osmspark/spatial/polygon.py)
+    — order-independent, so the oracle is plain SQL SUMs; the derived
+    doubles come from single divisions both engines perform
+    identically. Winding sign is what multipolygon outer/inner
+    classification consumes."""
+    from osmspark.spatial import assemble_way_geometries, polygon_metrics
+    pts = _event_points(spark, sf_dir)
+    trips = (pts.groupBy((F.col("id") % 97).alias("trip_id"))
+             .agg(F.sort_array(F.collect_list("id")).alias("node_refs")))
+    g = assemble_way_geometries(trips, pts, way_id="trip_id")
+    # quantum 100 = the synthetic points' native 2-dp grid: exact, and
+    # globe-extent rings stay inside the int64 envelope (module doc)
+    return polygon_metrics(g, quantum=100.0).orderBy("way_id")
+
+
 def _q_hex_rollup(spark, sf_dir):
     from osmspark.spatial import rollup, tile_counts
     pts = _event_points(spark, sf_dir)
@@ -1258,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells_p5": _q_geohash_cells,
         "simplify_trips_dp": _q_simplify_trips,
         "trip_metrics": _q_trip_metrics,
+        "ring_metrics": _q_ring_metrics,
         # pipeline
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1495,6 +1517,61 @@ def oracle_sql() -> dict[str, str]:
                                (a, b) -> a + b) / 2.0
                  END AS ring_area_deg2
           FROM terms GROUP BY trip_id ORDER BY trip_id
+        """,
+        # integer-exact ring metrics: the same quantize→translate→
+        # int64-shoelace arithmetic restated relationally; sums are
+        # order-free exact ints, derived doubles are single divisions
+        "ring_metrics": f"""
+          WITH pts AS ({_EVENT_POINTS_SQL}),
+          v AS (
+            SELECT id % 97 AS way_id,
+                   ROW_NUMBER() OVER (PARTITION BY id % 97 ORDER BY id) AS rn,
+                   CAST(ROUND(lon * 100.0) AS BIGINT) AS x,
+                   CAST(ROUND(lat * 100.0) AS BIGINT) AS y
+            FROM pts),
+          n AS (SELECT way_id, COUNT(*) AS n FROM v GROUP BY way_id),
+          o AS (SELECT way_id, x AS x0, y AS y0 FROM v WHERE rn = 1),
+          l AS (SELECT way_id, arg_max(x, rn) AS xl, arg_max(y, rn) AS yl
+                FROM v GROUP BY way_id),
+          e AS (
+            SELECT a.way_id,
+                   a.x - o.x0 AS xi, a.y - o.y0 AS yi,
+                   b.x - o.x0 AS xj, b.y - o.y0 AS yj
+            FROM v a
+            JOIN n USING (way_id)
+            JOIN o ON o.way_id = a.way_id
+            JOIN v b ON b.way_id = a.way_id AND b.rn = (a.rn % n.n) + 1),
+          t AS (
+            SELECT way_id, xi * yj - xj * yi AS crs,
+                   CAST(ROUND(SQRT(CAST((xj - xi) * (xj - xi)
+                        + (yj - yi) * (yj - yi) AS DOUBLE))) AS BIGINT) AS len,
+                   (xi + xj) * (xi * yj - xj * yi) AS cxn,
+                   (yi + yj) * (xi * yj - xj * yi) AS cyn
+            FROM e),
+          s AS (
+            SELECT way_id, SUM(crs) AS a2, SUM(len) AS plen,
+                   SUM(cxn) AS cxn, SUM(cyn) AS cyn
+            FROM t GROUP BY way_id)
+          SELECT n.way_id,
+                 CAST(n.n AS INT) AS n_pts,
+                 (n.n >= 4 AND o.x0 = l.xl AND o.y0 = l.yl) AS is_closed,
+                 CAST(CASE WHEN s.a2 > 0 THEN 1 WHEN s.a2 < 0 THEN -1
+                      ELSE 0 END AS INT) AS winding,
+                 CAST(s.a2 AS DOUBLE) / 20000.0 AS area_deg2,
+                 CASE WHEN s.a2 = 0 THEN NULL ELSE
+                   (CAST(o.y0 AS DOUBLE)
+                    + CAST(s.cyn AS DOUBLE) / CAST(3 * s.a2 AS DOUBLE)) / 100.0
+                 END AS centroid_lat,
+                 CASE WHEN s.a2 = 0 THEN NULL ELSE
+                   (CAST(o.x0 AS DOUBLE)
+                    + CAST(s.cxn AS DOUBLE) / CAST(3 * s.a2 AS DOUBLE)) / 100.0
+                 END AS centroid_lon,
+                 CAST(s.plen AS DOUBLE) / 100.0 AS perim_deg
+          FROM n
+          JOIN o ON o.way_id = n.way_id
+          JOIN l ON l.way_id = n.way_id
+          JOIN s ON s.way_id = n.way_id
+          ORDER BY n.way_id
         """,
         "dedup_exact": """
           SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
