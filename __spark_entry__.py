@@ -969,6 +969,32 @@ def _q_ring_metrics(spark, sf_dir):
     return polygon_metrics(g, quantum=100.0).orderBy("way_id")
 
 
+def _q_nearest_segment(spark, sf_dir):
+    """Map-matching: snap each of the 10k event points to its nearest
+    road segment within 4° (osmspark/spatial/mapmatch.py — grid-bucket
+    candidates, clamped-projection refine, argmin-with-tie-break as one
+    min(struct) aggregation; unmatched points surface as -1).
+
+    Roads: 25 mostly-horizontal polylines derived from nation keys
+    (121 vertices each, 1°-exact formula both engines restate), walked
+    through the REAL explode_segments array path. Oracle: brute-force
+    cross join evaluating the VERBATIM SEG_DIST2_SQL expression text,
+    so the refine arithmetic is pinned IEEE-identical."""
+    from osmspark.spatial.mapmatch import (explode_segments,
+                                           nearest_segment_join)
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    g = na.select(
+        F.col("n_nationkey").alias("way_id"),
+        F.expr("transform(sequence(0, 120), j -> "
+               "-85.0 + n_nationkey * 6.8 "
+               "+ ((n_nationkey * 31 + j * 17) % 7) * 0.05)").alias("lats"),
+        F.expr("transform(sequence(0, 120), j -> -180.0 + 3.0 * j)")
+        .alias("lons"))
+    pts = _event_points(spark, sf_dir)
+    return (nearest_segment_join(pts, explode_segments(g), 4.0)
+            .orderBy("id"))
+
+
 def _q_hex_rollup(spark, sf_dir):
     from osmspark.spatial import rollup, tile_counts
     pts = _event_points(spark, sf_dir)
@@ -1280,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_trips_dp": _q_simplify_trips,
         "trip_metrics": _q_trip_metrics,
         "ring_metrics": _q_ring_metrics,
+        "nearest_segment": _q_nearest_segment,
         # pipeline
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1325,6 +1352,36 @@ _NGRAM_PAIRS_SQL = f"""
           FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
           WHERE round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) >= 0.2
 """
+
+
+def _nearest_segment_oracle_sql() -> str:
+    from osmspark.spatial.mapmatch import SEG_DIST2_SQL
+    return f"""
+      WITH pts AS ({_EVENT_POINTS_SQL}),
+      seg AS (
+        SELECT n_nationkey AS way_id, CAST(j AS INT) AS pos,
+               -180.0 + 3.0 * j AS ax,
+               -85.0 + n_nationkey * 6.8
+                 + ((n_nationkey * 31 + j * 17) % 7) * 0.05 AS ay,
+               -180.0 + 3.0 * (j + 1) AS bx,
+               -85.0 + n_nationkey * 6.8
+                 + ((n_nationkey * 31 + (j + 1) * 17) % 7) * 0.05 AS by
+        FROM nation, range(0, 120) AS t(j)),
+      cand AS (
+        SELECT p.id, s.way_id, s.pos, {SEG_DIST2_SQL} AS dist2
+        FROM (SELECT id, lon AS px, lat AS py FROM pts) p, seg s),
+      b AS (
+        SELECT id, way_id, pos, dist2,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY dist2, way_id, pos) AS rn
+        FROM cand WHERE dist2 <= 16.0)
+      SELECT p.id,
+             COALESCE(b.way_id, -1) AS way_id,
+             COALESCE(b.pos, -1) AS seg_pos,
+             COALESCE(b.dist2, -1.0) AS dist2
+      FROM pts p LEFT JOIN (SELECT * FROM b WHERE rn = 1) b ON b.id = p.id
+      ORDER BY p.id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1518,6 +1575,11 @@ def oracle_sql() -> dict[str, str]:
                  END AS ring_area_deg2
           FROM terms GROUP BY trip_id ORDER BY trip_id
         """,
+        # map-matching oracle: brute-force cross join over the same
+        # 25-road network, evaluating the VERBATIM SEG_DIST2_SQL the
+        # engine's refine runs (imported, not copied), argmin with the
+        # same (dist2, way_id, pos) tie-break, -1 fills for unmatched
+        "nearest_segment": _nearest_segment_oracle_sql(),
         # integer-exact ring metrics: the same quantize→translate→
         # int64-shoelace arithmetic restated relationally; sums are
         # order-free exact ints, derived doubles are single divisions
