@@ -1004,6 +1004,16 @@ def _q_hex_rollup(spark, sf_dir):
 
 # --- pipeline ---------------------------------------------------------------
 
+def _q_top_terms(spark, sf_dir):
+    """Top-5 tf·idf terms per language (rational idf n_docs/df — two
+    IEEE ops, engine-exact, vs ln's libm last-ulp lottery; ties to the
+    lexicographically first term). The corpus-inspection operator run
+    before source mixing."""
+    from osmspark.pipeline.textstats import top_terms_tfidf
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_terms_tfidf(docs, k=5).orderBy("lang", "rank")
+
+
 def _q_dedup_exact(spark, sf_dir):
     from osmspark.pipeline.dedup import exact_dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1307,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_metrics": _q_trip_metrics,
         "ring_metrics": _q_ring_metrics,
         "nearest_segment": _q_nearest_segment,
+        "top_terms_tfidf": _q_top_terms,
         # pipeline
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1634,6 +1645,28 @@ def oracle_sql() -> dict[str, str]:
           JOIN l ON l.way_id = n.way_id
           JOIN s ON s.way_id = n.way_id
           ORDER BY n.way_id
+        """,
+        # tf·idf with a rational idf (n_docs/df): the score is two IEEE
+        # ops on exact ints — no ln, no cross-engine libm divergence
+        "top_terms_tfidf": """
+          WITH toks AS (
+            SELECT lang, doc_id,
+                   unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+            FROM documents),
+          tk AS (SELECT * FROM toks WHERE term <> ''),
+          nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+          dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                  FROM tk GROUP BY term),
+          tf AS (SELECT lang, term, COUNT(*) AS tf
+                 FROM tk GROUP BY lang, term),
+          s AS (SELECT lang, term, tf, df,
+                       CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                         / CAST(df AS DOUBLE) AS score
+                FROM tf JOIN dft USING (term), nd),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY score DESC, term) AS rank FROM s)
+          SELECT lang, term, tf, df, score, CAST(rank AS INT) AS rank
+          FROM r WHERE rank <= 5 ORDER BY lang, rank
         """,
         "dedup_exact": """
           SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

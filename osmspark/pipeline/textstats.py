@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["with_token_count", "with_quality", "with_lang_guess",
-           "with_fingerprint", "STOPWORDS"]
+           "with_fingerprint", "top_terms_tfidf", "STOPWORDS"]
 
 STOPWORDS = ["the", "a"]
 
@@ -103,3 +103,49 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df
             .withColumn("fingerprint_md5", F.md5(F.col(text_col)))
             .withColumn("fingerprint_roll", rolling))
+
+
+def top_terms_tfidf(docs: DataFrame, k: int = 5, text_col: str = "text",
+                    group_col: str = "lang", doc_id: str = "doc_id"
+                    ) -> DataFrame:
+    """Top-k corpus-characteristic terms per group by tf·idf:
+    (group, term, tf, df, score, rank) — the corpus-inspection operator
+    every curation pipeline runs before mixing sources.
+
+    - ``tf``: term occurrences within the group (lowercased,
+      space-tokenized — the same tokenizer as :func:`with_token_count`,
+      so token parity with the oracle is already pinned);
+    - ``df``: distinct documents containing the term, CORPUS-wide;
+    - ``score`` = tf · (n_docs / df) — a RATIONAL idf, deliberately not
+      ``ln(n/df)``: two IEEE divisions/multiplies are bit-identical in
+      any engine, while ``ln`` is a libm call with no cross-engine
+      last-ulp guarantee. Monotone in the same direction (rarer term ⇒
+      bigger idf), which is what a ranking needs.
+    - ties break to the lexicographically first term.
+
+    Shuffle shape at scale: explode is narrow; tf and df are two
+    wordcount-style partial-agg shuffles; the tf×df equi-join on term
+    reuses df's hash partitioning; the scalar n_docs attaches as a
+    broadcast, and the final top-k is one window over the (small)
+    per-group term aggregate.
+    """
+    toks = (docs.select(F.col(group_col).alias("grp"), F.col(doc_id),
+                        F.explode(_tokens(F.lower(F.col(text_col))))
+                        .alias("term"))
+            .filter(F.col("term") != ""))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_t = toks.groupBy("term").agg(
+        F.countDistinct(doc_id).alias("df"))
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (tf.join(df_t, "term").crossJoin(F.broadcast(nd))
+              .withColumn("score",
+                          F.col("tf").cast("double")
+                          * F.col("n_docs").cast("double")
+                          / F.col("df").cast("double")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(),
+                                          F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("grp").alias(group_col), "term", "tf", "df",
+                    "score", "rank"))

@@ -359,3 +359,37 @@ def test_degenerate_docs_oracle_parity(spark, tmp_path):
     assert mh_spark == mh_oracle
     # all five no-shingle docs (empty/short) share the sentinel signature
     assert (0, 1) in mh_spark and (2, 4) in mh_spark
+
+
+def test_top_terms_tfidf_ranking_and_ties(spark):
+    from osmspark.pipeline.textstats import top_terms_tfidf
+    rows = [
+        (1, "en", "apple apple banana"),
+        (2, "en", "apple cherry"),
+        (3, "de", "banana banana banana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = top_terms_tfidf(docs, k=2).orderBy("lang", "rank").collect()
+    by = {(r.lang, r.rank): r for r in out}
+    # de: banana tf=3 df=2 -> 3*3/2=4.5 top
+    r = by[("de", 1)]
+    assert (r.term, r.tf, r.df, r.score) == ("banana", 3, 2, 4.5)
+    # en: apple tf=3 df=2 -> 4.5; banana tf=1 df=2 -> 1.5;
+    # cherry tf=1 df=1 -> 3.0
+    assert by[("en", 1)].term == "apple"
+    assert by[("en", 2)].term == "cherry"
+    # ties break lexicographically: two terms with equal score
+    docs2 = spark.createDataFrame(
+        [(1, "en", "zed alpha")], "doc_id long, lang string, text string")
+    out2 = top_terms_tfidf(docs2, k=2).orderBy("rank").collect()
+    assert [r.term for r in out2] == ["alpha", "zed"]
+
+
+def test_top_terms_tfidf_empty_and_case(spark):
+    from osmspark.pipeline.textstats import top_terms_tfidf
+    docs = spark.createDataFrame(
+        [(1, "en", "  The THE the  "), (2, "en", "")],
+        "doc_id long, lang string, text string")
+    out = top_terms_tfidf(docs, k=3).collect()
+    assert len(out) == 1  # empty text contributes no terms
+    assert (out[0].term, out[0].tf, out[0].df) == ("the", 3, 1)
