@@ -995,6 +995,37 @@ def _q_nearest_segment(spark, sf_dir):
             .orderBy("id"))
 
 
+def _q_segment_intersections(spark, sf_dir):
+    """Line-crossing detection between two road layers: the 25
+    horizontal nation-roads × 5 near-vertical region-roads (~125
+    crossings). Exact integer orientation predicate
+    (osmspark/spatial/intersect.py) — the oracle brute-forces all 1.8M
+    pairs through the VERBATIM predicate text, so candidate-grid
+    completeness AND owner-cell dedup are both what the hash compare
+    proves."""
+    from osmspark.spatial.intersect import segment_intersect_join
+    from osmspark.spatial.mapmatch import explode_segments
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ga = na.select(
+        F.col("n_nationkey").alias("way_id"),
+        F.expr("transform(sequence(0, 120), j -> "
+               "-85.0 + n_nationkey * 6.8 "
+               "+ ((n_nationkey * 31 + j * 17) % 7) * 0.05)").alias("lats"),
+        F.expr("transform(sequence(0, 120), j -> -180.0 + 3.0 * j)")
+        .alias("lons"))
+    re = spark.read.parquet(f"{sf_dir}/region.parquet")
+    gb = re.select(
+        F.col("r_regionkey").alias("way_id"),
+        F.expr("transform(sequence(0, 120), j -> -85.0 + 1.4 * j)")
+        .alias("lats"),
+        F.expr("transform(sequence(0, 120), j -> "
+               "-150.0 + r_regionkey * 60.0 "
+               "+ ((r_regionkey * 7 + j * 13) % 5) * 0.1)").alias("lons"))
+    return (segment_intersect_join(explode_segments(ga),
+                                   explode_segments(gb), cell=4.0)
+            .orderBy("a_way", "a_pos", "b_way", "b_pos"))
+
+
 def _q_hex_rollup(spark, sf_dir):
     from osmspark.spatial import rollup, tile_counts
     pts = _event_points(spark, sf_dir)
@@ -1318,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_metrics": _q_ring_metrics,
         "nearest_segment": _q_nearest_segment,
         "top_terms_tfidf": _q_top_terms,
+        "segment_intersections": _q_segment_intersections,
         # pipeline
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1363,6 +1395,38 @@ _NGRAM_PAIRS_SQL = f"""
           FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
           WHERE round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) >= 0.2
 """
+
+
+def _segment_intersections_oracle_sql() -> str:
+    from osmspark.spatial.intersect import SEG_INTERSECT_SQL
+    return f"""
+      WITH sa AS (
+        SELECT n_nationkey AS a_way, CAST(j AS INT) AS a_pos,
+               CAST(ROUND((-180.0 + 3.0 * j) * 100.0) AS BIGINT) AS pax,
+               CAST(ROUND((-85.0 + n_nationkey * 6.8
+                 + ((n_nationkey * 31 + j * 17) % 7) * 0.05) * 100.0)
+                 AS BIGINT) AS pay,
+               CAST(ROUND((-180.0 + 3.0 * (j + 1)) * 100.0) AS BIGINT) AS pbx,
+               CAST(ROUND((-85.0 + n_nationkey * 6.8
+                 + ((n_nationkey * 31 + (j + 1) * 17) % 7) * 0.05) * 100.0)
+                 AS BIGINT) AS pby
+        FROM nation, range(0, 120) AS t(j)),
+      sb AS (
+        SELECT r_regionkey AS b_way, CAST(j AS INT) AS b_pos,
+               CAST(ROUND((-150.0 + r_regionkey * 60.0
+                 + ((r_regionkey * 7 + j * 13) % 5) * 0.1) * 100.0)
+                 AS BIGINT) AS qax,
+               CAST(ROUND((-85.0 + 1.4 * j) * 100.0) AS BIGINT) AS qay,
+               CAST(ROUND((-150.0 + r_regionkey * 60.0
+                 + ((r_regionkey * 7 + (j + 1) * 13) % 5) * 0.1) * 100.0)
+                 AS BIGINT) AS qbx,
+               CAST(ROUND((-85.0 + 1.4 * (j + 1)) * 100.0) AS BIGINT) AS qby
+        FROM region, range(0, 120) AS t(j))
+      SELECT a_way, a_pos, b_way, b_pos
+      FROM sa, sb
+      WHERE {SEG_INTERSECT_SQL}
+      ORDER BY a_way, a_pos, b_way, b_pos
+    """
 
 
 def _nearest_segment_oracle_sql() -> str:
@@ -1586,6 +1650,9 @@ def oracle_sql() -> dict[str, str]:
                  END AS ring_area_deg2
           FROM terms GROUP BY trip_id ORDER BY trip_id
         """,
+        # segment intersections: brute-force all-pairs through the
+        # VERBATIM exact-integer orientation predicate
+        "segment_intersections": _segment_intersections_oracle_sql(),
         # map-matching oracle: brute-force cross join over the same
         # 25-road network, evaluating the VERBATIM SEG_DIST2_SQL the
         # engine's refine runs (imported, not copied), argmin with the
