@@ -1026,6 +1026,18 @@ def _q_segment_intersections(spark, sf_dir):
             .orderBy("a_way", "a_pos", "b_way", "b_pos"))
 
 
+def _q_quadkey_tiles(spark, sf_dir):
+    """z8 raster tiles addressed by Bing quadkey string (the 4th grid
+    family: hex, S2, geohash, quadkey) — digit i = 2·y_bit + x_bit,
+    pure shiftright/bit-and codegen; prefix = subtree, so ordering by
+    quadkey is a spatial clustering."""
+    from osmspark.spatial.tiles import raster_tile_counts, with_quadkey
+    pts = _event_points(spark, sf_dir)
+    return (with_quadkey(raster_tile_counts(pts, 8), 8)
+            .select("quadkey", "tile_x", "tile_y", "n_points")
+            .orderBy("quadkey"))
+
+
 def _q_hex_rollup(spark, sf_dir):
     from osmspark.spatial import rollup, tile_counts
     pts = _event_points(spark, sf_dir)
@@ -1350,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_segment": _q_nearest_segment,
         "top_terms_tfidf": _q_top_terms,
         "segment_intersections": _q_segment_intersections,
+        "quadkey_tiles_z8": _q_quadkey_tiles,
         # pipeline
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1568,6 +1581,18 @@ def oracle_sql() -> dict[str, str]:
                  greatest(0, least(63, floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 64.0)::BIGINT)) AS tile_y,
                  count(*) AS n_points, 6 AS zoom
           FROM clamped GROUP BY 1, 2 ORDER BY tile_x, tile_y
+        """,
+        "quadkey_tiles_z8": f"""
+          WITH pts AS ({_EVENT_POINTS_SQL}),
+          clamped AS (SELECT id, greatest(-85.05112878, least(85.05112878, lat)) AS lat, lon FROM pts),
+          t AS (
+            SELECT greatest(0, least(255, floor((lon + 180.0) / 360.0 * 256.0)::BIGINT)) AS tile_x,
+                   greatest(0, least(255, floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 256.0)::BIGINT)) AS tile_y,
+                   count(*) AS n_points
+            FROM clamped GROUP BY 1, 2)
+          SELECT {" || ".join(f"CAST(((tile_x >> {i}) & 1) + 2 * ((tile_y >> {i}) & 1) AS VARCHAR)" for i in range(7, -1, -1))} AS quadkey,
+                 tile_x, tile_y, n_points
+          FROM t ORDER BY quadkey
         """,
         "grid_tiles_halfdeg": f"""
           WITH pts AS ({_EVENT_POINTS_SQL})

@@ -26,7 +26,7 @@ from ..grid.hexgrid_sql import hex_cell_col
 
 __all__ = ["with_hex_cell", "with_s2_cell", "tile_counts", "rollup",
            "raster_tile_counts", "tile_pyramid", "kring_smooth",
-           "hex_to_raster", "raster_to_points"]
+           "hex_to_raster", "raster_to_points", "with_quadkey"]
 
 
 def _hex_udf(res: int):
@@ -254,3 +254,20 @@ def raster_to_points(raster: DataFrame, zoom: int) -> DataFrame:
     lat = F.degrees(F.atan(F.sinh(yy)))
     return raster.select(lat.alias("lat"), lon.alias("lon"),
                          F.col("n_points").alias("weight"))
+
+
+def with_quadkey(df: DataFrame, zoom: int) -> DataFrame:
+    """Bing-maps quadkey string for (tile_x, tile_y) at ``zoom`` — the
+    string tile address web-map stacks key caches/CDNs by. Digit i
+    (from the most significant level) interleaves one y bit over one x
+    bit: ``2·y_bit + x_bit``; length = zoom. Pure codegen (shiftright +
+    bit-and + array_join); a quadkey PREFIX selects a subtree, so
+    range-partitioning output by quadkey co-locates spatial neighbors —
+    the string-keyed analog of the packed-int cell layouts used by the
+    hex/S2/geohash families.
+    """
+    digits = F.expr(
+        f"""array_join(transform(sequence({zoom - 1}, 0, -1), i ->
+              cast((shiftright(tile_x, i) & 1)
+                   + 2 * (shiftright(tile_y, i) & 1) as string)), '')""")
+    return df.withColumn("quadkey", digits)

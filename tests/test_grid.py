@@ -225,3 +225,20 @@ def test_sql_parent_cols_match_numpy(spark):
                         .collect()])
         want = S.parent(cells.astype(np.uint64), parent).astype(np.int64)
         assert np.array_equal(got, want), (child, parent)
+
+
+def test_quadkey_known_values_and_prefix(spark):
+    from osmspark.spatial.tiles import with_quadkey
+    df = spark.createDataFrame(
+        [(3, 5, 10), (35210, 21493, 1)],
+        "tile_x long, tile_y long, n_points long")
+    # canonical Bing example: tile (3,5) @ z3 -> "213"
+    (r,) = with_quadkey(df.filter("tile_x = 3"), 3).collect()
+    assert r.quadkey == "213"
+    # zoom-16 tile: parent prefix property vs its z15 parent
+    (a,) = with_quadkey(df.filter("tile_x = 35210"), 16).collect()
+    (b,) = with_quadkey(
+        spark.createDataFrame([(35210 // 2, 21493 // 2, 1)],
+                              "tile_x long, tile_y long, n_points long"),
+        15).collect()
+    assert len(a.quadkey) == 16 and a.quadkey.startswith(b.quadkey)
