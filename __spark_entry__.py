@@ -1057,6 +1057,30 @@ def _q_top_terms(spark, sf_dir):
     return top_terms_tfidf(docs, k=5).orderBy("lang", "rank")
 
 
+def _q_interval_join(spark, sf_dir):
+    """Range join: 10k events × 25 overlapping 2-day validity windows
+    (start <= ts < end), bucketed at 1 day so no nested-loop range
+    join ever plans (osmspark/pipeline/temporal.py:interval_join).
+    Domain = exact integer microseconds (unix_micros ↔ epoch_us) — no
+    float, no timezone. Oracle: the plain range-predicate join."""
+    from osmspark.pipeline.temporal import interval_join
+    # anchor-relative micros: timestampdiff on TIMESTAMP_NTZ is
+    # timezone-free in both engines (DuckDB: date_diff('us', ...))
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", F.expr(
+              "timestampdiff(MICROSECOND, "
+              "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)").alias("t_us")))
+    iv = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+          .select(F.col("n_nationkey").alias("iv_id"),
+                  (F.col("n_nationkey") * F.lit(95040000000))
+                  .alias("t_start"))  # 1.1-day steps
+          .withColumn("t_end", F.col("t_start") + F.lit(172800000000)))
+    out = interval_join(ev, iv, bucket=86400000000,
+                        point_col="t_us", id_col="event_id")
+    return (out.select(F.col("id").alias("event_id"), "iv_id", "t", "t_start")
+            .orderBy("event_id", "iv_id"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from osmspark.pipeline.dedup import exact_dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1363,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_tfidf": _q_top_terms,
         "segment_intersections": _q_segment_intersections,
         "quadkey_tiles_z8": _q_quadkey_tiles,
+        "interval_join_days": _q_interval_join,
         # pipeline
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1581,6 +1606,18 @@ def oracle_sql() -> dict[str, str]:
                  greatest(0, least(63, floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 64.0)::BIGINT)) AS tile_y,
                  count(*) AS n_points, 6 AS zoom
           FROM clamped GROUP BY 1, 2 ORDER BY tile_x, tile_y
+        """,
+        "interval_join_days": """
+          SELECT e.event_id,
+                 n.n_nationkey AS iv_id,
+                 date_diff('us', TIMESTAMP '2024-01-01', e.ts) AS t,
+                 n.n_nationkey * 95040000000 AS t_start
+          FROM events e JOIN nation n
+            ON date_diff('us', TIMESTAMP '2024-01-01', e.ts)
+                 >= n.n_nationkey * 95040000000
+           AND date_diff('us', TIMESTAMP '2024-01-01', e.ts)
+                 <  n.n_nationkey * 95040000000 + 172800000000
+          ORDER BY e.event_id, iv_id
         """,
         "quadkey_tiles_z8": f"""
           WITH pts AS ({_EVENT_POINTS_SQL}),

@@ -59,7 +59,7 @@ def _micros(c: F.Column) -> F.Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
-__all__ = ["asof_join", "sessionize", "session_stats"]
+__all__ = ["asof_join", "interval_join", "sessionize", "session_stats"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -183,3 +183,48 @@ def session_stats(events: DataFrame, user_col: str = "user_id",
                  F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.round(F.col(value_col) * 100).cast("long"))
                  .alias("value_cents")))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, bucket: int,
+                  point_col: str = "t", id_col: str = "id",
+                  iv_id_col: str = "iv_id", start_col: str = "t_start",
+                  end_col: str = "t_end") -> DataFrame:
+    """Range join over an int64 domain: all (id, iv_id) pairs with
+    ``start <= point < end`` — the 1-D sibling of ``dwithin_join``'s
+    grid bucketing, for the join Spark would otherwise plan as a
+    nested-loop range join (events × validity windows, trades ×
+    sessions, reads × genomic features).
+
+    ``bucket``: cell width in domain units (pick ≈ the median interval
+    length). A point maps to ONE bucket, an interval explodes to
+    ``floor(start/b) .. floor((end-1)/b)`` — floor is monotone, so the
+    candidate set is complete, and since an interval covers each bucket
+    once each true pair joins exactly once (no dedup pass). The exact
+    range predicate refines in codegen.
+
+    Degenerate intervals (``end <= start``: empty by the half-open
+    contract) are dropped up front — they match nothing, and their
+    reversed bucket sequence would otherwise DESCEND.
+
+    Scale: one shuffle each side on the bucket int; long intervals
+    inflate only the (small) interval side; a hot bucket (dense cities
+    → dense hours) is AQE skew-join territory, same as dwithin.
+    Timestamps: pass ``unix_micros(ts)`` (exactly ``epoch_us`` in
+    DuckDB) — integer microseconds, no float or timezone ambiguity.
+    """
+    b = int(bucket)
+    pts = points.select(
+        F.col(id_col).alias("id"), F.col(point_col).alias("t"),
+        F.floor(F.col(point_col) / b).cast("long").alias("_b"))
+    ivs = (intervals
+           .select(F.col(iv_id_col).alias("iv_id"),
+                   F.col(start_col).alias("t_start"),
+                   F.col(end_col).alias("t_end"))
+           .filter(F.col("t_end") > F.col("t_start"))
+           .withColumn("_b", F.explode(F.expr(
+               f"sequence(cast(floor(t_start / {b}) as bigint),"
+               f"         cast(floor((t_end - 1) / {b}) as bigint))"))))
+    return (pts.join(ivs, "_b")
+            .filter((F.col("t") >= F.col("t_start"))
+                    & (F.col("t") < F.col("t_end")))
+            .select("id", "iv_id", "t", "t_start", "t_end"))

@@ -134,3 +134,38 @@ def test_sessionize_one_shuffle(spark):
         "value": [1.0, 2.0]}))
     plan = (sessionize(ev)._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1, plan
+
+
+def test_interval_join_basic_and_edges(spark):
+    from osmspark.pipeline.temporal import interval_join
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 19), (4, 20), (5, 1000), (6, -7)],
+        "id long, t long")
+    ivs = spark.createDataFrame(
+        [(100, 10, 20),    # half-open: catches 10, 19, not 20
+         (101, 0, 6),      # catches 5
+         (102, 30, 30),    # empty -> nothing
+         (103, 40, 35),    # reversed -> nothing (and must not error)
+         (104, -10, 0)],   # negative domain: catches -7
+        "iv_id long, t_start long, t_end long")
+    out = sorted((r.id, r.iv_id) for r in
+                 interval_join(pts, ivs, bucket=7).collect())
+    assert out == [(1, 101), (2, 100), (3, 100), (6, 104)]
+
+
+def test_interval_join_bruteforce_parity(spark):
+    import numpy as np
+    from osmspark.pipeline.temporal import interval_join
+    rng = np.random.default_rng(5)
+    pts = [(i, int(rng.integers(-1000, 1000))) for i in range(200)]
+    ivs = []
+    for j in range(40):
+        s = int(rng.integers(-1000, 1000))
+        ivs.append((j, s, s + int(rng.integers(0, 300))))
+    got = sorted((r.id, r.iv_id) for r in interval_join(
+        spark.createDataFrame(pts, "id long, t long"),
+        spark.createDataFrame(ivs, "iv_id long, t_start long, t_end long"),
+        bucket=64).collect())
+    want = sorted((i, j) for (i, t) in pts for (j, s, e) in ivs
+                  if s <= t < e)
+    assert got == want and len(want) > 100
