@@ -226,6 +226,30 @@ def run_bench(master: str, sf_dir: str) -> dict:
         "way_geometry",
         lambda: assemble_way_geometries(ways, points).count())
 
+    # 7c. map-matching: snap every decoded point to the nearest street
+    # of a per-city grid (12 cities x 34 streets, ~6.5k segments,
+    # radius 0.05 deg) - the GPS->road consumer op on the same decoded
+    # table, grid-bucketed candidates + one min(struct) argmin agg.
+    from osmspark.spatial.mapmatch import nearest_segment_join
+    seg_rows = []
+    for ci, (name, clat, clon, _w) in enumerate(CITIES):
+        for k in range(17):
+            off = -0.4 + k * 0.05
+            for j in range(16):
+                a, b = -0.4 + j * 0.05, -0.4 + (j + 1) * 0.05
+                seg_rows.append((ci * 100 + k, j, clon + a, clat + off,
+                                 clon + b, clat + off))
+                seg_rows.append((ci * 100 + 50 + k, j, clon + off, clat + a,
+                                 clon + off, clat + b))
+    segs = spark.createDataFrame(
+        seg_rows, "way_id long, pos int, ax double, ay double, "
+                  "bx double, by double")
+    nearest_segment_join(points.limit(4096), segs, 0.05).count()  # warm
+    counters["n_snapped"] = timed(
+        "map_match",
+        lambda: nearest_segment_join(points, segs, 0.05)
+        .filter(F.col("way_id") >= 0).count())
+
     # 8. dedup + ANN over the driver tables at this sf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
