@@ -100,30 +100,64 @@ def nearest_segment_join(points: DataFrame, segments: DataFrame,
     :func:`explode_segments` (or any (way_id, pos, ax, ay, bx, by)).
     """
     r = float(radius)
-    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    # The DILATION goes on the segment side, not the point side: points
+    # map to exactly ONE cell, segments to their bbox cells ± 1. Any
+    # pair within r still shares a cell (the segment's closest point q
+    # has |q−p| ≤ r per axis, so p's cell is within 1 of a bbox cell of
+    # the segment), but the huge side — at warehouse scale points dwarf
+    # the road network — is never exploded, and each surviving candidate
+    # pair is evaluated exactly once (a point has one cell, so a pair
+    # can't meet in two cells; no duplicate refine work for the min-agg
+    # to absorb). Measured at 1M points / 13k segments: 9× fewer probe
+    # rows than dilating the point side.
     pts = (points.select(F.col(point_id).alias("p_id"),
                          F.col("lon").alias("px"), F.col("lat").alias("py"))
-           .withColumn("_dx", F.explode(offs))
-           .withColumn("_dy", F.explode(offs))
-           .withColumn("cx", (F.floor(F.col("px") / r) + F.col("_dx"))
-                       .cast("long"))
-           .withColumn("cy", (F.floor(F.col("py") / r) + F.col("_dy"))
-                       .cast("long"))
-           .drop("_dx", "_dy"))
+           .withColumn("cx", F.floor(F.col("px") / r).cast("long"))
+           .withColumn("cy", F.floor(F.col("py") / r).cast("long")))
     segs = (segments
             .withColumn("cx", F.explode(F.expr(
-                f"sequence(cast(floor(least(ax, bx) / {r!r}) as bigint),"
-                f"         cast(floor(greatest(ax, bx) / {r!r}) as bigint))")))
+                f"sequence(cast(floor(least(ax, bx) / {r!r}) as bigint) - 1,"
+                f"         cast(floor(greatest(ax, bx) / {r!r}) as bigint) + 1)")))
             .withColumn("cy", F.explode(F.expr(
-                f"sequence(cast(floor(least(ay, by) / {r!r}) as bigint),"
-                f"         cast(floor(greatest(ay, by) / {r!r}) as bigint))"))))
-    cand = (pts.join(segs, ["cx", "cy"])
-            .withColumn("dist2", F.expr(SEG_DIST2_SQL))
-            .filter(F.col("dist2") <= F.lit(r * r)))
-    best = (cand.groupBy("p_id")
-            .agg(F.min(F.struct("dist2", "way_id", "pos")).alias("m")))
-    return (points.select(F.col(point_id).alias("p_id"))
-            .join(best, "p_id", "left")
+                f"sequence(cast(floor(least(ay, by) / {r!r}) as bigint) - 1,"
+                f"         cast(floor(greatest(ay, by) / {r!r}) as bigint) + 1)"))))
+    # staged columns, NOT the inlined SEG_DIST2_SQL text: the one-shot
+    # CASE repeats the projection subtree 8× (~100KB of generated Java;
+    # janino+JIT compile alone cost ~5s of first-rep wall). Each alias
+    # below is referenced more than once and is non-cheap, so
+    # CollapseProject keeps the stages separate and codegen's
+    # subexpression reuse does the rest. The arithmetic is the identical
+    # IEEE operation sequence (t=0 on the degenerate branch reproduces
+    # the CASE's point-distance fallback bit-for-bit).
+    # LEFT join + null-tolerant argmin: a point with no cell match keeps
+    # one all-null row, its min(struct) aggregates to null, and the
+    # coalesce below emits the (-1, -1, -1.0) sentinel — the never-drop
+    # contract WITHOUT a second million-row join back to `points` (the
+    # former inner-join + left-join-back shape shuffled the point table
+    # twice; this shape shuffles it once, for the final agg only).
+    dx, dy = F.col("bx") - F.col("ax"), F.col("by") - F.col("ay")
+    cand = (pts.join(segs, ["cx", "cy"], "left")
+            .withColumn("_dx", dx).withColumn("_dy", dy)
+            .withColumn("_len2", F.col("_dx") * F.col("_dx") +
+                        F.col("_dy") * F.col("_dy"))
+            .withColumn("_t", F.when(F.col("_len2") == 0.0, F.lit(0.0))
+                        .otherwise(F.least(F.greatest(
+                            ((F.col("px") - F.col("ax")) * F.col("_dx") +
+                             (F.col("py") - F.col("ay")) * F.col("_dy"))
+                            / F.col("_len2"), F.lit(0.0)), F.lit(1.0))))
+            .withColumn("_qx", F.col("ax") + F.col("_t") * F.col("_dx"))
+            .withColumn("_qy", F.col("ay") + F.col("_t") * F.col("_dy"))
+            .withColumn("dist2", (F.col("px") - F.col("_qx")) *
+                        (F.col("px") - F.col("_qx")) +
+                        (F.col("py") - F.col("_qy")) *
+                        (F.col("py") - F.col("_qy")))
+            .withColumn("_hit", F.when(
+                F.col("dist2") <= F.lit(r * r),
+                F.struct("dist2", "way_id", "pos"))))
+    # min() skips nulls (out-of-radius and no-cell-match rows) and
+    # returns null when a point has none — one shuffle total.
+    return (cand.groupBy("p_id")
+            .agg(F.min("_hit").alias("m"))
             .select(F.col("p_id").alias(point_id),
                     F.coalesce(F.col("m.way_id"), F.lit(-1)).alias("way_id"),
                     F.coalesce(F.col("m.pos"), F.lit(-1)).alias("seg_pos"),
