@@ -1081,6 +1081,28 @@ def _q_interval_join(spark, sf_dir):
             .orderBy("event_id", "iv_id"))
 
 
+def _q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level corpus dedup (osmspark/pipeline/lines.py):
+    boilerplate lines (global copy count ≥ 2) are dropped everywhere but
+    their canonical first occurrence, documents reassembled in original
+    line order. The corpus has no newlines, so "lines" are derived as
+    fixed 8-token chunks — pure SQL on both sides. The census is a
+    map-side-combinable min(struct)+count aggregate, never a window
+    (a 1e9-copy boilerplate line would otherwise own one window
+    partition). Hash compares the reassembled clean text per doc."""
+    from osmspark.pipeline.lines import explode_lines, line_dedup_docs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), " +")
+    nl = (F.ceil(F.size(toks).cast("double") / F.lit(8.0))).cast("int")
+    chunks = F.transform(F.sequence(F.lit(0), nl - 1),
+                         lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)))
+    docs_l = docs.select("doc_id", F.concat_ws("\n", chunks).alias("text"))
+    return (line_dedup_docs(explode_lines(docs_l), min_dup=2)
+            .select("doc_id", "n_lines", "n_kept",
+                    F.md5("clean_text").alias("clean_hash"))
+            .orderBy("doc_id"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from osmspark.pipeline.dedup import exact_dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1389,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_tiles_z8": _q_quadkey_tiles,
         "interval_join_days": _q_interval_join,
         # pipeline
+        "line_dedup_docs": _q_line_dedup,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -1796,6 +1819,38 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY score DESC, term) AS rank FROM s)
           SELECT lang, term, tf, df, score, CAST(rank AS INT) AS rank
           FROM r WHERE rank <= 5 ORDER BY lang, rank
+        """,
+        # CCNet-style line dedup: same 8-token chunking, a window
+        # row_number stands in for the engine's skew-safe min(struct)
+        # keeper (semantically identical: lexicographically first
+        # (doc_id, line_no) occurrence); string_agg skips non-kept NULL
+        # lines and restores original order by line_no.
+        "line_dedup_docs": """
+          WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), ' +') AS l
+            FROM documents),
+          lines0 AS (
+            SELECT doc_id, i AS line_no,
+                   trim(array_to_string(l[i*8+1 : i*8+8], ' ')) AS line
+            FROM (SELECT doc_id, l,
+                         unnest(generate_series(0,
+                             cast(ceil(len(l)/8.0) AS BIGINT)-1)) AS i
+                  FROM toks)),
+          lines AS (SELECT * FROM lines0 WHERE line != ''),
+          tagged AS (
+            SELECT doc_id, line_no, line,
+                   count(*) OVER (PARTITION BY line) AS n_copies,
+                   row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, line_no) AS rn
+            FROM lines),
+          kept AS (SELECT *, (n_copies < 2 OR rn = 1) AS keep FROM tagged)
+          SELECT doc_id, count(*) AS n_lines,
+                 cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 md5(coalesce(string_agg(CASE WHEN keep THEN line END,
+                                         chr(10) ORDER BY line_no), ''))
+                   AS clean_hash
+          FROM kept GROUP BY doc_id ORDER BY doc_id
         """,
         "dedup_exact": """
           SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
