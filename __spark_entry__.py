@@ -638,6 +638,71 @@ def _pip_concave_oracle_sql() -> str:
             "ORDER BY id, poly_id")
 
 
+def _polyfill_oracle_sql(zoom: int = 7) -> str:
+    """DuckDB oracle for polyfill_raster: bbox tile ranges, inverse-
+    mercator tile centers, and the even-odd crossing sum recomputed
+    independently (list_transform over ring edges) with the identical
+    IEEE expression shapes. Concave rings inlined via repr(); rectangle
+    rings derived from the nation table in SQL. Integer outputs
+    (poly_id, zoom, tile_x, tile_y) — libm 1-ulp noise can't flip a
+    tile id unless a center sits within ~1e-15 of an edge, which the
+    fixtures' .005/.006 offsets exclude."""
+    n = float(1 << zoom)
+    nmax = (1 << zoom) - 1
+    pi = repr(3.141592653589793)
+
+    def tx(lon: str) -> str:
+        return f"cast(floor(({lon} + 180.0) / 360.0 * {n!r}) AS BIGINT)"
+
+    def ty(lat: str) -> str:
+        cl = f"greatest(-85.05112878, least(85.05112878, {lat}))"
+        return (f"cast(floor((1.0 - ln(tan(radians({cl})) "
+                f"+ 1.0/cos(radians({cl}))) / {pi}) / 2.0 * {n!r}) "
+                f"AS BIGINT)")
+
+    ring_vals = ",\n    ".join(
+        f"({pid}, {rl!r}::DOUBLE[], {rlo!r}::DOUBLE[])"
+        for pid, (rl, rlo) in _CONCAVE_RINGS.items())
+    merc = f"({pi} * (1.0 - 2.0 * (tile_y::DOUBLE + 0.5) / {n!r}))"
+    nxt = "CASE WHEN i = len(rla) - 1 THEN 1 ELSE i + 2 END"
+    return f"""
+WITH rects AS ({_NATION_RECTS_SQL}),
+polys(poly_id, rla, rlo) AS (
+  VALUES {ring_vals}
+  UNION ALL
+  SELECT poly_id + 100,
+         [min_lat, min_lat, max_lat, max_lat],
+         [min_lon, max_lon, max_lon, min_lon]
+  FROM rects),
+rng AS (
+  SELECT poly_id, rla, rlo,
+         greatest(0, least({nmax}, {tx('list_min(rlo)')})) AS x0,
+         greatest(0, least({nmax}, {tx('list_max(rlo)')})) AS x1,
+         greatest(0, least({nmax}, {ty('list_max(rla)')})) AS y0,
+         greatest(0, least({nmax}, {ty('list_min(rla)')})) AS y1
+  FROM polys),
+cand AS (
+  SELECT poly_id, rla, rlo, txx.x AS tile_x, tyy.y AS tile_y
+  FROM rng, unnest(generate_series(x0, x1)) AS txx(x),
+            unnest(generate_series(y0, y1)) AS tyy(y)),
+ctr AS (
+  SELECT poly_id, rla, rlo, tile_x, tile_y,
+         (tile_x::DOUBLE + 0.5) / {n!r} * 360.0 - 180.0 AS clon,
+         degrees(atan((exp({merc}) - exp(-{merc})) / 2.0)) AS clat
+  FROM cand)
+SELECT poly_id, {zoom} AS zoom, tile_x, tile_y
+FROM ctr
+WHERE list_sum(list_transform(range(0, len(rla)), i -> (
+  CASE WHEN (rla[i + 1] > clat) != (rla[{nxt}] > clat)
+       THEN (CASE WHEN clon <
+               (rlo[{nxt}] - rlo[i + 1]) * (clat - rla[i + 1])
+               / (rla[{nxt}] - rla[i + 1]) + rlo[i + 1]
+             THEN 1 ELSE 0 END)
+       ELSE 0 END))) % 2 = 1
+ORDER BY poly_id, tile_x, tile_y
+"""
+
+
 def _nation_rects_pandas(spark: SparkSession, sf_dir: str):
     pdf = _nation_rects(spark, sf_dir).toPandas()
     pdf["ring_lat"] = pdf.apply(
@@ -1026,6 +1091,29 @@ def _q_segment_intersections(spark, sf_dir):
             .orderBy("a_way", "a_pos", "b_way", "b_pos"))
 
 
+def _q_polyfill(spark, sf_dir):
+    """Polygon→tile rasterization (osmspark/spatial/polyfill.py): all z7
+    web-mercator tiles whose center is inside each ring — the 2 concave
+    fixtures (U-notch, dart: the bbox-tile candidate set is strictly
+    wider than the result, so the even-odd refine is exercised) + the 25
+    nation rectangles. Per-row array expressions only, no shuffle; the
+    crossing expression is the pip oracle's exact IEEE shape."""
+    from osmspark.spatial.polyfill import polyfill_raster
+    pdf = _concave_polys_pandas()[["poly_id", "ring_lat", "ring_lon"]]
+    rects = _nation_rects(spark, sf_dir).toPandas()
+    rows = pdf.to_dict("records") + [
+        {"poly_id": int(r.poly_id) + 100,
+         "ring_lat": [float(r.min_lat), float(r.min_lat),
+                      float(r.max_lat), float(r.max_lat)],
+         "ring_lon": [float(r.min_lon), float(r.max_lon),
+                      float(r.max_lon), float(r.min_lon)]}
+        for _, r in rects.iterrows()]
+    polys = spark.createDataFrame(
+        rows, "poly_id long, ring_lat array<double>, ring_lon array<double>")
+    return (polyfill_raster(polys, 7)
+            .orderBy("poly_id", "tile_x", "tile_y"))
+
+
 def _q_quadkey_tiles(spark, sf_dir):
     """z8 raster tiles addressed by Bing quadkey string (the 4th grid
     family: hex, S2, geohash, quadkey) — digit i = 2·y_bit + x_bit,
@@ -1409,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_tfidf": _q_top_terms,
         "segment_intersections": _q_segment_intersections,
         "quadkey_tiles_z8": _q_quadkey_tiles,
+        "polyfill_tiles_z7": _q_polyfill,
         "interval_join_days": _q_interval_join,
         # pipeline
         "line_dedup_docs": _q_line_dedup,
@@ -1692,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY id, poly_id
         """,
         "pip_raycast_concave": _pip_concave_oracle_sql(),
+        "polyfill_tiles_z7": _polyfill_oracle_sql(7),
         "hex_rollup_totals": f"""
           -- conservation oracle: rollup must preserve the total point count
           WITH pts AS ({_EVENT_POINTS_SQL})
