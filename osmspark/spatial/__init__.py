@@ -30,6 +30,7 @@ from .dwithin import dwithin_join
 from .intersect import segment_intersect_join
 from .mapmatch import explode_segments, nearest_segment_join
 from .polygon import polygon_metrics
+from .polyfill import polyfill_raster
 from .tiles import (
     hex_to_raster,
     kring_smooth,
