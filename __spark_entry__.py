@@ -171,6 +171,64 @@ def _hex_tiles_oracle_sql(res: int) -> str:
     """
 
 
+def _gh_spread_sql(v: str) -> str:
+    """Morton bit-spread (bit i → bit 2i) as a DuckDB SQL expression —
+    the same 5 shift/mask rounds as geohash_sql._spread_bits, textually
+    expanded (each round doubles the operand text; fine for one column
+    name)."""
+    e = v
+    for s, m in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                 (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                 (1, 0x5555555555555555)):
+        e = f"((({e}) | (({e}) << {s})) & {m})"
+    return e
+
+
+def _geohash_kring_oracle_sql(precision: int) -> str:
+    """DuckDB oracle for the geohash focal (3×3 k-ring) sum.
+
+    Independent formulation: scatter at the QUANTIZED-INTEGER level —
+    per-(lon_q, lat_q) counts cross-joined with the 9 deltas, longitude
+    wrapped mod 2^nlon, pole rows clip (lat delta filtered) — then the
+    target cells are base32-encoded with the same spread/interleave
+    arithmetic as osmspark/grid/geohash_sql.geohash_col. The engine
+    instead goes string→decode→±1→re-encode per neighbor, so a
+    hash-exact match proves the decode path is the true inverse of the
+    encode on every populated cell."""
+    nbits = 5 * precision
+    nlon, nlat = (nbits + 1) // 2, nbits // 2
+    lon_n, lat_n = 1 << nlon, 1 << nlat
+    sl, sa = _gh_spread_sql("tl"), _gh_spread_sql("ta")
+    if nbits % 2 == 1:
+        morton = f"(({sl}) | (({sa}) << 1))"
+    else:
+        morton = f"((({sl}) << 1) | ({sa}))"
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((m >> {(precision - 1 - i) * 5}) & 31) + 1 AS INT), 1)"
+        for i in range(precision))
+    deltas = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                       for dy in (-1, 0, 1))
+    return f"""
+      WITH pts AS ({_EVENT_POINTS_SQL}),
+      q AS (
+        SELECT greatest(0, least({lon_n - 1},
+                 CAST(floor((lon + 180.0) / 360.0 * {float(lon_n)!r}) AS BIGINT))) AS lq,
+               greatest(0, least({lat_n - 1},
+                 CAST(floor((lat + 90.0) / 180.0 * {float(lat_n)!r}) AS BIGINT))) AS aq
+        FROM pts),
+      cells AS (SELECT lq, aq, count(*) AS n FROM q GROUP BY 1, 2),
+      deltas(dx, dy) AS (VALUES {deltas}),
+      scat AS (
+        SELECT (lq + dx + {lon_n}) % {lon_n} AS tl, aq + dy AS ta, n
+        FROM cells CROSS JOIN deltas
+        WHERE aq + dy >= 0 AND aq + dy < {lat_n}),
+      agg AS (SELECT tl, ta, sum(n) AS n_smooth FROM scat GROUP BY 1, 2),
+      m AS (SELECT {morton} AS m, n_smooth FROM agg)
+      SELECT {chars} AS geohash, n_smooth FROM m ORDER BY geohash
+    """
+
+
 _FNV_LIST_SQL = """
     list_reduce(list_prepend(14695981039346656037::HUGEINT,
       [('0x' || substr(hex(encode({col})), i*2+1, 2))::INT::HUGEINT
@@ -1349,6 +1407,20 @@ def _q_geohash_cells(spark, sf_dir):
     return geohash_counts(pts, 5).orderBy("geohash")
 
 
+def _q_geohash_kring(spark, sf_dir):
+    """Focal (3×3 k-ring) sum over the p4 geohash tile layer — the
+    geohash analogue of hex_kring_smooth: decode each populated cell
+    back to quantized integers, ±1 with antimeridian wrap / pole clip,
+    re-encode, scatter, one groupBy. The oracle scatters at the
+    quantized-integer level instead (never round-tripping through
+    base32), so the hash compare proves decode∘encode = identity on
+    every populated cell and the neighbor topology matches."""
+    from osmspark.grid.geohash_sql import geohash_counts, geohash_kring_smooth
+    pts = _event_points(spark, sf_dir)
+    cells = geohash_counts(pts, 4)
+    return geohash_kring_smooth(cells, 4).orderBy("geohash")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language cap of 40 docs by seeded md5 order — the corpus
     mixing primitive; fully reproduced in DuckDB (bit-identical md5)."""
@@ -1487,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_pyramid_z468": _q_raster_pyramid,
         "doc_split_counts": _q_doc_splits,
         "hex_kring_smooth": _q_kring_smooth,
+        "geohash_kring_p4": _q_geohash_kring,
         "embedding_centroids": _q_embedding_centroids,
         "stratified_sample_lang": _q_stratified_sample,
         "geohash_cells_p5": _q_geohash_cells,
@@ -2094,6 +2167,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((m >> 20) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((m >> 15) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((m >> 10) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((m >> 5) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((m >> 0) & 31) + 1 AS INT), 1) AS geohash, count(*) AS n_points
           FROM m GROUP BY 1 ORDER BY geohash
         """,
+        "geohash_kring_p4": _geohash_kring_oracle_sql(4),
         "stratified_sample_lang": """
           WITH ranked AS (
             SELECT doc_id, lang,
