@@ -1421,6 +1421,61 @@ def _q_geohash_kring(spark, sf_dir):
     return geohash_kring_smooth(cells, 4).orderBy("geohash")
 
 
+# deterministic CLUSTERED point set for DBSCAN — the uniform event-point
+# lattice has no density contrast, so blob membership, centers and
+# offsets all derive from event_id with integer ops + single IEEE
+# divisions (bit-identical in DuckDB): 15 dense blobs (~200 pts, ±0.8°)
+# + 25% world-uniform background
+_DBSCAN_POINTS_SQL = """
+  SELECT id,
+    CASE WHEN id % 10 = 0
+      THEN -90.0 + ((id * 7919) % 18000) / 100.0
+      ELSE (-60.0 + (((id * 7919) % 50) * 2654435761 % 12000) / 100.0)
+           + ((((id * 104729) % 2001) - 1000) / 1000.0) * 0.8
+    END AS lat,
+    CASE WHEN id % 10 = 0
+      THEN -180.0 + ((id * 104729) % 36000) / 100.0
+      ELSE (-170.0 + (((id * 7919) % 50) * 40503 % 34000) / 100.0)
+           + ((((id * 7919) % 2001) - 1000) / 1000.0) * 0.8
+    END AS lon
+  FROM (SELECT event_id AS id FROM events WHERE event_id % 5 < 2)
+"""
+
+
+def _dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("event_id") % 5 < 2)
+          .select(F.col("event_id").alias("id")))
+    i = F.col("id")
+    bg = i % 10 == F.lit(0)
+    c = (i * 7919) % 50
+    blob_lat = ((F.lit(-60.0) + (c * 2654435761 % 12000) / F.lit(100.0))
+                + (((i * 104729) % 2001 - F.lit(1000)) / F.lit(1000.0))
+                * F.lit(0.8))
+    blob_lon = ((F.lit(-170.0) + (c * 40503 % 34000) / F.lit(100.0))
+                + (((i * 7919) % 2001 - F.lit(1000)) / F.lit(1000.0))
+                * F.lit(0.8))
+    bg_lat = F.lit(-90.0) + ((i * 7919) % 18000) / F.lit(100.0)
+    bg_lon = F.lit(-180.0) + ((i * 104729) % 36000) / F.lit(100.0)
+    return ev.select(
+        "id",
+        F.when(bg, bg_lat).otherwise(blob_lat).alias("lat"),
+        F.when(bg, bg_lon).otherwise(blob_lon).alias("lon"))
+
+
+def _q_dbscan(spark, sf_dir):
+    """Grid-based DBSCAN (eps=0.3°, min_pts=5) over the deterministic
+    blob+background point set: dwithin grid join for neighborhoods,
+    min-label propagation over core-core edges, min-label border
+    assignment. The oracle recomputes DBSCAN end-to-end in DuckDB —
+    brute-force eps-pairs, degree core test, recursive-CTE reachability
+    for components, min-core-neighbor borders — sharing only the
+    threshold EXPRESSION (0.3*0.3) so the boundary is bit-identical."""
+    from osmspark.spatial.cluster import dbscan
+    pts = _dbscan_points(spark, sf_dir)
+    return dbscan(pts, 0.3, 5).orderBy("id")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language cap of 40 docs by seeded md5 order — the corpus
     mixing primitive; fully reproduced in DuckDB (bit-identical md5)."""
@@ -1580,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "dbscan_labels": _q_dbscan,
         "neardup_cosine": _q_neardup_cosine,
         "ann_topk_bruteforce": _q_ann_topk,
         "minhash_lsh_candidates": _q_minhash_lsh,
@@ -2051,6 +2107,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
           SELECT id AS doc_id, min(r) AS cluster_id
           FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "dbscan_labels": f"""
+          WITH RECURSIVE pts AS ({_DBSCAN_POINTS_SQL}),
+          pairs AS (
+            SELECT a.id AS ai, b.id AS bi
+            FROM pts a JOIN pts b
+              ON (a.lat-b.lat)*(a.lat-b.lat)
+               + (a.lon-b.lon)*(a.lon-b.lon) <= 0.3*0.3),
+          deg AS (SELECT ai, count(*) AS nd FROM pairs GROUP BY ai),
+          core AS (SELECT ai AS id FROM deg WHERE nd >= 5),
+          cedges AS (
+            SELECT p.ai AS u, p.bi AS v FROM pairs p
+            JOIN core c1 ON p.ai = c1.id JOIN core c2 ON p.bi = c2.id
+            WHERE p.ai <> p.bi),
+          reach(id, r) AS (
+            SELECT id, id FROM core
+            UNION
+            SELECT e.u, reach.r FROM cedges e JOIN reach ON reach.id = e.v),
+          clab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          blab AS (
+            SELECT p.ai AS id, min(c.cluster_id) AS bl
+            FROM pairs p JOIN clab c ON p.bi = c.id
+            WHERE p.ai <> p.bi GROUP BY p.ai)
+          SELECT pts.id AS id,
+                 (clab.id IS NOT NULL) AS is_core,
+                 COALESCE(clab.cluster_id, blab.bl) AS cluster_id
+          FROM pts LEFT JOIN clab ON pts.id = clab.id
+                   LEFT JOIN blab ON pts.id = blab.id
+          ORDER BY id
         """,
         "neardup_cosine": """
           SELECT e1.vec_id AS a, e2.vec_id AS b,

@@ -1,0 +1,115 @@
+"""Grid-based DBSCAN clustering over a point DataFrame.
+
+DBSCAN (Ester et al., KDD '96 — public algorithm) re-expressed
+Spark-first: the per-point eps-neighborhood query that makes naive
+DBSCAN O(n²) is the :func:`osmspark.spatial.dwithin.dwithin_join` grid
+equi-join (cell = eps, 3×3 neighborhood explode, exact dist² refine —
+complete and duplicate-free by construction), and the sequential
+cluster expansion is connected components over the core-core eps-graph
+via the same min-label propagation as
+:func:`osmspark.pipeline.dedup.dedup_clusters`. The reference engine
+(osm-read) has no clustering at all — this is a gap-table operator a
+geospatial corpus pipeline needs (e.g. collapsing dense POI/event
+swarms before sampling).
+
+Deterministic semantics (the textbook leaves border assignment
+order-dependent; every choice here is canonical so a SQL oracle can
+reproduce the output exactly):
+
+- ``|N_eps(p)|`` counts p itself (textbook definition); p is **core**
+  iff ``|N_eps(p)| >= min_pts``.
+- Every core point belongs to exactly one cluster — the connected
+  component of the core-core eps-graph; ``cluster_id`` = min core id
+  in the component.
+- A **border** point (non-core with ≥1 core eps-neighbor) joins the
+  MIN ``cluster_id`` among its core neighbors.
+- **Noise** (non-core, no core neighbor): ``cluster_id`` null.
+
+Distance is squared planar degrees — the engine-wide metric (see
+knn._dist2 / dwithin) — so oracles compare bit-exactly.
+
+Scale shape: one cell-keyed shuffle builds ALL eps-pairs (AQE
+skew-split absorbs dense city cells); degree, core filter and border
+assignment are id-keyed aggs/joins over the pair table; each CC
+iteration is one shuffle join, bounded by the core-graph diameter
+(eps-graphs of dense clusters are shallow — hub-rich, so a handful of
+passes). Nothing is quadratic, nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from osmspark.pipeline.dedup import dedup_clusters
+from osmspark.spatial.dwithin import dwithin_join
+
+__all__ = ["dbscan"]
+
+
+def dbscan(points: DataFrame, eps: float, min_pts: int,
+           id_col: str = "id", max_iters: int = 30,
+           materialize: bool = True) -> DataFrame:
+    """(id, is_core, cluster_id) DBSCAN labels for every input point.
+
+    ``points``: (id, lat, lon). ``cluster_id`` is the min core id of
+    the cluster (null for noise); ``is_core`` distinguishes border
+    points (non-core members) from cores. ``max_iters`` bounds the
+    label-propagation passes (core-graph diameter — see
+    ``dedup_clusters``; it raises rather than return split clusters).
+
+    ``materialize`` (default) lazily local-checkpoints the eps-pair
+    table, which downstream consumes three times (degree, core-core
+    edges, border assignment) — without it the grid join recomputes
+    per consumer. Same fault-tolerance trade-off as
+    ``dedup.lsh_candidate_pairs``: localCheckpoint truncates lineage,
+    so on a multi-executor cluster prefer ``materialize=False`` (or
+    persist the pair table yourself) to keep recomputability.
+    """
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1: {min_pts}")
+    pts = points.select(F.col(id_col).alias("id"),
+                        F.col("lat").cast("double"),
+                        F.col("lon").cast("double"))
+    # all ordered eps-pairs INCLUDING the (p, p) diagonal — so the
+    # per-a_id count is |N_eps(p)| with p itself, the textbook measure
+    pairs = dwithin_join(pts, pts, eps, keep_self=True).select("a_id", "b_id")
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=False)
+
+    deg = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("_n_nb"))
+    core = (deg.filter(F.col("_n_nb") >= min_pts)
+            .select(F.col("a_id").alias("id")))
+
+    # CC over core-core edges; a neighborless core still seeds its own
+    # singleton cluster (a core point ALWAYS forms a cluster)
+    core_edges = (pairs
+                  .filter(F.col("a_id") < F.col("b_id"))
+                  .join(core.select(F.col("id").alias("a_id")), "a_id")
+                  .join(core.select(F.col("id").alias("b_id")), "b_id")
+                  .select(F.col("a_id").alias("a"), F.col("b_id").alias("b")))
+    core_labels = dedup_clusters(
+        core.select(F.col("id").alias("doc_id")), core_edges,
+        id_col="doc_id", max_iters=max_iters)
+    core_labels = core_labels.select(F.col("doc_id").alias("id"),
+                                     F.col("cluster_id").alias("_core_label"))
+
+    # border candidates: min core-neighbor cluster per point (the
+    # deterministic stand-in for the textbook's first-found assignment);
+    # computed for every point but only applied to non-cores below
+    nb_core = (pairs
+               .filter(F.col("a_id") != F.col("b_id"))
+               .join(core_labels.select(F.col("id").alias("b_id"),
+                                        F.col("_core_label")), "b_id")
+               .groupBy("a_id")
+               .agg(F.min("_core_label").alias("_border_label")))
+
+    out = (pts.select("id")
+           .join(core_labels, "id", "left")
+           .join(nb_core.select(F.col("a_id").alias("id"),
+                                "_border_label"), "id", "left"))
+    is_core = F.col("_core_label").isNotNull()
+    return out.select(
+        "id",
+        is_core.alias("is_core"),
+        F.coalesce(F.col("_core_label"), F.col("_border_label"))
+        .alias("cluster_id"))
