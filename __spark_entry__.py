@@ -1476,6 +1476,26 @@ def _q_dbscan(spark, sf_dir):
     return dbscan(pts, 0.3, 5).orderBy("id")
 
 
+def _q_zorder_bbox(spark, sf_dir):
+    """Round-trip through the Z-ordered fixed-point layout: quantize →
+    Morton range-partition+sort → parquet → pushed-down int bbox filter
+    → dequantize. Exercises the full warehouse path (write + pruned
+    read); the oracle replicates the quantize/dequantize arithmetic
+    (one IEEE multiply, round-half-away, one IEEE divide — identical in
+    DuckDB) and the same inclusive integer bounds."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osmspark.spatial.layout import read_bbox, write_points_zordered
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"osmspark_zbbox_{key}")
+    write_points_zordered(_event_points(spark, sf_dir), path, partitions=8)
+    out = read_bbox(spark, path, -300_000_000, 200_000_000,
+                    -900_000_000, 0)
+    return out.select("id", "lat", "lon").orderBy("id")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language cap of 40 docs by seeded md5 order — the corpus
     mixing primitive; fully reproduced in DuckDB (bit-identical md5)."""
@@ -1636,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "dbscan_labels": _q_dbscan,
+        "zorder_bbox": _q_zorder_bbox,
         "neardup_cosine": _q_neardup_cosine,
         "ann_topk_bruteforce": _q_ann_topk,
         "minhash_lsh_candidates": _q_minhash_lsh,
@@ -2107,6 +2128,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
           SELECT id AS doc_id, min(r) AS cluster_id
           FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "zorder_bbox": f"""
+          WITH pts AS ({_EVENT_POINTS_SQL}),
+          q AS (SELECT id,
+                       CAST(round(lat * 10000000.0) AS INT) AS lat_q,
+                       CAST(round(lon * 10000000.0) AS INT) AS lon_q
+                FROM pts)
+          SELECT id,
+                 CAST(lat_q AS DOUBLE) / 10000000.0 AS lat,
+                 CAST(lon_q AS DOUBLE) / 10000000.0 AS lon
+          FROM q
+          WHERE lat_q BETWEEN -300000000 AND 200000000
+            AND lon_q BETWEEN -900000000 AND 0
+          ORDER BY id
         """,
         "dbscan_labels": f"""
           WITH RECURSIVE pts AS ({_DBSCAN_POINTS_SQL}),

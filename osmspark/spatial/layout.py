@@ -27,10 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..grid.geohash_sql import _spread_bits
 from ..grid.hexgrid_sql import hex_cell_col
 
 __all__ = ["quantize_points", "dequantize_points",
-           "write_points_fixedpoint", "read_points_fixedpoint"]
+           "write_points_fixedpoint", "read_points_fixedpoint",
+           "zorder_col", "write_points_zordered", "read_bbox"]
 
 _SCALE = 1e7  # 1e-7° — OSM API precision; exact double
 
@@ -99,3 +101,63 @@ def read_points_fixedpoint(spark: SparkSession, path: str,
                            lon_col: str = "lon") -> DataFrame:
     """Scan the layout back as (…, lat, lon) doubles."""
     return dequantize_points(spark.read.parquet(path), lat_col, lon_col)
+
+
+def zorder_col(lat_q: Column, lon_q: Column) -> Column:
+    """Morton (Z-order) sort key over the fixed-point coordinates.
+
+    Both int32 axes shift to unsigned and drop one low bit (31 bits
+    each — the key orders the LAYOUT, data precision is untouched), so
+    the interleave fits the 62 positive bits of a long and plain signed
+    ordering is Z-curve ordering. Pure codegen via the geohash module's
+    magic-number spread."""
+    lat_u = F.shiftrightunsigned(lat_q.cast("long") + F.lit(1 << 31), 1)
+    lon_u = F.shiftrightunsigned(lon_q.cast("long") + F.lit(1 << 31), 1)
+    return F.shiftleft(_spread_bits(lat_u), 1).bitwiseOR(_spread_bits(lon_u))
+
+
+def write_points_zordered(points: DataFrame, path: str,
+                          partitions: int | None = None,
+                          lat_col: str = "lat", lon_col: str = "lon",
+                          row_group_bytes: int | None = None) -> None:
+    """Fixed-point layout range-partitioned + sorted by Z-order key.
+
+    Why next to ``cluster_res`` (1-D sort by one hex cell id): the
+    Z-curve bounds BOTH axes in every file/row group, so parquet min/max
+    stats on the RAW ``lat_q``/``lon_q`` columns are simultaneously
+    tight — an arbitrary pushed-down bbox predicate
+    (``lat_q BETWEEN … AND lon_q BETWEEN …``) prunes to
+    O(perimeter/curve-jumps) of the row groups with no derived cell
+    column or grid resolution chosen at query time. This is the
+    standard lakehouse OPTIMIZE ZORDER BY layout, built from the same
+    public Morton arithmetic as the geohash encoder. One range shuffle
+    at write time; tests/test_layout.py pins >80% of row groups pruned
+    for a 5°×5° bbox at 200k rows AND that the pushed predicate reaches
+    the scan."""
+    q = quantize_points(points, lat_col, lon_col)
+    q = q.withColumn("_z", zorder_col(F.col("lat_q"), F.col("lon_q")))
+    n = partitions or q.sparkSession.sparkContext.defaultParallelism * 4
+    q = (q.repartitionByRange(n, "_z")
+         .sortWithinPartitions("_z")
+         .drop("_z"))
+    writer = q.write.mode("overwrite")
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)
+
+
+def read_bbox(spark: SparkSession, path: str,
+              lat_min_q: int, lat_max_q: int,
+              lon_min_q: int, lon_max_q: int,
+              lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Scan a fixed-point layout restricted to a quantized bbox
+    (inclusive bounds, 1e-7° units). The filter lands on the stored
+    int32 columns BEFORE dequantization so it pushes down to parquet
+    row-group stats — on a Z-ordered layout that is the pruning path.
+    """
+    df = spark.read.parquet(path).filter(
+        (F.col("lat_q") >= F.lit(int(lat_min_q)))
+        & (F.col("lat_q") <= F.lit(int(lat_max_q)))
+        & (F.col("lon_q") >= F.lit(int(lon_min_q)))
+        & (F.col("lon_q") <= F.lit(int(lon_max_q))))
+    return dequantize_points(df, lat_col, lon_col)

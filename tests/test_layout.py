@@ -78,3 +78,80 @@ def test_fixedpoint_clustered_same_rows_and_tiles(spark, tmp_path):
     tb = tile_counts(b, 7, grid="hex").toPandas().set_index("cell").sort_index()
     assert (ta["n_points"].to_numpy() == tb["n_points"].to_numpy()).all()
     assert a.count() == b.count() == 20_000
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: bbox row-group pruning
+# ---------------------------------------------------------------------------
+
+def _rowgroup_stats(path):
+    """[(lat_min, lat_max, lon_min, lon_max)] per parquet row group."""
+    import glob
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        la, lo = names.index("lat_q"), names.index("lon_q")
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            sa, so = rg.column(la).statistics, rg.column(lo).statistics
+            out.append((sa.min, sa.max, so.min, so.max))
+    return out
+
+
+def _overlap_frac(stats, bbox):
+    la0, la1, lo0, lo1 = bbox
+    hit = sum(1 for (a0, a1, b0, b1) in stats
+              if a1 >= la0 and a0 <= la1 and b1 >= lo0 and b0 <= lo1)
+    return hit / len(stats)
+
+
+def _uniform_points(n=200_000, seed=13):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({"id": np.arange(n),
+                         "lat": rng.uniform(-85, 85, n),
+                         "lon": rng.uniform(-179, 179, n)})
+
+
+BBOX_Q = (100_000_000, 150_000_000, 200_000_000, 250_000_000)  # 5°x5°
+
+
+def test_zorder_prunes_row_groups(spark, tmp_path):
+    """Z-ordered layout: >80% of row groups have min/max stats disjoint
+    from a 5°×5° bbox; the same data written unsorted prunes ~nothing
+    (every row group spans the world)."""
+    from osmspark.spatial.layout import (write_points_fixedpoint,
+                                         write_points_zordered)
+
+    pts = spark.createDataFrame(_uniform_points())
+    zpath, ppath = str(tmp_path / "z"), str(tmp_path / "plain")
+    write_points_zordered(pts, zpath, partitions=32)
+    write_points_fixedpoint(pts, ppath, partitions=32)
+    zfrac = _overlap_frac(_rowgroup_stats(zpath), BBOX_Q)
+    pfrac = _overlap_frac(_rowgroup_stats(ppath), BBOX_Q)
+    assert zfrac < 0.2, f"z-order overlap {zfrac}"
+    assert pfrac > 0.9, f"unsorted layout unexpectedly clustered {pfrac}"
+
+
+def test_zorder_bbox_pushdown_and_exact(spark, tmp_path):
+    """read_bbox pushes the int bounds into the parquet scan
+    (PushedFilters) and returns exactly the brute-force rows."""
+    from osmspark.spatial.layout import read_bbox, write_points_zordered
+
+    pdf = _uniform_points(50_000, seed=14)
+    pts = spark.createDataFrame(pdf)
+    zpath = str(tmp_path / "z")
+    write_points_zordered(pts, zpath, partitions=16)
+    la0, la1, lo0, lo1 = BBOX_Q
+    got = read_bbox(spark, zpath, la0, la1, lo0, lo1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan and "GreaterThanOrEqual(lat_q" in plan
+    gp = got.select("id").toPandas().sort_values("id", ignore_index=True)
+    q = pdf.assign(lat_q=np.round(pdf["lat"] * 1e7).astype("int64"),
+                   lon_q=np.round(pdf["lon"] * 1e7).astype("int64"))
+    exp = q[(q.lat_q >= la0) & (q.lat_q <= la1)
+            & (q.lon_q >= lo0) & (q.lon_q <= lo1)]
+    assert gp["id"].tolist() == sorted(exp["id"].tolist())
+    assert len(gp) > 0
