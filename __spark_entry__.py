@@ -1476,6 +1476,90 @@ def _q_dbscan(spark, sf_dir):
     return dbscan(pts, 0.3, 5).orderBy("id")
 
 
+# deterministic URL synthesis over documents — the driver tables carry
+# no url column, so the Common-Crawl url ops get a synthesized one that
+# exercises every normalization rule (mixed-case scheme/host, default +
+# explicit ports, trailing slash, utm params, unsorted params,
+# fragments, two- and three-label registrable domains); texts are
+# partially collapsed so host dup rates are non-trivial
+_DOC_URLS_SQL = """
+  SELECT doc_id,
+    (CASE WHEN doc_id % 13 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+    (CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END) || source ||
+    (CASE WHEN doc_id % 2 = 0 THEN '.example.org' ELSE '.shop.co.uk' END) ||
+    (CASE WHEN doc_id % 11 = 0 THEN ':8443'
+          WHEN doc_id % 17 = 0 THEN ':443' ELSE '' END) ||
+    '/' || lang || '/doc-' || doc_id ||
+    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 9 = 0 THEN '?utm_only=x'
+          WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) AS url,
+    CASE WHEN doc_id % 10 < 2 THEN 'boilerplate page' ELSE text END AS text,
+    lang
+  FROM documents
+"""
+
+
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 13 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(i % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(i % 2 == 0, F.lit(".example.org"))
+        .otherwise(F.lit(".shop.co.uk")),
+        F.when(i % 11 == 0, F.lit(":8443"))
+        .otherwise(F.when(i % 17 == 0, F.lit(":443")).otherwise(F.lit(""))),
+        F.lit("/"), F.col("lang"), F.lit("/doc-"), i.cast("string"),
+        F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 9 == 0, F.lit("?utm_only=x"))
+        .otherwise(F.when(i % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+                   .otherwise(F.lit(""))),
+        F.when(i % 4 == 0, F.lit("#sec")).otherwise(F.lit("")))
+    text = F.when(i % 10 < 2, F.lit("boilerplate page")) \
+        .otherwise(F.col("text"))
+    return docs.select("doc_id", url.alias("url"), text.alias("text"),
+                       "lang")
+
+
+def _q_url_parts(spark, sf_dir):
+    """Component projection + registrable-domain heuristic via Spark's
+    parse_url built-in; the oracle re-derives every part with plain
+    split/position string ops (an independent parser for this URL
+    shape)."""
+    from osmspark.pipeline.urls import with_url_parts
+    pages = _doc_urls(spark, sf_dir)
+    return (with_url_parts(pages)
+            .select("doc_id", "host", "port",
+                    F.col("path_depth").cast("int").alias("path_depth"),
+                    "registrable_domain")
+            .orderBy("doc_id"))
+
+
+def _q_url_normalized(spark, sf_dir):
+    """Canonical URL for URL-level dedup: lowercase scheme+host, strip
+    fragment + default port + trailing path slash, drop utm_* params,
+    sort the rest. The oracle implements the same rules over
+    split-based parsing in DuckDB."""
+    from osmspark.pipeline.urls import normalized_url_col
+    pages = _doc_urls(spark, sf_dir)
+    return (pages.select("doc_id",
+                         normalized_url_col(F.col("url")).alias("norm_url"))
+            .orderBy("doc_id"))
+
+
+def _q_url_host_stats(spark, sf_dir):
+    """Per-host crawl-health aggregates (page count, language spread,
+    exact-text dup rate) — the table that drives host capping /
+    boilerplate decisions in corpus curation."""
+    from osmspark.pipeline.urls import host_stats
+    pages = _doc_urls(spark, sf_dir)
+    return host_stats(pages).orderBy("host")
+
+
 def _q_zorder_bbox(spark, sf_dir):
     """Round-trip through the Z-ordered fixed-point layout: quantize →
     Morton range-partition+sort → parquet → pushed-down int bbox filter
@@ -1657,6 +1741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dbscan_labels": _q_dbscan,
         "zorder_bbox": _q_zorder_bbox,
+        "url_parts": _q_url_parts,
+        "url_normalized": _q_url_normalized,
+        "url_host_stats": _q_url_host_stats,
         "neardup_cosine": _q_neardup_cosine,
         "ann_topk_bruteforce": _q_ann_topk,
         "minhash_lsh_candidates": _q_minhash_lsh,
@@ -2128,6 +2215,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
           SELECT id AS doc_id, min(r) AS cluster_id
           FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "url_parts": f"""
+          WITH pages AS ({_DOC_URLS_SQL}),
+          split1 AS (
+            SELECT doc_id, lower(split_part(url, '://', 1)) AS scheme,
+                   split_part(split_part(url, '://', 2), '#', 1) AS rest
+            FROM pages),
+          split2 AS (
+            SELECT doc_id, scheme,
+                   split_part(rest, '?', 1) AS hostpath
+            FROM split1),
+          split3 AS (
+            SELECT doc_id, scheme,
+                   split_part(hostpath, '/', 1) AS hostport,
+                   substr(hostpath, length(split_part(hostpath, '/', 1)) + 1)
+                     AS path
+            FROM split2),
+          parts AS (
+            SELECT doc_id,
+                   lower(split_part(hostport, ':', 1)) AS host,
+                   CAST(nullif(split_part(hostport, ':', 2), '') AS INT)
+                     AS port,
+                   len(list_filter(string_split(path, '/'),
+                                   x -> x <> '')) AS pd
+            FROM split3),
+          dom AS (
+            SELECT doc_id, host, port, CAST(pd AS INT) AS path_depth,
+                   string_split(host, '.') AS hl
+            FROM parts)
+          SELECT doc_id, host, port, path_depth,
+                 CASE WHEN len(hl) <= 1 THEN host
+                      WHEN len(hl) >= 3 AND hl[len(hl)-1] IN
+                        ('co','com','net','org','ac','gov','edu')
+                        THEN hl[len(hl)-2] || '.' || hl[len(hl)-1]
+                             || '.' || hl[len(hl)]
+                      ELSE hl[len(hl)-1] || '.' || hl[len(hl)]
+                 END AS registrable_domain
+          FROM dom ORDER BY doc_id
+        """,
+        "url_normalized": f"""
+          WITH pages AS ({_DOC_URLS_SQL}),
+          s1 AS (
+            SELECT doc_id, lower(split_part(url, '://', 1)) AS scheme,
+                   split_part(split_part(url, '://', 2), '#', 1) AS rest
+            FROM pages),
+          s2 AS (
+            SELECT doc_id, scheme,
+                   split_part(rest, '?', 1) AS hostpath,
+                   nullif(split_part(rest, '?', 2), '') AS query
+            FROM s1),
+          s3 AS (
+            SELECT doc_id, scheme, query,
+                   split_part(hostpath, '/', 1) AS hostport,
+                   regexp_replace(
+                     substr(hostpath,
+                            length(split_part(hostpath, '/', 1)) + 1),
+                     '/+$', '') AS path
+            FROM s2),
+          s4 AS (
+            SELECT doc_id, scheme, path,
+                   lower(split_part(hostport, ':', 1)) AS host,
+                   CAST(nullif(split_part(hostport, ':', 2), '') AS INT)
+                     AS port,
+                   list_sort(list_filter(
+                     string_split(coalesce(query, ''), '&'),
+                     p -> p <> '' AND NOT starts_with(p, 'utm_')))
+                     AS params
+            FROM s3)
+          SELECT doc_id,
+                 scheme || '://' || host ||
+                 (CASE WHEN port IS NOT NULL AND NOT
+                         ((scheme = 'http' AND port = 80) OR
+                          (scheme = 'https' AND port = 443))
+                       THEN ':' || port ELSE '' END) ||
+                 path ||
+                 (CASE WHEN len(params) > 0
+                       THEN '?' || array_to_string(params, '&')
+                       ELSE '' END) AS norm_url
+          FROM s4 ORDER BY doc_id
+        """,
+        "url_host_stats": f"""
+          WITH pages AS ({_DOC_URLS_SQL}),
+          h AS (
+            SELECT lower(split_part(split_part(split_part(url, '://', 2),
+                                               '/', 1), ':', 1)) AS host,
+                   lang, text
+            FROM pages),
+          agg AS (
+            SELECT host, count(*) AS n_pages,
+                   count(DISTINCT lang) AS n_langs,
+                   count(DISTINCT text) AS n_distinct_texts
+            FROM h GROUP BY host)
+          SELECT host, n_pages, n_langs, n_distinct_texts,
+                 CAST(n_pages - n_distinct_texts AS DOUBLE) / n_pages
+                   AS dup_rate
+          FROM agg ORDER BY host
         """,
         "zorder_bbox": f"""
           WITH pts AS ({_EVENT_POINTS_SQL}),
