@@ -6,8 +6,11 @@ DBSCAN O(n²) is the :func:`osmspark.spatial.dwithin.dwithin_join` grid
 equi-join (cell = eps, 3×3 neighborhood explode, exact dist² refine —
 complete and duplicate-free by construction), and the sequential
 cluster expansion is connected components over the core-core eps-graph
-via the same min-label propagation as
-:func:`osmspark.pipeline.dedup.dedup_clusters`. The reference engine
+via pointer-jumping min-label propagation
+(:func:`osmspark.graph.cc.cc_labels` — O(log diameter) rounds; spatial
+components are DEEP, a city-sized blob at eps resolution has diameter
+in the hundreds, so the one-hop propagation that suffices for shallow
+near-dup graphs would shuffle hundreds of times). The reference engine
 (osm-read) has no clustering at all — this is a gap-table operator a
 geospatial corpus pipeline needs (e.g. collapsing dense POI/event
 swarms before sampling).
@@ -40,7 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from osmspark.pipeline.dedup import dedup_clusters
+from osmspark.graph.cc import cc_labels
 from osmspark.spatial.dwithin import dwithin_join
 
 __all__ = ["dbscan"]
@@ -54,8 +57,8 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     ``points``: (id, lat, lon). ``cluster_id`` is the min core id of
     the cluster (null for noise); ``is_core`` distinguishes border
     points (non-core members) from cores. ``max_iters`` bounds the
-    label-propagation passes (core-graph diameter — see
-    ``dedup_clusters``; it raises rather than return split clusters).
+    pointer-jumping rounds (covers diameter ~3^max_iters — see
+    ``cc_labels``; it raises rather than return split clusters).
 
     ``materialize`` (default) lazily local-checkpoints the eps-pair
     table, which downstream consumes three times (degree, core-core
@@ -87,11 +90,8 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
                   .join(core.select(F.col("id").alias("a_id")), "a_id")
                   .join(core.select(F.col("id").alias("b_id")), "b_id")
                   .select(F.col("a_id").alias("a"), F.col("b_id").alias("b")))
-    core_labels = dedup_clusters(
-        core.select(F.col("id").alias("doc_id")), core_edges,
-        id_col="doc_id", max_iters=max_iters)
-    core_labels = core_labels.select(F.col("doc_id").alias("id"),
-                                     F.col("cluster_id").alias("_core_label"))
+    core_labels = cc_labels(core, core_edges, max_rounds=max_iters) \
+        .select("id", F.col("label").alias("_core_label"))
 
     # border candidates: min core-neighbor cluster per point (the
     # deterministic stand-in for the textbook's first-found assignment);
