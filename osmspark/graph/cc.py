@@ -22,9 +22,13 @@ updates the pointed-AT node — the greater-to-min scatter is the fix,
 8/16/10 rounds on random/path-3000/grid-60² in the pinned tests.)
 
 Per round: one (u)-keyed min agg + one join + a fan-out projection +
-distinct, then a symmetric-difference convergence check (two
-anti-joins) — all id-keyed shuffles, nothing driver-side, each round
-``localCheckpoint``'d so plans don't stack. Skew note: the
+distinct, then ONE aggregation that both materializes the round's lazy
+``localCheckpoint`` and computes the convergence signature (row count
++ two independent order-insensitive xxhash64 sums; a false "stable"
+needs a simultaneous collision of both 64-bit sums AND the count,
+~2^-128 — an earlier exact symmetric-difference check cost two extra
+anti-join jobs per round, which dominated wall time on small graphs).
+All id-keyed shuffles, nothing driver-side. Skew note: the
 greater-to-min messages key on the component minimum, so a giant
 component concentrates one key per round — AQE skew-split territory,
 bounded by component size (linear, not quadratic).
@@ -53,8 +57,19 @@ def cc_labels(ids: DataFrame, edges: DataFrame, id_col: str = "id",
                                      F.col("a").alias("v"))))
     members = (sym.unionByName(nodes.select(F.col("id").alias("u"),
                                             F.col("id").alias("v")))
-               .distinct().localCheckpoint(eager=True))
-    changed = -1
+               .distinct().localCheckpoint(eager=False))
+
+    def _sig(df: DataFrame) -> tuple:
+        # one aggregation job doubling as the checkpoint materializer —
+        # count + order-insensitive hash-sums of the row set
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64("v", "u", F.lit(7))
+                  .cast("decimal(38,0)")).alias("h2")).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    sig = _sig(members)
     for _ in range(max_rounds):
         # m(u) = min C(u)  (self-loop rows make u itself a candidate)
         mins = members.groupBy("u").agg(F.min("v").alias("m"))
@@ -63,15 +78,15 @@ def cc_labels(ids: DataFrame, edges: DataFrame, id_col: str = "id",
         to_min = (j.filter(F.col("v") > F.col("m"))
                   .select(F.col("m").alias("u"), F.col("v")))
         new_members = (to_all.unionByName(to_min)
-                       .distinct().localCheckpoint(eager=True))
-        changed = (new_members.exceptAll(members).count()
-                   + members.exceptAll(new_members).count())
-        members = new_members
-        if changed == 0:
+                       .distinct().localCheckpoint(eager=False))
+        new_sig = _sig(new_members)
+        stable = new_sig == sig
+        members, sig = new_members, new_sig
+        if stable:
             break
     else:
         raise RuntimeError(
             f"cc_labels did not converge in max_rounds={max_rounds} "
-            f"({changed} member rows still moving)")
+            "(member-set signature still moving)")
     return members.groupBy("u").agg(F.min("v").alias("label")) \
         .select(F.col("u").alias("id"), "label")

@@ -41,6 +41,8 @@ passes). Nothing is quadratic, nothing collects to the driver.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from osmspark.graph.cc import cc_labels
@@ -83,15 +85,40 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     core = (deg.filter(F.col("_n_nb") >= min_pts)
             .select(F.col("a_id").alias("id")))
 
-    # CC over core-core edges; a neighborless core still seeds its own
-    # singleton cluster (a core point ALWAYS forms a cluster)
+    # cell contraction (grid-DBSCAN reduction): with cell = eps/√2 the
+    # cell diagonal is exactly eps, so cores sharing a cell are pairwise
+    # eps-connected and collapse to ONE supernode (id = the cell's min
+    # core id) before CC — the component graph shrinks from points to
+    # occupied cells (dense areas by their occupancy factor), identical
+    # labels by construction (component min is preserved through the
+    # per-cell min). A neighborless supernode still seeds its own
+    # singleton cluster (a core point ALWAYS forms a cluster).
+    c = float(eps) / math.sqrt(2.0)
+    cell = [(F.floor(F.col("lon") / c)).cast("long").alias("_cx"),
+            (F.floor(F.col("lat") / c)).cast("long").alias("_cy")]
+    core_cells = (pts.join(core, "id").select("id", *cell))
+    cell_min = (core_cells.groupBy("_cx", "_cy")
+                .agg(F.min("id").alias("_snode")))
+    core_snode = (core_cells.join(cell_min, ["_cx", "_cy"])
+                  .select("id", "_snode")
+                  .localCheckpoint(eager=False))
+
     core_edges = (pairs
                   .filter(F.col("a_id") < F.col("b_id"))
-                  .join(core.select(F.col("id").alias("a_id")), "a_id")
-                  .join(core.select(F.col("id").alias("b_id")), "b_id")
-                  .select(F.col("a_id").alias("a"), F.col("b_id").alias("b")))
-    core_labels = cc_labels(core, core_edges, max_rounds=max_iters) \
-        .select("id", F.col("label").alias("_core_label"))
+                  .join(core_snode.select(F.col("id").alias("a_id"),
+                                          F.col("_snode").alias("a")),
+                        "a_id")
+                  .join(core_snode.select(F.col("id").alias("b_id"),
+                                          F.col("_snode").alias("b")),
+                        "b_id")
+                  .filter(F.col("a") != F.col("b"))
+                  .select("a", "b").distinct())
+    snodes = core_snode.select(F.col("_snode").alias("id")).distinct()
+    snode_labels = cc_labels(snodes, core_edges, max_rounds=max_iters)
+    core_labels = (core_snode
+                   .join(snode_labels.select(F.col("id").alias("_snode"),
+                                             "label"), "_snode")
+                   .select("id", F.col("label").alias("_core_label")))
 
     # border candidates: min core-neighbor cluster per point (the
     # deterministic stand-in for the textbook's first-found assignment);
