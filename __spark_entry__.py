@@ -1249,6 +1249,16 @@ def _q_line_dedup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Exact substring (8-token window) dedup accounting per document
+    (osmspark/pipeline/substrings.py): windows → skew-safe census →
+    per-doc duplicated-span mass. Pure codegen; md5 window hashes are
+    byte-identical across engines."""
+    from osmspark.pipeline.substrings import dup_span_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_span_stats(docs, k=8, min_dup=2).orderBy("doc_id")
+
+
 def _q_dedup_exact(spark, sf_dir):
     from osmspark.pipeline.dedup import exact_dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1733,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_days": _q_interval_join,
         # pipeline
         "line_dedup_docs": _q_line_dedup,
+        "dup_spans_k8": _q_dup_spans,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -2178,6 +2189,43 @@ def oracle_sql() -> dict[str, str]:
                                          chr(10) ORDER BY line_no), ''))
                    AS clean_hash
           FROM kept GROUP BY doc_id ORDER BY doc_id
+        """,
+        # exact substring dedup: k=8 token windows, occurrence census,
+        # keeper = lexicographic min (doc_id, win_no) — encoded as one
+        # int64 (win_no < 2^32) so min() needs no struct ordering
+        "dup_spans_k8": """
+          WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+            FROM documents),
+          wins AS (
+            SELECT doc_id, i AS win_no,
+                   md5(array_to_string(t[i:i+7], ' ')) AS win_hash
+            FROM toks,
+                 LATERAL (SELECT unnest(range(1, greatest(len(t)-7, 0)+1)) AS i) r),
+          census AS (
+            SELECT win_hash, count(*) AS n_copies,
+                   min(doc_id * 4294967296 + win_no) AS mn
+            FROM wins GROUP BY win_hash),
+          flagged AS (
+            SELECT w.doc_id,
+                   CASE WHEN c.n_copies >= 2 THEN 1 ELSE 0 END AS dup,
+                   CASE WHEN c.n_copies >= 2
+                         AND w.doc_id * 4294967296 + w.win_no <> c.mn
+                        THEN 1 ELSE 0 END AS rm
+            FROM wins w JOIN census c USING (win_hash)),
+          agg AS (
+            SELECT doc_id, count(*) AS n_windows,
+                   sum(dup)::BIGINT AS n_dup, sum(rm)::BIGINT AS n_removable
+            FROM flagged GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(a.n_windows, 0) AS n_windows,
+                 coalesce(a.n_dup, 0) AS n_dup,
+                 coalesce(a.n_removable, 0) AS n_removable,
+                 CASE WHEN coalesce(a.n_windows, 0) > 0
+                      THEN round(coalesce(a.n_dup, 0)::DOUBLE / a.n_windows, 6)
+                      ELSE 0.0 END AS dup_ratio
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+          ORDER BY d.doc_id
         """,
         "dedup_exact": """
           SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
