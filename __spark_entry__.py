@@ -1249,6 +1249,28 @@ def _q_line_dedup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_colocated_events(spark, sf_dir):
+    """Spatiotemporal co-location self-join (contact-tracing primitive,
+    osmspark/spatial/dwithin.py:colocate_join): pairs of events within
+    0.25° AND 6 h, via a 3×3×3 bucket equi-join — never an all-pairs
+    shuffle. Points derive from user home cells (user_id anchors a 10×10
+    grid, event_id jitters within ±0.25°) so co-location actually occurs;
+    integer-exact derivation reproduced verbatim in the oracle. r = 0.25
+    so the r² literal (0.0625) is exact in binary — both engines filter
+    on the identical double."""
+    from osmspark.spatial.dwithin import colocate_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        ((F.col("user_id") % 10)
+         + (F.col("event_id") * 7919 % 1000) / F.lit(2000.0)).alias("lat"),
+        ((F.expr("user_id DIV 10") % 10)
+         + (F.col("event_id") * 104729 % 1000) / F.lit(2000.0)).alias("lon"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    return (colocate_join(pts, pts, 0.25, 21_600_000_000, keep_self=False)
+            .orderBy("a_id", "b_id"))
+
+
 def _q_dup_spans(spark, sf_dir):
     """Exact substring (8-token window) dedup accounting per document
     (osmspark/pipeline/substrings.py): windows → skew-safe census →
@@ -1725,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tiles_l10": _q_s2_tiles,
         "hex_rollup_totals": _q_hex_rollup,
         "dwithin_pairs": _q_dwithin,
+        "colocated_events": _q_colocated_events,
         "raster_pyramid_z468": _q_raster_pyramid,
         "doc_split_counts": _q_doc_splits,
         "hex_kring_smooth": _q_kring_smooth,
@@ -2593,6 +2616,27 @@ def oracle_sql() -> dict[str, str]:
           FROM sup, pts
           WHERE (sup.lat - pts.lat) * (sup.lat - pts.lat)
                 + (sup.lon - pts.lon) * (sup.lon - pts.lon) <= 4.0
+          ORDER BY a_id, b_id
+        """,
+        # spatiotemporal co-location: brute-force self-join oracle over
+        # the same home-cell point derivation; 0.0625 = 0.25² exact in
+        # binary, |dt| bound in integer microseconds (epoch_us)
+        "colocated_events": """
+          WITH p AS (
+            SELECT event_id AS id,
+                   (user_id % 10) + (event_id * 7919 % 1000) / 2000.0 AS lat,
+                   ((user_id // 10) % 10)
+                     + (event_id * 104729 % 1000) / 2000.0 AS lon,
+                   epoch_us(ts) AS ts_us
+            FROM events)
+          SELECT a.id AS a_id, b.id AS b_id,
+                 (a.lat - b.lat) * (a.lat - b.lat)
+                 + (a.lon - b.lon) * (a.lon - b.lon) AS dist2,
+                 b.ts_us - a.ts_us AS dt_us
+          FROM p a JOIN p b ON a.id < b.id
+          WHERE (a.lat - b.lat) * (a.lat - b.lat)
+                + (a.lon - b.lon) * (a.lon - b.lon) <= 0.0625
+            AND abs(b.ts_us - a.ts_us) <= 21600000000
           ORDER BY a_id, b_id
         """,
         # DuckDB's native ASOF LEFT JOIN — an independent implementation

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["dwithin_join"]
+__all__ = ["dwithin_join", "colocate_join"]
 
 
 def dwithin_join(a: DataFrame, b: DataFrame, radius: float,
@@ -71,6 +71,75 @@ def dwithin_join(a: DataFrame, b: DataFrame, radius: float,
            .withColumn("dist2", d2)
            .filter(F.col("dist2") <= F.lit(r * r))
            .select("a_id", "b_id", "dist2"))
+    if not keep_self:
+        out = out.filter(F.col("a_id") < F.col("b_id"))
+    return out
+
+
+def colocate_join(a: DataFrame, b: DataFrame, radius: float,
+                  max_dt_us: int, a_id: str = "id", b_id: str = "id",
+                  keep_self: bool = True) -> DataFrame:
+    """Spatiotemporal co-location join: pairs within ``radius`` in space
+    AND within ``max_dt_us`` microseconds in time — the contact-tracing /
+    co-visit / trajectory-encounter primitive, as a 3-D bucket equi-join.
+
+    ``a``/``b``: DataFrames with (id, lat, lon, ts_us) where ``ts_us`` is
+    int64 epoch microseconds (``F.unix_micros(ts)`` — integer time, no
+    float or timezone ambiguity, exactly DuckDB's ``epoch_us``). Returns
+    (a_id, b_id, dist2, dt_us) with dist2 ≤ radius² and |dt_us| ≤
+    max_dt_us (both inclusive).
+
+    Construction extends :func:`dwithin_join` by one axis: the bucket key
+    is (cell_x, cell_y, time_bucket) with cell size = radius and bucket
+    width = max_dt_us. A explodes to its 3×3×3 = 27-bucket neighborhood;
+    B keeps its single bucket, so the candidate set is COMPLETE (each
+    axis differs by ≤ 1 bucket for a true pair) and each true pair joins
+    exactly once (B owns one bucket — no dedup pass). The exact
+    dist²/|Δt| refine runs in whole-stage codegen.
+
+    Scale: one shuffle per side on the 3-int key. The time axis spreads
+    a dense city cell across buckets, so hot-key skew is strictly milder
+    than the pure-spatial join's; residual skew (a stadium at kickoff)
+    is AQE skew-split territory, same note as :func:`dwithin_join`.
+    The 27× inflation rides as fixed-width (id, lat, lon, ts, 3 ints)
+    rows — join ids first, attach payloads by id afterwards.
+    """
+    r = float(radius)
+    w = int(max_dt_us)
+    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    aa = (a.select(F.col(a_id).alias("a_id"),
+                   F.col("lat").alias("a_lat"), F.col("lon").alias("a_lon"),
+                   F.col("ts_us").alias("a_ts"))
+          .withColumn("_dx", F.explode(offs))
+          .withColumn("_dy", F.explode(offs))
+          .withColumn("_dt", F.explode(offs))
+          .withColumn("cx", (F.floor(F.col("a_lon") / r) + F.col("_dx"))
+                      .cast("long"))
+          .withColumn("cy", (F.floor(F.col("a_lat") / r) + F.col("_dy"))
+                      .cast("long"))
+          # integer DIV, not floor(double/):  epoch_us ~1.7e15 divided in
+          # f64 can land an ulp past a bucket boundary and shift ct by 1,
+          # breaking the ±1 completeness cover. DIV == floor for ts ≥ 0
+          # (documented: epoch microseconds are nonnegative).
+          .withColumn("ct", (F.expr(f"a_ts DIV {w}") + F.col("_dt"))
+                      .cast("long"))
+          .drop("_dx", "_dy", "_dt"))
+    bb = (b.select(F.col(b_id).alias("b_id"),
+                   F.col("lat").alias("b_lat"), F.col("lon").alias("b_lon"),
+                   F.col("ts_us").alias("b_ts"))
+          .withColumn("cx", F.floor(F.col("b_lon") / r).cast("long"))
+          .withColumn("cy", F.floor(F.col("b_lat") / r).cast("long"))
+          .withColumn("ct", F.expr(f"b_ts DIV {w}").cast("long")))
+    d2 = ((F.col("a_lat") - F.col("b_lat"))
+          * (F.col("a_lat") - F.col("b_lat"))
+          + (F.col("a_lon") - F.col("b_lon"))
+          * (F.col("a_lon") - F.col("b_lon")))
+    out = (aa.join(bb, ["cx", "cy", "ct"], "inner")
+           .withColumn("dist2", d2)
+           .withColumn("dt_us", F.col("b_ts") - F.col("a_ts"))
+           .filter((F.col("dist2") <= F.lit(r * r))
+                   & (F.abs(F.col("dt_us")) <= F.lit(w)))
+           .select("a_id", "b_id", "dist2", "dt_us"))
     if not keep_self:
         out = out.filter(F.col("a_id") < F.col("b_id"))
     return out
