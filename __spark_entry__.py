@@ -1172,6 +1172,39 @@ def _q_polyfill(spark, sf_dir):
             .orderBy("poly_id", "tile_x", "tile_y"))
 
 
+def _q_compact_polyfill(spark, sf_dir):
+    """Quadtree compaction (osmspark/spatial/compact.py) of the distinct
+    z7 polyfill cells: every complete 4-sibling set promotes to its
+    parent recursively — the minimal mixed-zoom AOI cover you'd
+    broadcast against a 10^12-row point table. Oracle: the same
+    bottom-up promotion as chained DuckDB CTEs over the polyfill
+    oracle's leaf set."""
+    from osmspark.spatial.compact import compact_tiles
+    cells = _q_polyfill(spark, sf_dir).select("tile_x", "tile_y")
+    return compact_tiles(cells, 7).orderBy("zoom", "tile_x", "tile_y")
+
+
+def _compact_oracle_sql(zoom: int = 7) -> str:
+    inner = _polyfill_oracle_sql(zoom)
+    parts = [f"WITH lvl{zoom} AS (\n  SELECT DISTINCT tile_x AS x, "
+             f"tile_y AS y FROM ({inner}))"]
+    keeps = []
+    for z in range(zoom, 0, -1):
+        parts.append(
+            f"g{z} AS (SELECT x // 2 AS px, y // 2 AS py, count(*) AS n\n"
+            f"  FROM lvl{z} GROUP BY 1, 2)")
+        keeps.append(
+            f"SELECT {z} AS zoom, l.x AS tile_x, l.y AS tile_y\n"
+            f"FROM lvl{z} l JOIN g{z} g"
+            f" ON l.x // 2 = g.px AND l.y // 2 = g.py WHERE g.n < 4")
+        parts.append(
+            f"lvl{z - 1} AS (SELECT px AS x, py AS y FROM g{z} WHERE n = 4)")
+    keeps.append("SELECT 0 AS zoom, x AS tile_x, y AS tile_y FROM lvl0")
+    return (",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(keeps)
+            + "\nORDER BY zoom, tile_x, tile_y")
+
+
 def _q_quadkey_tiles(spark, sf_dir):
     """z8 raster tiles addressed by Bing quadkey string (the 4th grid
     family: hex, S2, geohash, quadkey) — digit i = 2·y_bit + x_bit,
@@ -1763,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersections": _q_segment_intersections,
         "quadkey_tiles_z8": _q_quadkey_tiles,
         "polyfill_tiles_z7": _q_polyfill,
+        "compact_polyfill_z7": _q_compact_polyfill,
         "interval_join_days": _q_interval_join,
         # pipeline
         "line_dedup_docs": _q_line_dedup,
@@ -2053,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pip_raycast_concave": _pip_concave_oracle_sql(),
         "polyfill_tiles_z7": _polyfill_oracle_sql(7),
+        "compact_polyfill_z7": _compact_oracle_sql(7),
         "hex_rollup_totals": f"""
           -- conservation oracle: rollup must preserve the total point count
           WITH pts AS ({_EVENT_POINTS_SQL})
