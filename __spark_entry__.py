@@ -1071,6 +1071,51 @@ def _q_trip_metrics(spark, sf_dir):
             .orderBy("trip_id"))
 
 
+def _q_trip_hulls(spark, sf_dir):
+    """Per-group convex hull (osmspark/spatial/hull.py): directed CCW
+    hull edges of each of the 97 event-point trips on the 1e-6° integer
+    grid. The oracle never runs a hull algorithm — it recomputes the
+    closed-form edge characterization (every other point strictly left,
+    or collinear inside the edge bbox) with exact int64 cross products,
+    so the monotone chain is verified against independent math."""
+    from osmspark.spatial.hull import convex_hull_edges
+    pts = _event_points(spark, sf_dir)
+    return (convex_hull_edges(
+                pts.withColumn("group_id", F.col("id") % 97))
+            .orderBy("group_id", "ax_q", "ay_q", "bx_q", "by_q"))
+
+
+_TRIP_HULLS_SQL = f"""
+  WITH pts AS ({_EVENT_POINTS_SQL}),
+  d AS (
+    SELECT DISTINCT id % 97 AS g,
+           CAST(round(lon * 1000000.0) AS BIGINT) AS x,
+           CAST(round(lat * 1000000.0) AS BIGINT) AS y
+    FROM pts),
+  pairs AS (
+    SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS byy
+    FROM d a JOIN d b ON a.g = b.g
+    WHERE a.x <> b.x OR a.y <> b.y),
+  chk AS (
+    SELECT pr.g, ax, ay, bx, byy,
+           sum(CASE
+                 WHEN (q.x = ax AND q.y = ay) OR (q.x = bx AND q.y = byy)
+                   THEN 0
+                 WHEN (bx - ax) * (q.y - ay) - (byy - ay) * (q.x - ax) > 0
+                   THEN 0
+                 WHEN (bx - ax) * (q.y - ay) - (byy - ay) * (q.x - ax) = 0
+                      AND q.x BETWEEN least(ax, bx) AND greatest(ax, bx)
+                      AND q.y BETWEEN least(ay, byy) AND greatest(ay, byy)
+                   THEN 0
+                 ELSE 1 END) AS bad
+    FROM pairs pr JOIN d q ON pr.g = q.g
+    GROUP BY pr.g, ax, ay, bx, byy)
+  SELECT g AS group_id, ax AS ax_q, ay AS ay_q, bx AS bx_q, byy AS by_q
+  FROM chk WHERE bad = 0
+  ORDER BY group_id, ax_q, ay_q, bx_q, by_q
+"""
+
+
 def _q_ring_metrics(spark, sf_dir):
     """Integer-exact ring metrics (signed area, winding, area-weighted
     centroid, quantum-grid perimeter) over the 97 assembled trip rings.
@@ -1791,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_trips_dp": _q_simplify_trips,
         "trip_metrics": _q_trip_metrics,
         "ring_metrics": _q_ring_metrics,
+        "trip_hulls": _q_trip_hulls,
         "nearest_segment": _q_nearest_segment,
         "top_terms_tfidf": _q_top_terms,
         "segment_intersections": _q_segment_intersections,
@@ -2308,6 +2354,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, md5(text) AS fingerprint_md5
           FROM documents ORDER BY doc_id
         """,
+        "trip_hulls": _TRIP_HULLS_SQL,
         "ngram_jaccard": _NGRAM_PAIRS_SQL + " ORDER BY a, b",
         # transitive closure over the same (oracle-exact) pair set:
         # min-reachable-id per doc == the engine's min-label propagation
