@@ -1250,6 +1250,65 @@ def _compact_oracle_sql(zoom: int = 7) -> str:
             + "\nORDER BY zoom, tile_x, tile_y")
 
 
+def _q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (osmspark/spatial/zonal.py): the event-point z6
+    raster aggregated over the polyfill zones (2 concave fixtures + 25
+    nation rects) — raster↔vector integration with the zone mask as the
+    broadcast side. Oracle composes the two independently-pinned
+    primitives' SQL (polyfill cells ⋈ raster counts) plus the never-drop
+    left join over the full zone universe."""
+    from osmspark.spatial.zonal import zonal_stats
+    pdf = _concave_polys_pandas()[["poly_id", "ring_lat", "ring_lon"]]
+    rects = _nation_rects(spark, sf_dir).toPandas()
+    rows = pdf.to_dict("records") + [
+        {"poly_id": int(r.poly_id) + 100,
+         "ring_lat": [float(r.min_lat), float(r.min_lat),
+                      float(r.max_lat), float(r.max_lat)],
+         "ring_lon": [float(r.min_lon), float(r.max_lon),
+                      float(r.max_lon), float(r.min_lon)]}
+        for _, r in rects.iterrows()]
+    polys = spark.createDataFrame(
+        rows, "poly_id long, ring_lat array<double>, ring_lon array<double>")
+    pts = _event_points(spark, sf_dir)
+    return zonal_stats(pts, polys, 6).orderBy("poly_id")
+
+
+def _zonal_oracle_sql(zoom: int = 6) -> str:
+    n = float(1 << zoom)
+    nmax = (1 << zoom) - 1
+    return f"""
+WITH cells AS (SELECT poly_id, tile_x, tile_y FROM ({_polyfill_oracle_sql(zoom)})),
+pts AS ({_EVENT_POINTS_SQL}),
+clamped AS (SELECT greatest(-85.05112878, least(85.05112878, lat)) AS lat,
+                   lon FROM pts),
+raster AS (
+  SELECT greatest(0, least({nmax},
+           floor((lon + 180.0) / 360.0 * {n!r})::BIGINT)) AS tile_x,
+         greatest(0, least({nmax},
+           floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+                  / pi()) / 2.0 * {n!r})::BIGINT)) AS tile_y,
+         count(*) AS n_points
+  FROM clamped GROUP BY 1, 2),
+st AS (
+  SELECT c.poly_id, count(*) AS n_covered,
+         sum(r.n_points)::BIGINT AS n_points,
+         max(r.n_points) AS max_tile_points
+  FROM cells c JOIN raster r USING (tile_x, tile_y)
+  GROUP BY c.poly_id),
+nt AS (SELECT poly_id, count(*) AS n_tiles FROM cells GROUP BY poly_id),
+ids AS (SELECT 0::BIGINT AS poly_id UNION ALL SELECT 1::BIGINT
+        UNION ALL SELECT poly_id + 100 FROM ({_NATION_RECTS_SQL}))
+SELECT i.poly_id,
+       coalesce(nt.n_tiles, 0) AS n_tiles,
+       coalesce(st.n_covered, 0) AS n_covered,
+       coalesce(st.n_points, 0) AS n_points,
+       coalesce(st.max_tile_points, 0) AS max_tile_points
+FROM ids i LEFT JOIN nt ON i.poly_id = nt.poly_id
+           LEFT JOIN st ON i.poly_id = st.poly_id
+ORDER BY i.poly_id
+"""
+
+
 def _q_quadkey_tiles(spark, sf_dir):
     """z8 raster tiles addressed by Bing quadkey string (the 4th grid
     family: hex, S2, geohash, quadkey) — digit i = 2·y_bit + x_bit,
@@ -1843,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_tiles_z8": _q_quadkey_tiles,
         "polyfill_tiles_z7": _q_polyfill,
         "compact_polyfill_z7": _q_compact_polyfill,
+        "zonal_stats_z6": _q_zonal_stats,
         "interval_join_days": _q_interval_join,
         # pipeline
         "line_dedup_docs": _q_line_dedup,
@@ -2134,6 +2194,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_raycast_concave": _pip_concave_oracle_sql(),
         "polyfill_tiles_z7": _polyfill_oracle_sql(7),
         "compact_polyfill_z7": _compact_oracle_sql(7),
+        "zonal_stats_z6": _zonal_oracle_sql(6),
         "hex_rollup_totals": f"""
           -- conservation oracle: rollup must preserve the total point count
           WITH pts AS ({_EVENT_POINTS_SQL})
