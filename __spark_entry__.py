@@ -295,6 +295,19 @@ def _minhash_lsh_oracle_sql(bands: int = 16, n_hashes: int = 64,
     instead of being dropped — the UNION ALL branch reproduces the
     engine's zeros(1) sentinel, so two such docs share identical
     signatures and surface as candidates on both sides."""
+    return f"""
+      WITH {_minhash_band_ctes(bands, n_hashes, seed)}
+      SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+      FROM bands b1 JOIN bands b2 USING (band_idx, band_key)
+      WHERE b1.doc_id < b2.doc_id
+      ORDER BY a, b
+    """
+
+
+def _minhash_band_ctes(bands: int = 16, n_hashes: int = 64,
+                       seed: int = 42) -> str:
+    """The shared CTE body (params → toks → grams → fnv → sig → bands)
+    of every MinHash oracle — ends with the ``bands`` CTE."""
     from osmspark.pipeline.dedup import _minhash_params
 
     a_par, b_par = _minhash_params(n_hashes, seed)
@@ -302,8 +315,7 @@ def _minhash_lsh_oracle_sql(bands: int = 16, n_hashes: int = 64,
                        for j in range(n_hashes))
     r = n_hashes // bands
     fnv = _FNV_LIST_SQL.format(col="gram")
-    return f"""
-      WITH params(j, pa, pb) AS (VALUES {params}),
+    return f"""params(j, pa, pb) AS (VALUES {params}),
       toks AS (
         SELECT doc_id, string_split_regex(trim(text), ' +') AS l FROM documents),
       grams AS (
@@ -322,11 +334,53 @@ def _minhash_lsh_oracle_sql(bands: int = 16, n_hashes: int = 64,
       bands AS (
         SELECT doc_id, j // {r} AS band_idx,
                string_agg(v::VARCHAR, ',' ORDER BY j) AS band_key
-        FROM sig GROUP BY doc_id, j // {r})
-      SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
-      FROM bands b1 JOIN bands b2 USING (band_idx, band_key)
-      WHERE b1.doc_id < b2.doc_id
-      ORDER BY a, b
+        FROM sig GROUP BY doc_id, j // {r})"""
+
+
+def _incremental_oracle_sql(bands: int = 16, n_hashes: int = 64,
+                            seed: int = 42) -> str:
+    """DuckDB oracle for incremental_filter over the deterministic
+    80/20 md5 split (seed 7, the doc_split_counts split): exact verdicts
+    from md5(text) min-id tables, near verdicts from the shared MinHash
+    band CTEs restricted to new×corpus, explicit CASE instead of
+    null-skipping least()."""
+    return f"""
+      WITH {_minhash_band_ctes(bands, n_hashes, seed)},
+      split AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+               % 10000 AS bucket
+        FROM documents),
+      newdocs AS (SELECT doc_id FROM split WHERE bucket >= 8000),
+      corp AS (SELECT doc_id FROM split WHERE bucket < 8000),
+      htab AS (SELECT doc_id, md5(text) AS h FROM documents),
+      c_min AS (SELECT h, min(doc_id) AS c_min FROM htab
+                WHERE doc_id IN (SELECT doc_id FROM corp) GROUP BY h),
+      n_min AS (SELECT h, min(doc_id) AS n_min FROM htab
+                WHERE doc_id IN (SELECT doc_id FROM newdocs) GROUP BY h),
+      exact AS (
+        SELECT t.doc_id,
+               CASE WHEN c.c_min IS NULL THEN
+                      CASE WHEN n.n_min < t.doc_id THEN n.n_min END
+                    WHEN n.n_min < t.doc_id AND n.n_min < c.c_min
+                      THEN n.n_min
+                    ELSE c.c_min END AS exact_of
+        FROM htab t LEFT JOIN c_min c ON t.h = c.h
+                    LEFT JOIN n_min n ON t.h = n.h
+        WHERE t.doc_id IN (SELECT doc_id FROM newdocs)),
+      near AS (
+        SELECT b1.doc_id AS doc_id, min(b2.doc_id) AS near_of
+        FROM bands b1 JOIN bands b2 USING (band_idx, band_key)
+        WHERE b1.doc_id IN (SELECT doc_id FROM newdocs)
+          AND b2.doc_id IN (SELECT doc_id FROM corp)
+        GROUP BY 1)
+      SELECT nd.doc_id, e.exact_of, nr.near_of,
+             CASE WHEN e.exact_of IS NULL AND nr.near_of IS NULL
+                  THEN 1 ELSE 0 END AS keep
+      FROM newdocs nd
+      LEFT JOIN exact e ON nd.doc_id = e.doc_id
+      LEFT JOIN near nr ON nd.doc_id = nr.doc_id
+      ORDER BY nd.doc_id
     """
 
 
@@ -1473,6 +1527,21 @@ def _q_minhash_lsh(spark, sf_dir):
     return lsh_candidate_pairs(minhash_signatures(docs), bands=16).orderBy("a", "b")
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Corpus-incremental ingest filter (osmspark/pipeline/dedup.py
+    :func:`incremental_filter`): the deterministic 80% md5 split (seed 7,
+    same rule as doc_split_counts) plays the stored corpus, the other
+    20% the incoming batch; exact verdicts vs corpus ∪ earlier batch
+    ids, near verdicts = smallest corpus id sharing a MinHash band."""
+    from osmspark.pipeline.dedup import incremental_filter
+    from osmspark.pipeline.split import hash_split
+    docs = hash_split(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                      seed=7)
+    corpus = docs.filter(F.col("split") == "train").drop("split")
+    new = docs.filter(F.col("split") != "train").drop("split")
+    return incremental_filter(new, corpus).orderBy("doc_id")
+
+
 def _q_simhash(spark, sf_dir):
     from osmspark.pipeline.dedup import simhash_pairs, simhash_signatures
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1921,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": _q_neardup_cosine,
         "ann_topk_bruteforce": _q_ann_topk,
         "minhash_lsh_candidates": _q_minhash_lsh,
+        "incremental_dedup": _q_incremental_dedup,
         "simhash_pairs": _q_simhash,
         "lang_guess_counts": _q_lang_guess,
         "ann_topk_lsh": _q_ann_lsh,
@@ -2821,6 +2891,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_tiles_l10": _s2_tiles_oracle_sql(10),
         "simhash_pairs": _simhash_oracle_sql(6),
         "minhash_lsh_candidates": _minhash_lsh_oracle_sql(bands=16),
+        "incremental_dedup": _incremental_oracle_sql(bands=16),
         # recall@10 pinned from the deterministic fixed-seed run on the
         # sf0.01 driver dataset (stable across repeated runs)
         "ann_lsh_recall": """

@@ -23,7 +23,8 @@ from pyspark.sql import types as T
 
 __all__ = ["exact_dedup", "ngram_jaccard_pairs", "minhash_signatures",
            "lsh_candidate_pairs", "simhash_signatures", "simhash_pairs",
-           "cosine_neardup_pairs", "dedup_clusters"]
+           "cosine_neardup_pairs", "dedup_clusters", "band_frame",
+           "incremental_filter"]
 
 # --------------------------------------------------------------------------
 # exact
@@ -232,6 +233,30 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 64, ngram: int = 3,
                      sig(F.col(text_col)).alias("signature"))
 
 
+def band_frame(signatures: DataFrame, bands: int = 16,
+               n_hashes: int = 64) -> DataFrame:
+    """(id, band_idx, band_hash): LSH band keys of a signature frame.
+
+    ``band_hash`` = xxhash64 of the band's signature slice — the bucket
+    key both the self-join (:func:`lsh_candidate_pairs`) and the
+    corpus-incremental join (:func:`incremental_filter`) equi-join on.
+    Exposed so a warehouse can STORE the banded corpus once
+    (id, band_idx, band_hash is 3 ints/band — the LSH "index") and serve
+    every future ingest batch without touching corpus text again.
+    """
+    r = n_hashes // bands
+    return signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(
+                    F.slice(F.col("signature"), bi * r + 1, r).cast("string")),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
                         n_hashes: int = 64,
                         materialize: bool = True) -> DataFrame:
@@ -254,24 +279,74 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
     full lineage recoverability, and the checkpoint would only burn
     executor storage — ~0.5 KB/doc).
     """
-    r = n_hashes // bands
     if materialize:
         signatures = signatures.localCheckpoint(eager=False)
-    banded = signatures.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.xxhash64(
-                    F.slice(F.col("signature"), bi * r + 1, r).cast("string")),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = band_frame(signatures, bands=bands, n_hashes=n_hashes)
     a = banded.select(F.col("id").alias("a"), "band_idx", "band_hash")
     b = banded.select(F.col("id").alias("b"), "band_idx", "band_hash")
     return (a.join(b, ["band_idx", "band_hash"])
             .filter(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
+
+
+def incremental_filter(new_docs: DataFrame, corpus_docs: DataFrame,
+                       bands: int = 16, n_hashes: int = 64,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Corpus-incremental ingest filter — dedup a NEW batch against an
+    existing corpus without ever re-joining the corpus to itself (the
+    continuous-crawl shape: the corpus is 10^12 docs, the batch is a
+    day's crawl).
+
+    Returns one row per new doc (never-drop):
+
+    * ``exact_of`` — smallest id with byte-identical text among the
+      corpus ∪ the new batch's strictly-smaller ids; null if unique.
+    * ``near_of`` — smallest CORPUS id sharing ≥ 1 MinHash-LSH band
+      (same banding as :func:`lsh_candidate_pairs`); null if none.
+      Within-batch near-dups are deliberately out of scope here — run
+      ``lsh_candidate_pairs`` on the surviving batch for that (chained
+      keep-semantics would make the result order-dependent).
+    * ``keep`` — 1 iff both are null (int, engine-portable).
+
+    Scale shape: the corpus side contributes ONLY precomputable
+    artifacts — its (md5 → min id) table and its :func:`band_frame`
+    index (store both once; serve every batch). Each join BROADCASTS
+    the new-batch side (a day's crawl ≪ the corpus), so the corpus
+    tables are scanned map-side, never shuffled. The batch's signature
+    UDF runs once per side of nothing — there is no self-join here.
+    """
+    nid = F.col(id_col).alias("id")
+    new_h = new_docs.select(nid, F.md5(F.col(text_col)).alias("h"))
+    corp_h = corpus_docs.select(nid, F.md5(F.col(text_col)).alias("h"))
+    c_min = corp_h.groupBy("h").agg(F.min("id").alias("c_min"))
+    n_min = new_h.groupBy("h").agg(F.min("id").alias("n_min"))
+
+    # F.least skips nulls (Spark semantics) — min over the candidate set
+    n_prior = F.when(F.col("n_min") < F.col("id"), F.col("n_min"))
+    exact = (new_h
+             .join(c_min, "h", "left")
+             .join(n_min, "h", "left")
+             .select("id", F.least(F.col("c_min"), n_prior)
+                     .alias("exact_of")))
+
+    nb = band_frame(minhash_signatures(new_docs, text_col=text_col,
+                                       id_col=id_col),
+                    bands=bands, n_hashes=n_hashes)
+    cb = (band_frame(minhash_signatures(corpus_docs, text_col=text_col,
+                                        id_col=id_col),
+                     bands=bands, n_hashes=n_hashes)
+          .withColumnRenamed("id", "c_id"))
+    near = (cb.join(F.broadcast(nb), ["band_idx", "band_hash"])
+            .groupBy("id").agg(F.min("c_id").alias("near_of")))
+
+    return (new_docs.select(nid)
+            .join(exact, "id", "left")
+            .join(near, "id", "left")
+            .select(F.col("id").alias("doc_id"), "exact_of", "near_of",
+                    (F.col("exact_of").isNull()
+                     & F.col("near_of").isNull())
+                    .cast("int").alias("keep")))
 
 
 # --------------------------------------------------------------------------
