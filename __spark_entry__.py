@@ -1472,6 +1472,18 @@ def _q_dup_spans(spark, sf_dir):
     return dup_span_stats(docs, k=8, min_dup=2).orderBy("doc_id")
 
 
+def _q_len_quantiles(spark, sf_dir):
+    """Exact nearest-rank length quantiles per language
+    (osmspark/pipeline/textstats.py:exact_quantiles) — the engine walks
+    a (lang, n_chars) histogram's cumulative counts (skew-proof at
+    10^12 rows); the oracle takes the value at row_number position
+    ceil(q·n) over the RAW rows. Two different algorithms, one
+    nearest-rank definition."""
+    from osmspark.pipeline.textstats import exact_quantiles
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_quantiles(docs, "n_chars", "lang").orderBy("lang")
+
+
 def _q_dedup_exact(spark, sf_dir):
     from osmspark.pipeline.dedup import exact_dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1978,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_k8": _q_dup_spans,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
+        "len_quantiles_lang": _q_len_quantiles,
         "quality_scores": _q_quality,
         "fingerprint_md5": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2466,6 +2479,22 @@ def oracle_sql() -> dict[str, str]:
           SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                  count(*) AS n_dups
           FROM documents GROUP BY 1 ORDER BY content_hash
+        """,
+        "len_quantiles_lang": """
+          WITH r AS (
+            SELECT lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents)
+          SELECT lang, max(n) AS n,
+                 min(CASE WHEN rn = ceil(0.5 * n::DOUBLE)::BIGINT
+                          THEN n_chars END) AS q_50,
+                 min(CASE WHEN rn = ceil(0.9 * n::DOUBLE)::BIGINT
+                          THEN n_chars END) AS q_90,
+                 min(CASE WHEN rn = ceil(0.99 * n::DOUBLE)::BIGINT
+                          THEN n_chars END) AS q_99
+          FROM r GROUP BY lang ORDER BY lang
         """,
         "token_stats": f"""
           SELECT doc_id, len({tok}) AS n_tokens,
