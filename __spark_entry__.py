@@ -1462,6 +1462,53 @@ def _q_colocated_events(spark, sf_dir):
             .orderBy("a_id", "b_id"))
 
 
+def _q_staypoints(spark, sf_dir):
+    """Stay-point (dwell) detection (osmspark/spatial/staypoints.py):
+    maximal same-cell runs (0.5° grid, ≥3 points) per user over the
+    ts-ordered event stream. The trajectory is synthesized with real
+    dwell structure — each user's base location plus a 0.1° jitter that
+    advances every 1000/700 event ids, so ts-consecutive events form
+    same-cell runs — mirrored textually in the oracle. Both sides use
+    the identical gaps-and-islands formulation (difference of two
+    row_numbers over the same per-trip sort), integer-exact times
+    (epoch micros) and centroids (1e-6° fixed point, floor mean)."""
+    from osmspark.spatial import detect_staypoints
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    jlat = (F.col("event_id") / F.lit(1000)).cast("long") % 7
+    jlon = (F.col("event_id") / F.lit(700)).cast("long") % 9
+    pts = ev.select(
+        F.col("user_id").alias("trip_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").alias("id"),
+        (F.lit(-60.0) + (F.col("user_id") % 120)
+         + F.lit(0.1) * jlat).alias("lat"),
+        (F.lit(-150.0) + ((F.col("user_id") * 7) % 300)
+         + F.lit(0.1) * jlon).alias("lon"))
+    return (detect_staypoints(pts, cell_deg=0.5, min_points=3)
+            .withColumnRenamed("trip_id", "user_id")
+            .orderBy("user_id", "ts_start"))
+
+
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-rule repetition signals (osmspark/pipeline/repetition.py):
+    duplicate-line fraction, duplicate-line char fraction, and top-bigram
+    char coverage per document. "Lines" are the same 8-token chunks as
+    line_dedup. The corpus has almost no within-doc duplicate chunks, so
+    docs with doc_id % 3 == 0 get their own first chunk re-appended
+    (self-boilerplate injection, mirrored textually in the oracle) —
+    a third of the rows exercise the nonzero-dup path."""
+    from osmspark.pipeline.repetition import repetition_signals
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), " +")
+    first_chunk = F.concat_ws(" ", F.slice(toks, 1, 8))
+    boosted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat_ws(" ", F.col("text"), first_chunk))
+        .otherwise(F.col("text")).alias("text"))
+    return repetition_signals(boosted).orderBy("doc_id")
+
+
 def _q_dup_spans(spark, sf_dir):
     """Exact substring (8-token window) dedup accounting per document
     (osmspark/pipeline/substrings.py): windows → skew-safe census →
@@ -1987,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_days": _q_interval_join,
         # pipeline
         "line_dedup_docs": _q_line_dedup,
+        "staypoints_user": _q_staypoints,
+        "repetition_signals": _q_repetition_signals,
         "dup_spans_k8": _q_dup_spans,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -2411,6 +2460,105 @@ def oracle_sql() -> dict[str, str]:
         # keeper (semantically identical: lexicographically first
         # (doc_id, line_no) occurrence); string_agg skips non-kept NULL
         # lines and restores original order by line_no.
+        # stay-points: identical gaps-and-islands window formulation;
+        # integer micros + fixed-point centroids keep every value exact
+        "staypoints_user": """
+          WITH pts AS (
+            SELECT user_id AS trip, epoch_us(ts) AS ts, event_id AS pid,
+                   (-60.0 + (user_id % 120))
+                     + 0.1 * ((event_id // 1000) % 7) AS lat,
+                   (-150.0 + ((user_id * 7) % 300))
+                     + 0.1 * ((event_id // 700) % 9) AS lon
+            FROM events),
+          q AS (
+            SELECT trip, ts, pid,
+                   CAST(round(lat * 1e6) AS BIGINT) AS lat_e6,
+                   CAST(round(lon * 1e6) AS BIGINT) AS lon_e6,
+                   CAST(floor(lon / 0.5) AS BIGINT) AS cell_x,
+                   CAST(floor(lat / 0.5) AS BIGINT) AS cell_y
+            FROM pts),
+          r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY trip ORDER BY ts, pid)
+                 - row_number() OVER (PARTITION BY trip, cell_x, cell_y
+                                      ORDER BY ts, pid) AS island
+            FROM q),
+          a AS (
+            SELECT trip, cell_x, cell_y, island,
+                   count(*) AS n_points, min(ts) AS ts_start,
+                   max(ts) AS ts_end, sum(lat_e6) AS slat,
+                   sum(lon_e6) AS slon
+            FROM r GROUP BY 1, 2, 3, 4)
+          SELECT trip AS user_id, cell_x, cell_y,
+                 CAST(n_points AS BIGINT) AS n_points, ts_start, ts_end,
+                 ts_end - ts_start AS duration_us,
+                 CAST(floor(slat / n_points) AS BIGINT) AS centroid_lat_e6,
+                 CAST(floor(slon / n_points) AS BIGINT) AS centroid_lon_e6
+          FROM a WHERE n_points >= 3
+          ORDER BY user_id, ts_start
+        """,
+        # Gopher repetition signals: same self-boilerplate injection
+        # (doc_id % 3), same 8-token line derivation; the per-doc bigram
+        # argmax uses a row_number window (oracle-side naive stand-in
+        # for the engine's min(struct) aggregate — same (cnt DESC,
+        # bigram ASC) order).
+        "repetition_signals": """
+          WITH boosted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' ' || array_to_string(
+                               string_split_regex(trim(text), ' +')[1:8], ' ')
+                        ELSE text END AS text
+            FROM documents),
+          t AS (
+            SELECT doc_id, string_split_regex(trim(text), ' +') AS toks,
+                   length(replace(text, ' ', '')) AS n_chars
+            FROM boosted),
+          ch AS (
+            SELECT doc_id, n_chars,
+                   list_transform(range(0, CAST(ceil(len(toks)/8.0) AS INT)),
+                                  i -> array_to_string(toks[i*8+1 : i*8+8], ' '))
+                     AS lines,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i+1])
+                        ELSE [] END AS bigrams
+            FROM t),
+          ln AS (SELECT doc_id, n_chars, unnest(lines) AS line FROM ch),
+          lc AS (SELECT doc_id, n_chars, line, count(*) AS c,
+                        length(line) AS len
+                 FROM ln GROUP BY 1, 2, 3),
+          la AS (SELECT doc_id, n_chars,
+                        CAST(sum(c) AS BIGINT) AS n_lines,
+                        CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0)
+                             AS BIGINT) AS dup_lines,
+                        CAST(sum(c*len) AS BIGINT) AS line_chars,
+                        CAST(coalesce(sum(c*len) FILTER (WHERE c > 1), 0)
+                             AS BIGINT) AS dup_chars
+                 FROM lc GROUP BY 1, 2),
+          bg AS (SELECT doc_id, unnest(bigrams) AS bigram FROM ch),
+          bc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+          bt AS (SELECT doc_id, bigram AS top_bigram, cnt AS top_bigram_n
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, bigram) AS rn FROM bc)
+                 WHERE rn = 1)
+          SELECT la.doc_id, n_lines,
+                 round(CAST(dup_lines AS DOUBLE)
+                       / CAST(n_lines AS DOUBLE), 6) AS dup_line_frac,
+                 round(CASE WHEN line_chars > 0
+                            THEN CAST(dup_chars AS DOUBLE)
+                                 / CAST(line_chars AS DOUBLE)
+                            ELSE 0.0 END, 6) AS dup_line_char_frac,
+                 coalesce(top_bigram, '') AS top_bigram,
+                 CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+                 round(CASE WHEN n_chars > 0 AND top_bigram_n IS NOT NULL
+                            THEN least(1.0,
+                                 CAST(top_bigram_n * (length(top_bigram) - 1)
+                                      AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                            ELSE 0.0 END, 6) AS top_bigram_frac
+          FROM la LEFT JOIN bt USING (doc_id)
+          ORDER BY doc_id
+        """,
         "line_dedup_docs": """
           WITH toks AS (
             SELECT doc_id, string_split_regex(trim(text), ' +') AS l

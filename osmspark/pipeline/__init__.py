@@ -1,1 +1,1 @@
-from . import ann, dedup, lines, multimodal, textstats
+from . import ann, dedup, lines, multimodal, repetition, textstats
