@@ -1489,6 +1489,45 @@ def _q_staypoints(spark, sf_dir):
             .orderBy("user_id", "ts_start"))
 
 
+def _q_od_matrix(spark, sf_dir):
+    """Origin–destination flow matrix (osmspark/spatial/flows.py) over
+    the same synthesized user trajectories as staypoints_user: each
+    user-trip collapses to (first cell, last cell) via min/max(struct)
+    aggregates — never a window over raw points — then flows count per
+    cell pair. The oracle recomputes origin/destination with the naive
+    row_number-window formulation: two algorithms, same answer."""
+    from osmspark.spatial.flows import od_matrix
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    jlat = (F.col("event_id") / F.lit(1000)).cast("long") % 7
+    jlon = (F.col("event_id") / F.lit(700)).cast("long") % 9
+    pts = ev.select(
+        F.col("user_id").alias("trip_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").alias("id"),
+        (F.lit(-60.0) + (F.col("user_id") % 120)
+         + F.lit(0.1) * jlat).alias("lat"),
+        (F.lit(-150.0) + ((F.col("user_id") * 7) % 300)
+         + F.lit(0.1) * jlon).alias("lon"))
+    return (od_matrix(pts, cell_deg=0.5)
+            .orderBy("o_cell_x", "o_cell_y", "d_cell_x", "d_cell_y"))
+
+
+def _q_pagerank_hosts(spark, sf_dir):
+    """Deterministic integer-mass PageRank (osmspark/graph/pagerank.py)
+    over a synthetic 101-node host link graph (src = doc_id % 101,
+    dst = (doc_id·31+7) % 101; src ≡ 0 mod 10 emits no links, so those
+    hosts are dangling). 5 exact int64 power iterations; the oracle is
+    a DuckDB RECURSIVE CTE carrying (iteration, node, mass) — a wholly
+    different evaluation strategy, same exact integers."""
+    from osmspark.graph import pagerank_mass
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.col("doc_id") % 101
+    d = (F.col("doc_id") * 31 + 7) % 101
+    edges = (docs.select(s.alias("src"), d.alias("dst"))
+             .filter((s % 10 != 0) & (s != d)).distinct())
+    return pagerank_mass(edges, n_iter=5).orderBy("node")
+
+
 def _q_repetition_signals(spark, sf_dir):
     """Gopher-rule repetition signals (osmspark/pipeline/repetition.py):
     duplicate-line fraction, duplicate-line char fraction, and top-bigram
@@ -2035,6 +2074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline
         "line_dedup_docs": _q_line_dedup,
         "staypoints_user": _q_staypoints,
+        "od_matrix_user": _q_od_matrix,
+        "pagerank_hosts": _q_pagerank_hosts,
         "repetition_signals": _q_repetition_signals,
         "dup_spans_k8": _q_dup_spans,
         "dedup_exact": _q_dedup_exact,
@@ -2496,6 +2537,84 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(slon / n_points) AS BIGINT) AS centroid_lon_e6
           FROM a WHERE n_points >= 3
           ORDER BY user_id, ts_start
+        """,
+        # OD matrix: naive window formulation (rn=1 ascending/descending
+        # picks origin/destination) vs the engine's min/max(struct)
+        "od_matrix_user": """
+          WITH pts AS (
+            SELECT user_id AS trip, epoch_us(ts) AS ts, event_id AS pid,
+                   (-60.0 + (user_id % 120))
+                     + 0.1 * ((event_id // 1000) % 7) AS lat,
+                   (-150.0 + ((user_id * 7) % 300))
+                     + 0.1 * ((event_id // 700) % 9) AS lon
+            FROM events),
+          q AS (
+            SELECT trip, ts, pid,
+                   CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+                   CAST(floor(lat / 0.5) AS BIGINT) AS cy
+            FROM pts),
+          r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY trip
+                                      ORDER BY ts, pid) AS rn_a,
+                   row_number() OVER (PARTITION BY trip
+                                      ORDER BY ts DESC, pid DESC) AS rn_d
+            FROM q),
+          t AS (
+            SELECT trip,
+                   max(CASE WHEN rn_a = 1 THEN cx END) AS o_cx,
+                   max(CASE WHEN rn_a = 1 THEN cy END) AS o_cy,
+                   max(CASE WHEN rn_a = 1 THEN ts END) AS o_ts,
+                   max(CASE WHEN rn_d = 1 THEN cx END) AS d_cx,
+                   max(CASE WHEN rn_d = 1 THEN cy END) AS d_cy,
+                   max(CASE WHEN rn_d = 1 THEN ts END) AS d_ts
+            FROM r GROUP BY trip)
+          SELECT o_cx AS o_cell_x, o_cy AS o_cell_y,
+                 d_cx AS d_cell_x, d_cy AS d_cell_y,
+                 CAST(count(*) AS BIGINT) AS n_trips,
+                 CAST(sum(d_ts - o_ts) AS BIGINT) AS total_duration_us
+          FROM t GROUP BY 1, 2, 3, 4
+          ORDER BY 1, 2, 3, 4
+        """,
+        # integer-mass PageRank: recursive CTE power iteration — the
+        # contribution pass (pr ⋈ deg ⋈ edges) cross-joins the node
+        # list so zero-in-degree nodes keep their teleport mass; all
+        # arithmetic is int64 (// floor division), bit-equal to the
+        # engine's remainder-subtracting division
+        "pagerank_hosts": """
+          WITH RECURSIVE e AS (
+            SELECT DISTINCT doc_id % 101 AS src,
+                            (doc_id * 31 + 7) % 101 AS dst
+            FROM documents
+            WHERE (doc_id % 101) % 10 != 0
+              AND doc_id % 101 != (doc_id * 31 + 7) % 101),
+          -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB gives the
+          -- bare UNION fixpoint semantics and does NOT dedupe here
+          nodes AS (SELECT DISTINCT node FROM (
+                      SELECT src AS node FROM e
+                      UNION ALL SELECT dst FROM e) u),
+          deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+          p AS (SELECT count(*) AS n FROM nodes),
+          pr AS (
+            SELECT 0 AS it, node,
+                   CAST(1000000000000 // n AS BIGINT) AS mass
+            FROM nodes, p
+            UNION ALL
+            SELECT c_it + 1, node,
+                   CAST((3 * 1000000000000) // (20 * n)
+                        + (17 * in_mass) // 20 AS BIGINT) AS mass
+            FROM (
+              SELECT nn.node, max(c.it) AS c_it,
+                     coalesce(sum(c.share)
+                              FILTER (WHERE c.dst = nn.node), 0) AS in_mass
+              FROM (SELECT pr.it, e.dst, pr.mass // d.outdeg AS share
+                    FROM pr
+                    JOIN deg d USING (node)
+                    JOIN e ON e.src = pr.node
+                    WHERE pr.it < 5) c
+              CROSS JOIN nodes nn
+              GROUP BY nn.node), p)
+          SELECT node, mass FROM pr WHERE it = 5 ORDER BY node
         """,
         # Gopher repetition signals: same self-boilerplate injection
         # (doc_id % 3), same 8-token line derivation; the per-doc bigram

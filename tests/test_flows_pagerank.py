@@ -1,0 +1,71 @@
+"""OD flow matrix (osmspark/spatial/flows.py) and integer-mass PageRank
+(osmspark/graph/pagerank.py).
+
+PageRank values are pinned against a 10-line pure-Python replica of the
+integer iteration — an independent reimplementation, not the Spark code
+path.
+"""
+
+import pytest
+
+from osmspark.graph import pagerank_mass
+from osmspark.spatial.flows import od_matrix
+
+
+def test_od_matrix_first_last_and_selfflow(spark):
+    rows = [
+        # trip 1: starts in cell (0,0), ends in cell (2,2); middle ignored
+        (1, 0, 0, 0.1, 0.1), (1, 1, 1, 5.0, 5.0), (1, 2, 2, 1.2, 1.2),
+        # trip 2: same O/D pair → flow count 2
+        (2, 10, 3, 0.2, 0.2), (2, 20, 4, 1.3, 1.3),
+        # trip 3: single point → self-flow, zero duration
+        (3, 7, 5, -0.3, -0.3),
+    ]
+    df = spark.createDataFrame(
+        rows, "trip_id long, ts_us long, id long, lat double, lon double")
+    out = {((r["o_cell_x"], r["o_cell_y"]), (r["d_cell_x"], r["d_cell_y"])): r
+           for r in od_matrix(df, cell_deg=0.5).collect()}
+    assert out[((0, 0), (2, 2))]["n_trips"] == 2
+    assert out[((0, 0), (2, 2))]["total_duration_us"] == 2 + 10
+    self_flow = out[((-1, -1), (-1, -1))]
+    assert self_flow["n_trips"] == 1
+    assert self_flow["total_duration_us"] == 0
+
+
+def _pagerank_py(edges, n_iter=5, m=10 ** 12, num=17, den=20):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    tele = (den - num) * m // (den * n)
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    mass = {v: m // n for v in nodes}
+    for _ in range(n_iter):
+        inm = {v: 0 for v in nodes}
+        for u, v in edges:
+            inm[v] += mass[u] // deg[u]
+        mass = {v: tele + num * inm[v] // den for v in nodes}
+    return mass
+
+
+@pytest.mark.parametrize("edges", [
+    [(1, 2), (2, 1)],                                   # 2-cycle
+    [(1, 2), (3, 2), (4, 2), (2, 1)],                   # star into 2
+    [(1, 2), (2, 3), (3, 1), (1, 4)],                   # cycle + dangling 4
+])
+def test_pagerank_matches_python_replica(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["mass"]
+           for r in pagerank_mass(df, n_iter=5).collect()}
+    assert got == _pagerank_py(edges)
+
+
+def test_pagerank_hub_outranks_and_dangling_gets_teleport(spark):
+    edges = [(1, 2), (3, 2), (4, 2), (2, 1), (1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["mass"]
+           for r in pagerank_mass(df, n_iter=5).collect()}
+    assert got[2] == max(got.values())         # the hub wins
+    # 3 and 4 have no in-links: pure teleport mass
+    tele = 3 * 10 ** 12 // (20 * 5)
+    assert got[3] == tele and got[4] == tele
