@@ -1512,6 +1512,32 @@ def _q_od_matrix(spark, sf_dir):
             .orderBy("o_cell_x", "o_cell_y", "d_cell_x", "d_cell_y"))
 
 
+def _q_dwithin_meters(spark, sf_dir):
+    """Geodesic ST_DWithin self-join, 30 km haversine radius
+    (osmspark/spatial/dwithin.py:dwithin_meters_join — lat-banded bucket
+    grid whose lon cell width adapts by cos(band)). Points form two
+    clusters at 40° and 70° latitude so the 70° band's 2.9×-narrower
+    lon degrees actually exercise the band logic. The ORACLE is the
+    brute-force all-pairs haversine filter — no bucketing at all — so
+    a hash match PROVES the banded cover is complete, the same strategy
+    that pinned simhash_pairs. Refine predicate (hav ≤ sin²(r/2R)) and
+    mm-rounded asin distance are textually mirrored; cluster points sit
+    on a 0.01° lattice, nowhere near the 30 km boundary at double
+    precision."""
+    from osmspark.spatial import dwithin_meters_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base_lat = F.when(F.col("event_id") % 2 == 0, F.lit(40.0)) \
+                .otherwise(F.lit(70.0))
+    pts = (ev.filter(F.col("event_id") % 61 == 0)
+           .select(F.col("event_id").alias("id"),
+                   (base_lat + ((F.col("event_id") * 7919) % 200)
+                    / F.lit(100.0)).alias("lat"),
+                   (F.lit(-73.0) + ((F.col("event_id") * 104729) % 300)
+                    / F.lit(100.0)).alias("lon")))
+    return (dwithin_meters_join(pts, pts, 30000.0, keep_self=False)
+            .orderBy("a_id", "b_id"))
+
+
 def _q_pagerank_hosts(spark, sf_dir):
     """Deterministic integer-mass PageRank (osmspark/graph/pagerank.py)
     over a synthetic 101-node host link graph (src = doc_id % 101,
@@ -2076,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staypoints_user": _q_staypoints,
         "od_matrix_user": _q_od_matrix,
         "pagerank_hosts": _q_pagerank_hosts,
+        "dwithin_meters_30km": _q_dwithin_meters,
         "repetition_signals": _q_repetition_signals,
         "dup_spans_k8": _q_dup_spans,
         "dedup_exact": _q_dedup_exact,
@@ -2575,6 +2602,29 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(d_ts - o_ts) AS BIGINT) AS total_duration_us
           FROM t GROUP BY 1, 2, 3, 4
           ORDER BY 1, 2, 3, 4
+        """,
+        # geodesic dwithin: brute-force all-pairs haversine — zero
+        # bucketing, so the match PROVES banded-cover completeness;
+        # sin²(r/2R) and 2R literals inlined at full double precision
+        "dwithin_meters_30km": """
+          WITH p AS (
+            SELECT event_id AS id,
+                   (CASE WHEN event_id % 2 = 0 THEN 40.0 ELSE 70.0 END)
+                     + ((event_id * 7919) % 200) / 100.0 AS lat,
+                   -73.0 + ((event_id * 104729) % 300) / 100.0 AS lon
+            FROM events WHERE event_id % 61 = 0),
+          pairs AS (
+            SELECT a.id AS a_id, b.id AS b_id,
+                   sin(radians(b.lat - a.lat) / 2)
+                     * sin(radians(b.lat - a.lat) / 2)
+                   + cos(radians(a.lat)) * cos(radians(b.lat))
+                     * sin(radians(b.lon - a.lon) / 2)
+                     * sin(radians(b.lon - a.lon) / 2) AS hav
+            FROM p a, p b WHERE a.id < b.id)
+          SELECT a_id, b_id,
+                 round(12742017.6 * asin(sqrt(hav)), 3) AS dist_m
+          FROM pairs WHERE hav <= 5.54326072238353e-06
+          ORDER BY a_id, b_id
         """,
         # integer-mass PageRank: recursive CTE power iteration — the
         # contribution pass (pr ⋈ deg ⋈ edges) cross-joins the node

@@ -26,7 +26,7 @@ from .layout import (
     write_points_fixedpoint,
 )
 from .pip import pip_join, pip_join_bbox, polygon_cover_cells, ray_cast_contains
-from .dwithin import dwithin_join
+from .dwithin import dwithin_join, dwithin_meters_join
 from .staypoints import detect_staypoints
 from .intersect import segment_intersect_join
 from .mapmatch import explode_segments, nearest_segment_join

@@ -32,9 +32,13 @@ shifted-grid pass union'd in, noted here for planet deployments).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["dwithin_join", "colocate_join"]
+from .geometry import EARTH_RADIUS_M
+
+__all__ = ["dwithin_join", "dwithin_meters_join", "colocate_join"]
 
 
 def dwithin_join(a: DataFrame, b: DataFrame, radius: float,
@@ -71,6 +75,83 @@ def dwithin_join(a: DataFrame, b: DataFrame, radius: float,
            .withColumn("dist2", d2)
            .filter(F.col("dist2") <= F.lit(r * r))
            .select("a_id", "b_id", "dist2"))
+    if not keep_self:
+        out = out.filter(F.col("a_id") < F.col("b_id"))
+    return out
+
+
+def dwithin_meters_join(a: DataFrame, b: DataFrame, radius_m: float,
+                        a_id: str = "id", b_id: str = "id",
+                        keep_self: bool = True) -> DataFrame:
+    """Geodesic ST_DWithin: all pairs within ``radius_m`` METERS by the
+    haversine metric, as a lat-banded bucket equi-join.
+
+    The planar :func:`dwithin_join` grid breaks on a sphere — one degree
+    of longitude shrinks by cos(lat) — so the cell WIDTH here adapts per
+    latitude band while the HEIGHT stays fixed:
+
+    - lat cell size ``c = 180·r/(πR)`` degrees (Δφ for a distance-r pair
+      is ≤ r/R radians — exact, no latitude dependence);
+    - lon cell width for band k: ``w(k) = 90·r / (R·cos_min(k))`` where
+      cos_min is taken over the band EXTENDED by one cell both ways —
+      a distance-r partner of a band-k point lies within that extension.
+      The π/2 factor (90 = (π/2)·180/π·…) majorizes asin: from
+      ``sin(Δλ/2) ≤ sin(r/2R)/cosφ`` and ``asin(x) ≤ xπ/2``,
+      ``Δλ ≤ (π/2)(r/R)/cosφ`` — so a true pair differs by ≤ 1 lon
+      cell IN THE B POINT'S BAND. Bands reaching |lat| ≥ 89° collapse
+      to one world-wide cell (w = 360°), the polar cap degeneracy.
+
+    A explodes 3× over neighbor BANDS, computing its lon cell in each
+    neighbor band's OWN width, then 3× over lon offsets (9 keys, all
+    distinct — each true pair joins exactly once, B owns one key). The
+    9× inflation, shuffle and skew notes of :func:`dwithin_join` apply
+    unchanged. The refine compares haversine numerators in codegen
+    (``hav ≤ sin²(r/2R)`` — no asin/sqrt on the hot path); ``dist_m``
+    (full asin) is computed only for surviving pairs, rounded to mm.
+
+    No meridian wrap (same caveat as :func:`dwithin_join`).
+    """
+    r = float(radius_m)
+    c = 180.0 * r / (math.pi * EARTH_RADIUS_M)
+    sin2_half = math.sin(r / (2.0 * EARTH_RADIUS_M)) ** 2
+
+    def _w(band: F.Column) -> F.Column:
+        mb = F.least(F.lit(90.0),
+                     F.greatest(F.abs(band - 1), F.abs(band + 2))
+                     * F.lit(c))
+        return F.when(mb >= 89.0, F.lit(360.0)) \
+                .otherwise(F.lit(90.0 * r / EARTH_RADIUS_M)
+                           / F.cos(F.radians(mb)))
+
+    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    aa = (a.select(F.col(a_id).alias("a_id"),
+                   F.col("lat").alias("a_lat"), F.col("lon").alias("a_lon"))
+          .withColumn("_dy", F.explode(offs))
+          .withColumn("cy", (F.floor(F.col("a_lat") / c) + F.col("_dy"))
+                      .cast("long"))
+          .withColumn("_dx", F.explode(offs))
+          .withColumn("cx", (F.floor(F.col("a_lon") / _w(F.col("cy")))
+                             + F.col("_dx")).cast("long"))
+          .drop("_dx", "_dy"))
+    b_cy = F.floor(F.col("b_lat") / c).cast("long")
+    bb = (b.select(F.col(b_id).alias("b_id"),
+                   F.col("lat").alias("b_lat"), F.col("lon").alias("b_lon"))
+          .withColumn("cy", b_cy)
+          .withColumn("cx", F.floor(F.col("b_lon")
+                                    / _w(F.col("cy"))).cast("long")))
+    dphi = F.radians(F.col("b_lat") - F.col("a_lat")) / 2
+    dlam = F.radians(F.col("b_lon") - F.col("a_lon")) / 2
+    hav = (F.sin(dphi) * F.sin(dphi)
+           + F.cos(F.radians(F.col("a_lat")))
+           * F.cos(F.radians(F.col("b_lat")))
+           * F.sin(dlam) * F.sin(dlam))
+    out = (aa.join(bb, ["cx", "cy"], "inner")
+           .withColumn("_hav", hav)
+           .filter(F.col("_hav") <= F.lit(sin2_half))
+           .withColumn("dist_m",
+                       F.round(F.lit(2.0 * EARTH_RADIUS_M)
+                               * F.asin(F.sqrt(F.col("_hav"))), 3))
+           .select("a_id", "b_id", "dist_m"))
     if not keep_self:
         out = out.filter(F.col("a_id") < F.col("b_id"))
     return out
