@@ -1512,6 +1512,66 @@ def _q_od_matrix(spark, sf_dir):
             .orderBy("o_cell_x", "o_cell_y", "d_cell_x", "d_cell_y"))
 
 
+def _trip_points(spark, sf_dir, max_user: int):
+    """Shared synthetic user trajectories (same phase-jitter walk as
+    staypoints_user) restricted to user_id < max_user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    jlat = (F.col("event_id") / F.lit(1000)).cast("long") % 7
+    jlon = (F.col("event_id") / F.lit(700)).cast("long") % 9
+    return (ev.filter(F.col("user_id") < max_user)
+            .select(F.col("user_id").alias("trip_id"),
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    .alias("ts_us"),
+                    F.col("event_id").alias("id"),
+                    (F.lit(-60.0) + (F.col("user_id") % 120)
+                     + F.lit(0.1) * jlat).alias("lat"),
+                    (F.lit(-150.0) + ((F.col("user_id") * 7) % 300)
+                     + F.lit(0.1) * jlon).alias("lon")))
+
+
+_TRIP_POINTS_SQL = """
+  SELECT user_id AS trip, epoch_us(ts) AS ts, event_id AS pid,
+         (-60.0 + (user_id % 120))
+           + 0.1 * ((event_id // 1000) % 7) AS lat,
+         (-150.0 + ((user_id * 7) % 300))
+           + 0.1 * ((event_id // 700) % 9) AS lon
+  FROM events WHERE user_id < {max_user}
+"""
+
+
+def _q_speed_filter(spark, sf_dir):
+    """Implied-speed plausibility flags (osmspark/spatial/traj.py:
+    speed_filter) at 3 m/s over the synthetic user walks: exact int64
+    cross-multiplication (mm · 10^6 vs mm/s · µs), haversine segment
+    lengths floored to millimeters — the GPS-glitch cleaning rule every
+    mobility pipeline runs before map matching. Oracle mirrors the lag
+    window and the integer compare textually."""
+    from osmspark.spatial.traj import speed_filter
+    pts = _trip_points(spark, sf_dir, 30)
+    return (speed_filter(pts, max_speed_mmps=3000)
+            .select(F.col("trip_id").alias("user_id"), "id", "ts_us",
+                    "seg_mm", "dt_us", "plausible")
+            .orderBy("user_id", "ts_us", "id"))
+
+
+def _q_resample_trips(spark, sf_dir):
+    """Fixed-grid trajectory resampling (osmspark/spatial/traj.py:
+    resample_trips): linear interpolation onto 4-hour ticks, half-open
+    segments so on-grid points emit once. Tick ranges are exact integer
+    ceil-division; the lerp is the same IEEE expression tree on both
+    engines. Interpolated doubles rounded to 9 dp on both sides (the
+    division orders differ textually — (k·s − t1)/(t2 − t1) — but the
+    operand values are identical, so 9 dp is belt-and-braces)."""
+    from osmspark.spatial.traj import resample_trips
+    step = 4 * 3600 * 1_000_000
+    pts = _trip_points(spark, sf_dir, 20)
+    out = resample_trips(pts, step_us=step)
+    return (out.select(F.col("trip_id").alias("user_id"), "tick", "t_us",
+                       F.round("lat", 9).alias("lat"),
+                       F.round("lon", 9).alias("lon"))
+            .orderBy("user_id", "tick"))
+
+
 def _q_dwithin_meters(spark, sf_dir):
     """Geodesic ST_DWithin self-join, 30 km haversine radius
     (osmspark/spatial/dwithin.py:dwithin_meters_join — lat-banded bucket
@@ -2103,6 +2163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix_user": _q_od_matrix,
         "pagerank_hosts": _q_pagerank_hosts,
         "dwithin_meters_30km": _q_dwithin_meters,
+        "speed_filter_3mps": _q_speed_filter,
+        "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
         "dup_spans_k8": _q_dup_spans,
         "dedup_exact": _q_dedup_exact,
@@ -2602,6 +2664,59 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(d_ts - o_ts) AS BIGINT) AS total_duration_us
           FROM t GROUP BY 1, 2, 3, 4
           ORDER BY 1, 2, 3, 4
+        """,
+        # speed filter: same lag window, same mm-floored haversine,
+        # same exact integer cross-multiplication
+        "speed_filter_3mps": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=30) + """),
+          l AS (
+            SELECT trip, ts, pid, lat, lon,
+                   lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+                   lag(ts) OVER w AS pts_
+            FROM pts WINDOW w AS (PARTITION BY trip ORDER BY ts, pid)),
+          s AS (
+            SELECT *,
+                   CAST(floor(2000.0 * 6371008.8 * asin(sqrt(
+                        sin(radians(lat - plat) / 2)
+                          * sin(radians(lat - plat) / 2)
+                        + cos(radians(plat)) * cos(radians(lat))
+                          * sin(radians(lon - plon) / 2)
+                          * sin(radians(lon - plon) / 2))))
+                        AS BIGINT) AS seg,
+                   ts - pts_ AS dt
+            FROM l)
+          SELECT trip AS user_id, pid AS id, ts AS ts_us,
+                 coalesce(seg, 0) AS seg_mm,
+                 CAST(coalesce(dt, 0) AS BIGINT) AS dt_us,
+                 CASE WHEN pts_ IS NULL THEN TRUE
+                      ELSE seg * 1000000 <= 3000 * dt END AS plausible
+          FROM s ORDER BY user_id, ts_us, id
+        """,
+        # trajectory resampling: generate_series per half-open segment,
+        # identical lerp expression tree, 9 dp rounding both sides
+        "resample_trips_4h": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=20) + """),
+          seg AS (
+            SELECT trip, ts AS t1, lat AS lat1, lon AS lon1,
+                   lead(ts) OVER w AS t2, lead(lat) OVER w AS lat2,
+                   lead(lon) OVER w AS lon2
+            FROM pts WINDOW w AS (PARTITION BY trip ORDER BY ts, pid)),
+          f AS (SELECT * FROM seg WHERE t2 IS NOT NULL AND t2 > t1),
+          t AS (
+            SELECT trip, t1, t2, lat1, lon1, lat2, lon2,
+                   unnest(generate_series(
+                     (t1 + 14399999999) // 14400000000,
+                     (t2 + 14399999999) // 14400000000 - 1)) AS tick
+            FROM f)
+          SELECT trip AS user_id, tick,
+                 CAST(tick * 14400000000 AS BIGINT) AS t_us,
+                 round(lat1 + (lat2 - lat1)
+                       * (CAST(tick * 14400000000 - t1 AS DOUBLE)
+                          / CAST(t2 - t1 AS DOUBLE)), 9) AS lat,
+                 round(lon1 + (lon2 - lon1)
+                       * (CAST(tick * 14400000000 - t1 AS DOUBLE)
+                          / CAST(t2 - t1 AS DOUBLE)), 9) AS lon
+          FROM t ORDER BY user_id, tick
         """,
         # geodesic dwithin: brute-force all-pairs haversine — zero
         # bucketing, so the match PROVES banded-cover completeness;
