@@ -1572,6 +1572,24 @@ def _q_resample_trips(spark, sf_dir):
             .orderBy("user_id", "tick"))
 
 
+def _q_morans_i(spark, sf_dir):
+    """Global Moran's I (osmspark/spatial/autocorr.py) over 0.5° cell
+    counts of the event points, rook adjacency. N-scaled integer
+    deviations (dev = N·x − S) make both quadratic sums exact
+    (decimal(38,0) in Spark, hugeint in DuckDB — same integers); only
+    the final (N/W)·num/den division is floating point, identical
+    operands on both engines. The oracle derives adjacency by the
+    brute-force |Δcx|+|Δcy| = 1 cross join vs the engine's exploded
+    4-offset equi-join."""
+    from osmspark.spatial.autocorr import morans_i
+    pts = _event_points(spark, sf_dir)
+    cells = (pts.groupBy(
+        F.floor(F.col("lon") / 0.5).cast("long").alias("cell_x"),
+        F.floor(F.col("lat") / 0.5).cast("long").alias("cell_y"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    return morans_i(cells)
+
+
 def _q_dwithin_meters(spark, sf_dir):
     """Geodesic ST_DWithin self-join, 30 km haversine radius
     (osmspark/spatial/dwithin.py:dwithin_meters_join — lat-banded bucket
@@ -2164,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "dwithin_meters_30km": _q_dwithin_meters,
         "speed_filter_3mps": _q_speed_filter,
+        "morans_i_halfdeg": _q_morans_i,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
         "dup_spans_k8": _q_dup_spans,
@@ -2664,6 +2683,36 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(d_ts - o_ts) AS BIGINT) AS total_duration_us
           FROM t GROUP BY 1, 2, 3, 4
           ORDER BY 1, 2, 3, 4
+        """,
+        # Moran's I: brute-force |dcx|+|dcy|=1 adjacency cross join;
+        # hugeint sums cast to BIGINT (exact at this scale)
+        "morans_i_halfdeg": """
+          WITH pts AS (""" + _EVENT_POINTS_SQL + """),
+          cells AS (
+            SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+                   CAST(floor(lat / 0.5) AS BIGINT) AS cy,
+                   count(*) AS x
+            FROM pts GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, sum(x) AS s FROM cells),
+          dev AS (SELECT cx, cy, (n * x - s) AS dev FROM cells, tot),
+          pairs AS (
+            SELECT a.dev AS di, b.dev AS dj
+            FROM dev a, dev b
+            WHERE abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1),
+          agg AS (
+            SELECT (SELECT n FROM tot) AS n_cells,
+                   count(*) AS w_pairs,
+                   coalesce(sum(di * dj), 0) AS num,
+                   (SELECT sum(dev * dev) FROM dev) AS den
+            FROM pairs)
+          SELECT CAST(n_cells AS BIGINT) AS n_cells,
+                 CAST(w_pairs AS BIGINT) AS w_pairs,
+                 CAST(num AS BIGINT) AS num,
+                 CAST(den AS BIGINT) AS den,
+                 round((CAST(n_cells AS DOUBLE) / CAST(w_pairs AS DOUBLE))
+                       * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 9)
+                   AS moran_i
+          FROM agg
         """,
         # speed filter: same lag window, same mm-floored haversine,
         # same exact integer cross-multiplication

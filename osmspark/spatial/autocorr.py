@@ -1,0 +1,85 @@
+"""Global spatial autocorrelation (Moran's I) over a tile raster.
+
+The first statistic a spatial analyst computes over a per-cell
+aggregate ("are my hot tiles clustered or random?"). For a value x
+over N observed cells with binary rook adjacency w_ij:
+
+    I = (N / W) · Σ_ij w_ij (x_i − x̄)(x_j − x̄) / Σ_i (x_i − x̄)²
+
+Exactness trick: multiply every deviation by N — ``dev_i = N·x_i − S``
+(S = Σx) is an INTEGER, and the N² factors cancel between numerator
+and denominator. Both quadratic sums are then exact int64-product /
+decimal(38,0)-sum arithmetic — order-insensitive, engine-exact — and
+only the final single division is floating point (identical operands ⇒
+identical IEEE result on any engine). Envelope: products are exact
+while |dev| = |N·x − S| < 3·10^9 (int64 product headroom); past that
+(continental cell counts) cast the devs themselves to decimal before
+multiplying — noted, not silently wrong: decimal sums overflow to NULL,
+never wrap.
+
+Scale shape: adjacency is the dwithin-style trick — one side explodes
+its 4 rook offsets, equi-join on the cell key (one shuffle, no range
+or cross join); the three moments (N, S, Σdev², Σdev·dev) are two
+map-side-combinable aggregations. Observed-cells-only convention:
+absent tiles are not zero-valued observations (the standard lattice
+treatment for sparse rasters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["morans_i"]
+
+
+def morans_i(cells: DataFrame, x_col: str = "n",
+             cx_col: str = "cell_x", cy_col: str = "cell_y") -> DataFrame:
+    """One-row result: (n_cells, w_pairs, num, den, moran_i).
+
+    ``w_pairs`` counts ORDERED adjacent pairs (both directions — the
+    symmetric-weight convention, consistent between numerator and W).
+    ``num``/``den`` are the N-scaled exact integer quadratic sums;
+    ``moran_i`` = (n/W)·num/den as a double, NULL when den = 0 (all
+    values equal) or no adjacent pairs exist.
+    """
+    base = cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(x_col).cast("long").alias("x"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("s"))
+    dev = (base.crossJoin(F.broadcast(tot))
+           .select("cx", "cy", "n",
+                   (F.col("n") * F.col("x") - F.col("s")).alias("dev")))
+
+    offs = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy")))
+    left = (dev.select("dev", F.explode(offs).alias("o"),
+                       F.col("cx"), F.col("cy"))
+            .select(F.col("dev").alias("dev_i"),
+                    (F.col("cx") + F.col("o.dx")).alias("cx"),
+                    (F.col("cy") + F.col("o.dy")).alias("cy")))
+    right = dev.select(F.col("cx"), F.col("cy"),
+                       F.col("dev").alias("dev_j"))
+    pairs = left.join(right, ["cx", "cy"], "inner")
+
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.coalesce(F.sum((F.col("dev_i") * F.col("dev_j"))
+                         .cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)")).alias("num_d"))
+    den = dev.agg(F.sum((F.col("dev") * F.col("dev"))
+                        .cast("decimal(38,0)")).alias("den_d"))
+    out = (tot.select(F.col("n").alias("n_cells"))
+           .crossJoin(num).crossJoin(den))
+    moran = F.when(
+        (F.col("den_d") != 0) & (F.col("w_pairs") > 0),
+        (F.col("n_cells").cast("double") / F.col("w_pairs").cast("double"))
+        * (F.col("num_d").cast("double") / F.col("den_d").cast("double")))
+    return out.select(
+        "n_cells", "w_pairs",
+        F.col("num_d").cast("long").alias("num"),
+        F.col("den_d").cast("long").alias("den"),
+        F.round(moran, 9).alias("moran_i"))
