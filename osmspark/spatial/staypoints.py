@@ -11,13 +11,14 @@ pipeline runs right after decode.
 Spark-first shape: a single gaps-and-islands pass —
 ``row_number() over (trip ORDER BY ts) - row_number() over
 ((trip, cell) ORDER BY ts)`` labels each same-cell run with a constant
-island id, then one groupBy aggregates each run. Two window functions
-over the SAME (trip, ts) sort order collapse into ONE sort in the
-physical plan (both windows are evaluated in a single Window operator
-chain after one Exchange on trip), and the final groupBy is map-side
-combinable. At 10^12 points the only shuffle key is trip_id: skew is
-bounded by the longest single trajectory (a device-day is ~10^5 points),
-never by global hot cells — dense cities spread across many trips.
+island id, then one groupBy aggregates each run. The physical plan has
+exactly ONE Exchange (pinned by test_plans_new_ops): both windows AND
+the run aggregation reuse the hashpartitioning(trip) shuffle — the agg
+keys contain trip, so co-location is already satisfied — and the
+second window only re-sorts within partitions. At 10^12 points the
+only shuffle key is trip_id: skew is bounded by the longest single
+trajectory (a device-day is ~10^5 points), never by global hot cells —
+dense cities spread across many trips.
 
 Determinism: callers must pass a total per-trip order (``ts`` plus a
 tiebreak id column when timestamps can repeat).

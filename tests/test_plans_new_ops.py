@@ -1,0 +1,59 @@
+"""Physical-plan pins for the round-4 additions — the shapes that make
+them scale are asserted, not just argued in docstrings:
+
+- dwithin_meters_join: bucket equi-join, never a cartesian/BNL join;
+- detect_staypoints: BOTH row_number windows share one sort — exactly
+  one Window-related Exchange on trip (plus the final agg exchange);
+- repetition_signals / od_matrix: argmax/collapse via aggregates —
+  ZERO Window operators anywhere in the plan;
+- pagerank_mass: no cartesian joins across the iteration chain.
+"""
+
+import pytest
+
+from osmspark.graph import pagerank_mass
+from osmspark.pipeline.repetition import repetition_signals
+from osmspark.spatial import detect_staypoints, dwithin_meters_join
+from osmspark.spatial.flows import od_matrix
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def traj(spark):
+    rows = [(i % 3, i * 1000, i, float(i % 7) / 10, float(i % 5) / 10)
+            for i in range(60)]
+    return spark.createDataFrame(
+        rows, "trip_id long, ts_us long, id long, lat double, lon double")
+
+
+def test_dwithin_meters_no_cartesian(spark, traj):
+    pts = traj.selectExpr("id", "lat", "lon")
+    plan = _plan(dwithin_meters_join(pts, pts, 5000.0, keep_self=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_staypoints_single_exchange(spark, traj):
+    plan = _plan(detect_staypoints(traj))
+    # ONE shuffle total: both windows AND the run aggregation reuse the
+    # hashpartitioning(trip) exchange (agg keys contain trip); the
+    # second window re-sorts within partitions — no extra shuffle
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") == 2
+
+
+def test_repetition_and_od_have_no_window(spark, traj):
+    docs = traj.selectExpr("id AS doc_id",
+                           "concat('a b c ', cast(id AS string)) AS text")
+    assert "Window" not in _plan(repetition_signals(docs))
+    assert "Window" not in _plan(od_matrix(traj))
+
+
+def test_pagerank_no_cartesian(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                  "src long, dst long")
+    plan = _plan(pagerank_mass(edges, n_iter=3))
+    assert "CartesianProduct" not in plan
