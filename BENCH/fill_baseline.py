@@ -92,6 +92,7 @@ a hard bound).
 raw data: `scaling_4_16.json`, `host_calibration.json`. Round-over-
 round both absolute levels keep improving; throughput, not the ratio,
 is what a 1000-executor deployment buys.
+{traj_section}
 
 ## 3. Headline pipeline (bench.py, sf0.1, local[32])
 
@@ -114,8 +115,8 @@ throughput: {docs_per_sec} docs/sec, {nodes_per_sec:,.0f} nodes/sec,
 fixture values, SQL-expression vs NumPy encoder bit-parity, structural
 invariants, the shuffle-free bucketed-join plan, streaming
 kill/resume) plus the driver's side-by-side DuckDB oracle runs of the
-`__spark_entry__.py` queries (see CORRECTNESS_r*.json): all 50 queries
-value-checked hash-exact — the approximate-by-design ANN top-k sets
+`__spark_entry__.py` queries (see CORRECTNESS_r*.json): every
+`queries()` entry value-checked hash-exact — the approximate-by-design ANN top-k sets
 are pinned by seeded-constant oracles (hyperplane/centroid constants
 inlined into the SQL) plus recall@10 floors, the concave ray-cast by an
 edge-by-edge SQL recomputation, and relation/way geometry by the
@@ -132,6 +133,47 @@ reference's own pinned coordinates.
 # 1/(0.79/0.758 + 0.21/0.86) = 0.777
 CEILINGS = {"hex_tiles": 0.758, "raster_tiles": 0.758, "knn": 0.777}
 DEFAULT_CEILING = 0.86
+
+
+TRAJ_SECTION = """
+### 2c. Round-4 operator scaling (trajectory / graph), {tlo}→{thi}
+
+Same protocol, separate artifact (`traj_scaling.json` via
+`BENCH/traj_scale.py`) so the gate numbers above never move when new
+operators land. Input: the 320M-point table reshaped into {n_trips:,}
+trajectories of {trip_len:,} points ({traj_n}M points through the
+window stages) and a {edges}M-edge synthetic host graph (3 integer-mass
+PageRank iterations).
+
+| stage | local[{tlo}] sec | local[{thi}] sec | speedup | efficiency |
+|---|---|---|---|---|
+{traj_rows}
+| **total** | {tt_lo} | {tt_hi} | {tt_speedup} | **{tt_eff}** |
+"""
+
+
+def _traj_section() -> str:
+    path = os.path.join(HERE, "traj_scaling.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        tj = json.load(f)
+    tlo, thi = tj["levels"]
+    s_lo = tj["stage_sec_min"][str(tlo)]
+    s_hi = tj["stage_sec_min"][str(thi)]
+    rows = "\n".join(
+        f"| {s} | {s_lo[s]} | {s_hi[s]} | {tj['speedup'][s]} "
+        f"| {tj['efficiency'][s]} |" for s in tj["speedup"])
+    return TRAJ_SECTION.format(
+        tlo=tlo, thi=thi, traj_rows=rows,
+        n_trips=tj["traj_points"] // tj["trip_len"],
+        trip_len=tj["trip_len"],
+        traj_n=round(tj["traj_points"] / 1e6),
+        edges=round(tj["edges"] / 1e6),
+        tt_lo=tj["total_sec"][str(tlo)], tt_hi=tj["total_sec"][str(thi)],
+        tt_speedup=round(tj["total_sec"][str(tlo)]
+                         / tj["total_sec"][str(thi)], 3),
+        tt_eff=tj["total_efficiency"])
 
 
 def main():
@@ -178,6 +220,7 @@ def main():
         round((sorted(r)[len(r) // 2] / min(r) - 1) * 100)
         for r in bench.get("queries_reps", {"x": [1, 1]}).values())
     out = TEMPLATE.format(
+        traj_section=_traj_section(),
         headline=bench["value"], bench_rows=bench_rows,
         bench_reps=bench.get("bench_reps", 1),
         rows416=rows416, norm416=norm416, minmed_pct=minmed_pct,

@@ -1,0 +1,180 @@
+"""Scaling evidence for the round-4 trajectory/graph operators.
+
+Same measurement protocol as BENCH/scaling.py (its docstring carries
+the host-calibration rationale for the 2→8 gate pair): one subprocess
+per (level, rep), levels interleaved, per-stage MIN over reps, every
+stage run once untimed (codegen warm) before its timed run. Kept in a
+SEPARATE artifact (traj_scaling.json) so the published north-rule gate
+numbers in scaling.json never move when new operators are added.
+
+Workload — the 320M-point fixed-point table from scaling.py, reshaped
+into trajectories (trip = id DIV 10000 → 8k trips × 10k points over the
+first 80M ids; ts = id seconds — monotone inside a trip), plus a
+synthetic 25M-edge host graph:
+
+- staypoints    detect_staypoints, 0.02° cells (city gaussians hop
+                cells at that quantum) — the 1-Exchange window+agg pass
+- speed_filter  implied-speed flags at 30 m/s — lag window + haversine
+- resample      2-second grid interpolation (~0.5 ticks/point)
+- od_matrix     trip collapse + flow count — two combinable aggs
+- pagerank      3 integer-mass iterations, 25M edges / 4M nodes
+- dwithin_m     geodesic 100 m self-join on a 320k-point slice
+
+Usage: python BENCH/traj_scale.py [--levels 2,8] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+TRAJ_N = 80_000_000
+TRIP_LEN = 10_000
+EDGE_N = 25_000_000
+NODE_MOD = 1 << 22
+STAGES = ["staypoints", "speed_filter", "resample", "od_matrix",
+          "pagerank", "dwithin_m"]
+
+
+def worker(n_threads: int) -> None:
+    import time
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, HERE)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import scaling  # BENCH/scaling.py — reuse the big-table cache
+    from osmspark.graph import pagerank_mass
+    from osmspark.session import INFER_FILTERS_RULE, get_spark
+    from osmspark.spatial import (detect_staypoints, dwithin_meters_join,
+                                  read_points_fixedpoint)
+    from osmspark.spatial.flows import od_matrix
+    from osmspark.spatial.traj import resample_trips, speed_filter
+
+    spark = get_spark(app=f"traj{n_threads}", master=f"local[{n_threads}]",
+                      shuffle_partitions=max(8, n_threads))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 << 20))
+    spark.conf.set("spark.sql.optimizer.excludedRules", INFER_FILTERS_RULE)
+
+    scaling.build_big_points(spark, scaling.BIG_CACHE, scaling.N_BIG)
+    points = read_points_fixedpoint(spark, scaling.BIG_CACHE)
+
+    traj = (points.filter(F.col("id") < TRAJ_N)
+            .select((F.col("id") / F.lit(TRIP_LEN)).cast("long")
+                    .alias("trip_id"),
+                    (F.col("id") * F.lit(1_000_000)).alias("ts_us"),
+                    "id", "lat", "lon"))
+    edges = (spark.range(EDGE_N, numPartitions=64)
+             .select((F.col("id") % NODE_MOD).alias("src"),
+                     F.pmod(F.xxhash64("id"), F.lit(NODE_MOD)).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    slice_pts = points.filter(F.col("id") % 1000 == 0) \
+                      .select("id", "lat", "lon")
+
+    # warm every stage shape on tiny slices (codegen, not throughput)
+    tiny = traj.filter(F.col("id") < 100_000).cache()
+    tiny.count()
+    detect_staypoints(tiny, cell_deg=0.02).count()
+    speed_filter(tiny, 30_000).count()
+    resample_trips(tiny, 2_000_000).count()
+    od_matrix(tiny, cell_deg=0.02).count()
+    tiny.unpersist()
+    pagerank_mass(spark.createDataFrame([(1, 2), (2, 1)],
+                                        "src long, dst long"),
+                  n_iter=2).count()
+    wsl = slice_pts.limit(1000)
+    dwithin_meters_join(wsl, wsl, 100.0, keep_self=False).count()
+
+    stages = {
+        "staypoints": lambda: detect_staypoints(
+            traj, cell_deg=0.02).count(),
+        "speed_filter": lambda: speed_filter(traj, 30_000).count(),
+        "resample": lambda: resample_trips(traj, 2_000_000).count(),
+        "od_matrix": lambda: od_matrix(traj, cell_deg=0.02).count(),
+        "pagerank": lambda: pagerank_mass(edges, n_iter=3).count(),
+        "dwithin_m": lambda: dwithin_meters_join(
+            slice_pts, slice_pts, 100.0, keep_self=False).count(),
+    }
+    out = {}
+    for name, fn in stages.items():
+        fn()  # untimed: codegen + broadcast warm
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = fn()
+        out[name] = round(time.time() - t0, 3)
+        out[f"n_{name}"] = n
+    spark.stop()
+    print("TRAJ_RESULT " + json.dumps(out))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--json-out",
+                    default=os.path.join(HERE, "traj_scaling.json"))
+    ap.add_argument("--worker-threads", type=int, default=None)
+    args = ap.parse_args()
+    if args.worker_threads:
+        worker(args.worker_threads)
+        return
+
+    lo, hi = (int(x) for x in args.levels.split(","))
+    results: dict[int, list[dict]] = {lo: [], hi: []}
+    for rep in range(args.reps):
+        for level in (lo, hi):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--worker-threads", str(level)],
+                capture_output=True, text=True, cwd=REPO)
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("TRAJ_RESULT ")]
+            if not line:
+                print(f"rep{rep} level{level} FAILED:\n"
+                      f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}",
+                      file=sys.stderr)
+                continue
+            res = json.loads(line[0].removeprefix("TRAJ_RESULT "))
+            results[level].append(res)
+            print(f"rep{rep} level{level}: {res}", flush=True)
+
+    best = {level: {s: min(r[s] for r in runs) for s in STAGES}
+            for level, runs in results.items() if runs}
+    counters = {s: results[lo][0][f"n_{s}"] for s in STAGES} \
+        if results.get(lo) else {}
+    report = {
+        "levels": [lo, hi],
+        "reps": args.reps,
+        "traj_points": TRAJ_N,
+        "trip_len": TRIP_LEN,
+        "edges": EDGE_N,
+        "counters": counters,
+        "all_runs": {str(k): v for k, v in results.items()},
+        "stage_sec_min": {str(k): v for k, v in best.items()},
+        "speedup": {s: round(best[lo][s] / best[hi][s], 3) for s in STAGES},
+        "efficiency": {s: round(best[lo][s] / best[hi][s] / (hi / lo), 3)
+                       for s in STAGES},
+        "total_sec": {str(k): round(sum(v.values()), 3)
+                      for k, v in best.items()},
+        "total_efficiency": round(
+            sum(best[lo].values()) / sum(best[hi].values()) / (hi / lo), 3),
+        "points_per_sec_staypoints": {
+            str(k): round(TRAJ_N / best[k]["staypoints"], 1) for k in best},
+    }
+    with open(args.json_out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: report[k] for k in
+                      ("speedup", "efficiency", "total_efficiency",
+                       "total_sec", "counters")}))
+
+
+if __name__ == "__main__":
+    main()

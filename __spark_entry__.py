@@ -1616,6 +1616,18 @@ def _q_dwithin_meters(spark, sf_dir):
             .orderBy("a_id", "b_id"))
 
 
+def _q_inverted_index(spark, sf_dir):
+    """Inverted index (osmspark/pipeline/index.py): per term df + a
+    bounded posting list (comma-joined ascending doc ids) for terms
+    with df ≤ 390; hot terms keep exact df with NULL postings — the
+    skew-safe truncation real engines use (a stopword's 10^11-entry
+    list never materializes in one task). Oracle: DuckDB list(...
+    ORDER BY) with the same HAVING bound."""
+    from osmspark.pipeline.index import inverted_index
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_index(docs, max_df=390).orderBy("term")
+
+
 def _q_pagerank_hosts(spark, sf_dir):
     """Deterministic integer-mass PageRank (osmspark/graph/pagerank.py)
     over a synthetic 101-node host link graph (src = doc_id % 101,
@@ -2183,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_meters_30km": _q_dwithin_meters,
         "speed_filter_3mps": _q_speed_filter,
         "morans_i_halfdeg": _q_morans_i,
+        "inverted_index_df390": _q_inverted_index,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
         "dup_spans_k8": _q_dup_spans,
@@ -2683,6 +2696,26 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(d_ts - o_ts) AS BIGINT) AS total_duration_us
           FROM t GROUP BY 1, 2, 3, 4
           ORDER BY 1, 2, 3, 4
+        """,
+        # inverted index: same tokenizer, naive list(ORDER BY) oracle
+        "inverted_index_df390": """
+          WITH pairs AS (
+            SELECT DISTINCT doc_id AS d, tok AS term
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)),
+                                                   ' +')) AS tok
+                  FROM documents)
+            WHERE tok != ''),
+          census AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+          bounded AS (
+            SELECT term,
+                   array_to_string(list(d ORDER BY d), ',') AS postings
+            FROM pairs
+            WHERE term IN (SELECT term FROM census WHERE df <= 390)
+            GROUP BY term)
+          SELECT c.term, CAST(c.df AS BIGINT) AS df, b.postings
+          FROM census c LEFT JOIN bounded b USING (term)
+          ORDER BY c.term
         """,
         # Moran's I: brute-force |dcx|+|dcy|=1 adjacency cross join;
         # hugeint sums cast to BIGINT (exact at this scale)
