@@ -93,15 +93,32 @@ def worker(n_threads: int) -> None:
     wsl = slice_pts.limit(1000)
     dwithin_meters_join(wsl, wsl, 100.0, keep_self=False).count()
 
+    # every stage is forced through an aggregate over COMPUTED columns:
+    # a bare .count() lets Catalyst prune cardinality-preserving work
+    # (the speed_filter window + haversine vanished entirely — 80M rows
+    # "ran" in 0.6 s), so each stage sums the expensive output instead
+    def _force(df, *cols):
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(c).alias(f"s{i}")
+                       for i, c in enumerate(cols)]).collect()[0]
+        return int(row["n"])
+
     stages = {
-        "staypoints": lambda: detect_staypoints(
-            traj, cell_deg=0.02).count(),
-        "speed_filter": lambda: speed_filter(traj, 30_000).count(),
-        "resample": lambda: resample_trips(traj, 2_000_000).count(),
-        "od_matrix": lambda: od_matrix(traj, cell_deg=0.02).count(),
-        "pagerank": lambda: pagerank_mass(edges, n_iter=3).count(),
-        "dwithin_m": lambda: dwithin_meters_join(
-            slice_pts, slice_pts, 100.0, keep_self=False).count(),
+        "staypoints": lambda: _force(
+            detect_staypoints(traj, cell_deg=0.02), "duration_us",
+            "centroid_lat_e6"),
+        "speed_filter": lambda: _force(
+            speed_filter(traj, 30_000),
+            F.col("plausible").cast("long"), "seg_mm"),
+        "resample": lambda: _force(
+            resample_trips(traj, 2_000_000), "lat", "lon"),
+        "od_matrix": lambda: _force(
+            od_matrix(traj, cell_deg=0.02), "total_duration_us"),
+        "pagerank": lambda: _force(pagerank_mass(edges, n_iter=3),
+                                   "mass"),
+        "dwithin_m": lambda: _force(
+            dwithin_meters_join(slice_pts, slice_pts, 100.0,
+                                keep_self=False), "dist_m"),
     }
     out = {}
     for name, fn in stages.items():

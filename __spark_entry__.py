@@ -1616,6 +1616,64 @@ def _q_dwithin_meters(spark, sf_dir):
             .orderBy("a_id", "b_id"))
 
 
+def _doc_html(spark, sf_dir):
+    """Synthetic page bodies with href links over the _doc_urls pages:
+    one external link (rotating target host, sometimes UPPERCASE
+    scheme/host), a root-relative link on doc_id % 3, a mailto on
+    doc_id % 5 — exercising every resolution class of extract_links."""
+    pages = _doc_urls(spark, sf_dir)
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><a href="https://site'), (i % 7).cast("string"),
+        F.lit('.example.org/a">x</a>'),
+        F.when(i % 3 == 0, F.lit('<a href="/local">y</a>'))
+        .otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit('<a href="mailto:z@q.org">m</a>'))
+        .otherwise(F.lit("")),
+        F.lit('<a href="HTTP://Site'), ((i * 3) % 7).cast("string"),
+        F.lit('.Example.ORG/b?x=1">w</a></html>'))
+    return pages.select("doc_id", "url", html.alias("html_text"))
+
+
+_DOC_HTML_SQL = """
+  SELECT doc_id, url,
+         '<html><a href="https://site' || (doc_id % 7) ||
+         '.example.org/a">x</a>' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN '<a href="/local">y</a>' ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN '<a href="mailto:z@q.org">m</a>' ELSE '' END ||
+         '<a href="HTTP://Site' || ((doc_id * 3) % 7) ||
+         '.Example.ORG/b?x=1">w</a></html>' AS html_text
+  FROM ({urls}) u
+"""
+
+
+def _q_extract_links(spark, sf_dir):
+    """href extraction + reference resolution (osmspark/pipeline/
+    urls.py:extract_links): absolute links (case-insensitive scheme)
+    parse their own host, root-relative resolve to the page host,
+    everything else keeps a NULL target (auditable). The oracle parses
+    hosts with split-based string ops — an independent parser."""
+    from osmspark.pipeline.urls import extract_links
+    cls = F.when(F.col("target_host").isNull(), F.lit("unresolved")) \
+        .when(F.col("is_internal"), F.lit("internal")) \
+        .otherwise(F.lit("external"))
+    return (extract_links(_doc_html(spark, sf_dir))
+            .select("url", "link", "target_host",
+                    cls.alias("link_class"))     # 3-valued string: a
+            .orderBy("url", "link"))             # nullable bool hits
+                                                 # pandas NaN-vs-None
+
+
+def _q_link_graph(spark, sf_dir):
+    """Host-level crawl graph (src_host, dst_host, n_links) — the edge
+    list pagerank_mass consumes, one combinable groupBy on the pair."""
+    from osmspark.pipeline.urls import link_graph
+    return (link_graph(_doc_html(spark, sf_dir))
+            .orderBy("src_host", "dst_host"))
+
+
 def _q_inverted_index(spark, sf_dir):
     """Inverted index (osmspark/pipeline/index.py): per term df + a
     bounded posting list (comma-joined ascending doc ids) for terms
@@ -2196,6 +2254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speed_filter_3mps": _q_speed_filter,
         "morans_i_halfdeg": _q_morans_i,
         "inverted_index_df390": _q_inverted_index,
+        "extracted_links": _q_extract_links,
+        "link_graph_hosts": _q_link_graph,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
         "dup_spans_k8": _q_dup_spans,
@@ -2696,6 +2756,51 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(d_ts - o_ts) AS BIGINT) AS total_duration_us
           FROM t GROUP BY 1, 2, 3, 4
           ORDER BY 1, 2, 3, 4
+        """,
+        # link extraction: independent split-based host parsing (the
+        # engine uses parse_url), same href regex + resolution CASEs
+        "extracted_links": f"""
+          WITH html AS ({_DOC_HTML_SQL.format(urls=_DOC_URLS_SQL)}),
+          l AS (
+            SELECT url,
+                   unnest(regexp_extract_all(html_text,
+                          'href="([^"]*)"', 1)) AS link,
+                   lower(split_part(split_part(split_part(url, '://', 2),
+                         '/', 1), ':', 1)) AS page_host
+            FROM html),
+          r AS (
+            SELECT url, link, page_host,
+                   CASE WHEN regexp_matches(link, '(?i)^https?://')
+                        THEN lower(split_part(split_part(
+                             split_part(link, '://', 2), '/', 1), ':', 1))
+                        WHEN link LIKE '/%' THEN page_host
+                        ELSE NULL END AS target_host
+            FROM l)
+          SELECT url, link, target_host,
+                 CASE WHEN target_host IS NULL THEN 'unresolved'
+                      WHEN target_host = page_host THEN 'internal'
+                      ELSE 'external' END AS link_class
+          FROM r ORDER BY url, link
+        """,
+        "link_graph_hosts": f"""
+          WITH html AS ({_DOC_HTML_SQL.format(urls=_DOC_URLS_SQL)}),
+          l AS (
+            SELECT unnest(regexp_extract_all(html_text,
+                          'href="([^"]*)"', 1)) AS link,
+                   lower(split_part(split_part(split_part(url, '://', 2),
+                         '/', 1), ':', 1)) AS page_host
+            FROM html),
+          r AS (
+            SELECT page_host AS src_host,
+                   CASE WHEN regexp_matches(link, '(?i)^https?://')
+                        THEN lower(split_part(split_part(
+                             split_part(link, '://', 2), '/', 1), ':', 1))
+                        WHEN link LIKE '/%' THEN page_host
+                        ELSE NULL END AS dst_host
+            FROM l)
+          SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+          FROM r WHERE dst_host IS NOT NULL
+          GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # inverted index: same tokenizer, naive list(ORDER BY) oracle
         "inverted_index_df390": """

@@ -29,7 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["with_url_parts", "normalized_url_col", "host_stats"]
+__all__ = ["with_url_parts", "normalized_url_col", "host_stats",
+           "extract_links", "link_graph"]
 
 #: second-to-last labels under which registration happens one level
 #: deeper (co.uk, com.au, ac.jp, …) — heuristic stand-in for the PSL
@@ -130,3 +131,56 @@ def host_stats(pages: DataFrame, url_col: str = "url",
         "dup_rate",
         (F.col("n_pages") - F.col("n_distinct_texts")).cast("double")
         / F.col("n_pages"))
+
+
+def extract_links(pages: DataFrame, html_col: str = "html_text",
+                  url_col: str = "url") -> DataFrame:
+    """Outgoing links per page from double-quoted ``href`` attributes —
+    the crawl-graph extraction step (the input that :mod:`osmspark.
+    graph.pagerank` ranks).
+
+    Resolution rules (documented subset of RFC 3986 reference
+    resolution — the three shapes a crawler actually stores):
+
+    - absolute ``http(s)://…`` → target host parsed from the link;
+    - root-relative ``/path`` → the page's own host;
+    - anything else (relative path, fragment, mailto:, javascript:)
+      → NULL target host, kept as a row so link audits see them.
+
+    Output: (url, link, target_host, is_internal). Pure JVM:
+    ``regexp_extract_all`` + explode + ``parse_url`` — one narrow pass,
+    no shuffle; hosts lowercased (case-insensitive per RFC).
+    """
+    links = F.expr(
+        f"regexp_extract_all({html_col}, 'href=\"([^\"]*)\"', 1)")
+    page_host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    link = F.col("link")
+    is_abs = link.rlike("(?i)^https?://")  # scheme is case-insensitive
+    target = F.when(is_abs, F.lower(F.parse_url(link, F.lit("HOST")))) \
+        .when(link.startswith("/"), F.col("_page_host")) \
+        .otherwise(F.lit(None).cast("string"))
+    return (pages
+            .select(F.col(url_col).alias("url"),
+                    page_host.alias("_page_host"),
+                    F.explode(links).alias("link"))
+            .withColumn("target_host", target)
+            .withColumn("is_internal",
+                        F.when(F.col("target_host").isNull(),
+                               F.lit(None).cast("boolean"))
+                        .otherwise(F.col("target_host")
+                                   == F.col("_page_host")))
+            .drop("_page_host"))
+
+
+def link_graph(pages: DataFrame, html_col: str = "html_text",
+               url_col: str = "url") -> DataFrame:
+    """Host-level crawl graph: (src_host, dst_host, n_links) over the
+    resolvable external+internal links. One combinable groupBy on the
+    host pair — the edge list :func:`osmspark.graph.pagerank_mass`
+    consumes. Mega-host skew is a partial-agg hot key, not a window."""
+    l = extract_links(pages, html_col=html_col, url_col=url_col)
+    src = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    return (l.filter(F.col("target_host").isNotNull())
+            .groupBy(src.alias("src_host"),
+                     F.col("target_host").alias("dst_host"))
+            .agg(F.count(F.lit(1)).alias("n_links")))

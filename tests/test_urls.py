@@ -86,3 +86,38 @@ def test_host_stats(spark):
     assert abs(a["dup_rate"] - 1.0 / 3.0) < 1e-15
     b = out.loc["b.org"]
     assert b["n_pages"] == 2 and b["dup_rate"] == 0.0
+
+
+# --- link extraction / crawl graph (round 4) ---------------------------
+
+def test_extract_links_resolution_classes(spark):
+    from osmspark.pipeline.urls import extract_links
+    rows = [(1, "https://a.example.org/p",
+             '<a href="https://b.org/x">1</a>'
+             '<a href="/rel">2</a>'
+             '<a href="HTTP://A.Example.ORG/y">3</a>'
+             '<a href="mailto:m@q">4</a>'
+             '<a href="foo.html">5</a>')]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html_text string")
+    got = {r["link"]: r for r in extract_links(df).collect()}
+    assert got["https://b.org/x"]["target_host"] == "b.org"
+    assert got["https://b.org/x"]["is_internal"] is False
+    assert got["/rel"]["target_host"] == "a.example.org"
+    assert got["/rel"]["is_internal"] is True
+    # case-insensitive scheme + host lowering → internal
+    assert got["HTTP://A.Example.ORG/y"]["target_host"] == "a.example.org"
+    assert got["HTTP://A.Example.ORG/y"]["is_internal"] is True
+    assert got["mailto:m@q"]["target_host"] is None
+    assert got["foo.html"]["target_host"] is None
+
+
+def test_link_graph_counts(spark):
+    from osmspark.pipeline.urls import link_graph
+    rows = [(1, "https://a.org/1",
+             '<a href="https://b.org/x">.</a><a href="https://b.org/y">.</a>'),
+            (2, "https://a.org/2", '<a href="/self">.</a>'),
+            (3, "https://c.org/3", '<a href="nope.html">.</a>')]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html_text string")
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in link_graph(df).collect()}
+    assert got == {("a.org", "b.org"): 2, ("a.org", "a.org"): 1}
