@@ -1674,6 +1674,21 @@ def _q_link_graph(spark, sf_dir):
             .orderBy("src_host", "dst_host"))
 
 
+def _q_pagerank_crawl(spark, sf_dir):
+    """End-to-end crawl ranking: pages → href extraction → host edge
+    list (link_graph) → 4 integer-mass PageRank iterations — the full
+    webtext story in one plan (string node ids exercise pagerank_mass's
+    type-agnostic keying). Oracle: the link-graph SQL feeding the same
+    recursive-CTE power iteration."""
+    from osmspark.graph import pagerank_mass
+    from osmspark.pipeline.urls import link_graph
+    edges = link_graph(_doc_html(spark, sf_dir)).select("src_host",
+                                                        "dst_host")
+    return (pagerank_mass(edges, n_iter=4, src="src_host",
+                          dst="dst_host")
+            .withColumnRenamed("node", "host").orderBy("host"))
+
+
 def _q_inverted_index(spark, sf_dir):
     """Inverted index (osmspark/pipeline/index.py): per term df + a
     bounded posting list (comma-joined ascending doc ids) for terms
@@ -2256,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_df390": _q_inverted_index,
         "extracted_links": _q_extract_links,
         "link_graph_hosts": _q_link_graph,
+        "pagerank_crawl": _q_pagerank_crawl,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
         "dup_spans_k8": _q_dup_spans,
@@ -2801,6 +2817,53 @@ def oracle_sql() -> dict[str, str]:
           SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
           FROM r WHERE dst_host IS NOT NULL
           GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # crawl PageRank: link-graph edges into the recursive-CTE power
+        # iteration (string node ids); same explicit-DISTINCT node list
+        "pagerank_crawl": f"""
+          WITH RECURSIVE html AS
+            ({_DOC_HTML_SQL.format(urls=_DOC_URLS_SQL)}),
+          l AS (
+            SELECT unnest(regexp_extract_all(html_text,
+                          'href="([^"]*)"', 1)) AS link,
+                   lower(split_part(split_part(split_part(url, '://', 2),
+                         '/', 1), ':', 1)) AS page_host
+            FROM html),
+          r AS (
+            SELECT page_host AS src_host,
+                   CASE WHEN regexp_matches(link, '(?i)^https?://')
+                        THEN lower(split_part(split_part(
+                             split_part(link, '://', 2), '/', 1), ':', 1))
+                        WHEN link LIKE '/%' THEN page_host
+                        ELSE NULL END AS dst_host
+            FROM l),
+          e AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+                FROM r WHERE dst_host IS NOT NULL),
+          nodes AS (SELECT DISTINCT node FROM (
+                      SELECT src AS node FROM e
+                      UNION ALL SELECT dst FROM e) u),
+          deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+          p AS (SELECT count(*) AS n FROM nodes),
+          pr AS (
+            SELECT 0 AS it, node,
+                   CAST(1000000000000 // n AS BIGINT) AS mass
+            FROM nodes, p
+            UNION ALL
+            SELECT c_it + 1, node,
+                   CAST((3 * 1000000000000) // (20 * n)
+                        + (17 * in_mass) // 20 AS BIGINT) AS mass
+            FROM (
+              SELECT nn.node, max(c.it) AS c_it,
+                     coalesce(sum(c.share)
+                              FILTER (WHERE c.dst = nn.node), 0) AS in_mass
+              FROM (SELECT pr.it, e.dst, pr.mass // d.outdeg AS share
+                    FROM pr
+                    JOIN deg d USING (node)
+                    JOIN e ON e.src = pr.node
+                    WHERE pr.it < 4) c
+              CROSS JOIN nodes nn
+              GROUP BY nn.node), p)
+          SELECT node AS host, mass FROM pr WHERE it = 4 ORDER BY host
         """,
         # inverted index: same tokenizer, naive list(ORDER BY) oracle
         "inverted_index_df390": """
