@@ -90,3 +90,33 @@ def test_geometry_job_end_to_end_and_resume(spark, tmp_path, pages_df):
     finally:
         spark.sql("DROP TABLE IF EXISTS geomjob_refs")
         spark.sql("DROP TABLE IF EXISTS geomjob_nodes")
+
+
+def test_crawl_rank_job_end_to_end_and_resume(spark, tmp_path):
+    """Crawl-rank job: bucketed link extraction (lineage-checkpointed),
+    merged host graph, integer-mass PageRank; second invocation skips
+    every bucket and reproduces identical ranks."""
+    from osmspark.jobs.crawl_rank_job import main
+
+    rows = [(f"https://h{i % 3}.org/p{i}",
+             f'<a href="https://h{(i + 1) % 3}.org/x">a</a>'
+             f'<a href="/self">b</a>')
+            for i in range(30)]
+    pages = spark.createDataFrame(rows, "url string, html_text string")
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    argv = ["--pages", src, "--out", out, "--state", state,
+            "--buckets", "4", "--iters", "3"]
+    main(argv)
+    ranks1 = {r.host: r.mass
+              for r in spark.read.parquet(f"{out}/ranks").collect()}
+    assert set(ranks1) == {"h0.org", "h1.org", "h2.org"}
+    # symmetric 3-cycle + self-loops: all hosts rank equally
+    assert len(set(ranks1.values())) == 1
+
+    main(argv)  # resume: all buckets skipped, identical output
+    ranks2 = {r.host: r.mass
+              for r in spark.read.parquet(f"{out}/ranks").collect()}
+    assert ranks2 == ranks1
