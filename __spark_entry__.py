@@ -132,12 +132,13 @@ def _s2_tiles_oracle_sql(level: int) -> str:
     """
 
 
-def _hex_tiles_oracle_sql(res: int) -> str:
-    """DuckDB oracle for the hex tile aggregation — the full encoder
-    (axial transform, cube rounding, bit pack; osmspark/grid/hexgrid.py)
+def _hex_cells_sql(res: int, pts_sql: str, extra: str = "") -> str:
+    """Per-point hex cell ids in DuckDB SQL — the full encoder (axial
+    transform, cube rounding, bit pack; osmspark/grid/hexgrid.py)
     re-expressed in ANSI SQL. ``round_even`` == np.round == Spark rint;
     float constants are inlined via repr() so all three engines evaluate
-    the identical IEEE-754 expression and cell ids match bit-for-bit."""
+    the identical IEEE-754 expression and cell ids match bit-for-bit.
+    ``extra``: comma-led passthrough columns (e.g. ", event_type")."""
     from osmspark.grid import hexgrid
     from osmspark.grid.hexgrid_sql import _SQRT3_3
 
@@ -147,27 +148,36 @@ def _hex_tiles_oracle_sql(res: int) -> str:
     if res_bits >= 1 << 63:
         res_bits -= 1 << 64
     return f"""
-      WITH pts AS ({_EVENT_POINTS_SQL}),
+      WITH pts AS ({pts_sql}),
       ax AS (
         SELECT ({_SQRT3_3!r} * lon - lat / 3.0) / {size!r} AS qf,
-               (2.0 / 3.0 * lat) / {size!r} AS rf
+               (2.0 / 3.0 * lat) / {size!r} AS rf{extra}
         FROM pts),
       rounded AS (
         SELECT qf, rf, -qf - rf AS sf,
                round_even(qf, 0) AS q, round_even(rf, 0) AS r,
-               round_even(-qf - rf, 0) AS s
+               round_even(-qf - rf, 0) AS s{extra}
         FROM ax),
       fixed AS (
         SELECT CASE WHEN abs(q - qf) > abs(r - rf) AND abs(q - qf) > abs(s - sf)
                     THEN -r - s ELSE q END AS q2,
                CASE WHEN NOT (abs(q - qf) > abs(r - rf) AND abs(q - qf) > abs(s - sf))
                          AND abs(r - rf) > abs(s - sf)
-                    THEN -q - s ELSE r END AS r2
+                    THEN -q - s ELSE r END AS r2{extra}
         FROM rounded)
       SELECT {res_bits} + (q2::BIGINT + {off}) * 1073741824
-                        + (r2::BIGINT + {off}) AS cell,
-             count(*) AS n_points
-      FROM fixed GROUP BY 1 ORDER BY cell
+                        + (r2::BIGINT + {off}) AS cell{extra}
+      FROM fixed
+    """
+
+
+def _hex_tiles_oracle_sql(res: int) -> str:
+    """Hex tile aggregation oracle — per-point cells from
+    :func:`_hex_cells_sql` grouped to counts."""
+    return f"""
+      SELECT cell, count(*) AS n_points
+      FROM ({_hex_cells_sql(res, _EVENT_POINTS_SQL)})
+      GROUP BY 1 ORDER BY cell
     """
 
 
@@ -1689,6 +1699,34 @@ def _q_pagerank_crawl(spark, sf_dir):
             .withColumnRenamed("node", "host").orderBy("host"))
 
 
+def _q_tile_mode(spark, sf_dir):
+    """Dominant event type per hex cell (osmspark/spatial/tiles.py:
+    tile_mode): (cell, category) census then a min(struct(-count,
+    category)) AGGREGATE argmax — both passes combinable, never a
+    window, ties to the lexicographically first category. Oracle:
+    the shared SQL hex encoder with event_type passed through, argmax
+    via the naive row_number formulation."""
+    from osmspark.spatial import tile_mode
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat = (F.lit(-90.0) + (F.col("event_id") * 7919 % 18000)
+           / F.lit(100.0))
+    lon = (F.lit(-180.0) + (F.col("event_id") * 104729 % 36000)
+           / F.lit(100.0))
+    pts = ev.select(lat.alias("lat"), lon.alias("lon"), "event_type")
+    return (tile_mode(pts, 5, "event_type").orderBy("cell"))
+
+
+def _q_collocations(spark, sf_dir):
+    """Corpus collocations (osmspark/pipeline/textstats.py:
+    top_collocations): top-20 bigrams by the rational PMI core
+    c_xy·n_tok/(c_x·c_y) (log-free — same monotone ranking), hapax
+    suppression at c_xy ≥ 5; the top-k is ORDER BY + LIMIT
+    (TakeOrderedAndProject), never a global window."""
+    from osmspark.pipeline.textstats import top_collocations
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_collocations(docs, k=20, min_count=5).orderBy("rank")
+
+
 def _q_inverted_index(spark, sf_dir):
     """Inverted index (osmspark/pipeline/index.py): per term df + a
     bounded posting list (comma-joined ascending doc ids) for terms
@@ -2272,6 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extracted_links": _q_extract_links,
         "link_graph_hosts": _q_link_graph,
         "pagerank_crawl": _q_pagerank_crawl,
+        "tile_mode_r5": _q_tile_mode,
+        "top_collocations": _q_collocations,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
         "dup_spans_k8": _q_dup_spans,
@@ -2864,6 +2904,61 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN nodes nn
               GROUP BY nn.node), p)
           SELECT node AS host, mass FROM pr WHERE it = 4 ORDER BY host
+        """,
+        # tile mode: shared hex encoder with event_type passthrough;
+        # argmax via row_number (oracle-naive) vs the engine's
+        # min(struct) aggregate
+        "tile_mode_r5": f"""
+          WITH pc AS ({_hex_cells_sql(5, '''
+            SELECT -90.0 + (event_id * 7919 % 18000) / 100.0 AS lat,
+                   -180.0 + (event_id * 104729 % 36000) / 100.0 AS lon,
+                   event_type
+            FROM events''', extra=", event_type")}),
+          census AS (
+            SELECT cell, event_type AS cat, count(*) AS c
+            FROM pc GROUP BY 1, 2),
+          ranked AS (
+            SELECT cell, cat, c,
+                   sum(c) OVER (PARTITION BY cell) AS n_points,
+                   row_number() OVER (PARTITION BY cell
+                                      ORDER BY c DESC, cat) AS rn
+            FROM census)
+          SELECT cell, cat AS top_cat, CAST(c AS BIGINT) AS top_n,
+                 CAST(n_points AS BIGINT) AS n_points
+          FROM ranked WHERE rn = 1 ORDER BY cell
+        """,
+        # collocations: same censuses + rational PMI core in SQL
+        "top_collocations": """
+          WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), ' +') AS l
+            FROM documents),
+          uni AS (
+            SELECT w, count(*) AS c FROM (
+              SELECT unnest(l) AS w FROM toks) WHERE w != ''
+            GROUP BY 1),
+          total AS (SELECT sum(len(l)) AS n_tok FROM toks),
+          bg AS (
+            SELECT bigram, count(*) AS c_xy FROM (
+              SELECT unnest(list_transform(range(1, len(l)),
+                            i -> l[i] || ' ' || l[i+1])) AS bigram
+              FROM toks)
+            GROUP BY 1 HAVING count(*) >= 5),
+          scored AS (
+            SELECT bigram, c_xy,
+                   u1.c AS c_x, u2.c AS c_y,
+                   round(CAST(c_xy AS DOUBLE) * CAST(n_tok AS DOUBLE)
+                         / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)),
+                         9) AS score
+            FROM bg
+            JOIN uni u1 ON u1.w = split_part(bigram, ' ', 1)
+            JOIN uni u2 ON u2.w = split_part(bigram, ' ', 2), total)
+          SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy,
+                 CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y,
+                 score,
+                 CAST(row_number() OVER (ORDER BY score DESC, bigram)
+                      AS INT) AS rank
+          FROM scored ORDER BY score DESC, bigram LIMIT 20
         """,
         # inverted index: same tokenizer, naive list(ORDER BY) oracle
         "inverted_index_df390": """

@@ -194,3 +194,57 @@ def exact_quantiles(df: DataFrame, value_col: str, group_col: str,
         aggs.append(F.min(F.when(F.col("cum") >= rank, F.col("v")))
                     .alias(label))
     return (cum.groupBy(F.col("grp").alias(group_col)).agg(*aggs))
+
+
+def top_collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-wide collocation extraction: the k word bigrams most
+    over-represented vs independence — (bigram, c_xy, c_x, c_y, score,
+    rank) with the RATIONAL PMI core ``score = c_xy·n_tok/(c_x·c_y)``
+    (same reasoning as top_terms_tfidf's rational idf: two IEEE ops
+    are engine-exact, ``log`` is a libm last-ulp lottery; the log is
+    monotone, so the RANKING is the textbook PMI ranking).
+
+    ``min_count`` suppresses hapax bigrams (PMI's classic degeneracy:
+    two words that each appear once score maximal).
+
+    Scale shape: bigram + unigram censuses are wordcount-shaped
+    combinable aggs; the two unigram attachments are equi-joins on the
+    word; the final top-k is ``ORDER BY … LIMIT k`` — Spark plans
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), NEVER a single-partition global sort or window.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    n_tok = F.size(toks)
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(F.sequence(F.lit(1), n_tok - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                          F.element_at(toks, i + 1)))) \
+        .otherwise(F.array().cast("array<string>"))
+    uni = (docs.select(F.explode(toks).alias("w"))
+           .filter(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    total = docs.agg(F.sum(F.size(toks)).cast("long").alias("n_tok"))
+    bg = (docs.select(F.explode(bigrams).alias("bigram"))
+          .groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+          .filter(F.col("c_xy") >= min_count)
+          .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+          .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1)))
+    scored = (bg
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c").alias("c_x")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c").alias("c_y")), "w2")
+              .crossJoin(F.broadcast(total))
+              .withColumn("score",
+                          F.round(F.col("c_xy").cast("double")
+                                  * F.col("n_tok").cast("double")
+                                  / (F.col("c_x").cast("double")
+                                     * F.col("c_y").cast("double")), 9)))
+    top = (scored.orderBy(F.col("score").desc(), F.col("bigram").asc())
+           .limit(k))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("score").desc(), F.col("bigram").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("bigram", "c_xy", "c_x", "c_y", "score", "rank"))

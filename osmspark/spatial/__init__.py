@@ -39,6 +39,7 @@ from .tiles import (
     raster_to_points,
     rollup,
     tile_counts,
+    tile_mode,
     tile_pyramid,
     with_hex_cell,
     with_quadkey,

@@ -26,7 +26,8 @@ from ..grid.hexgrid_sql import hex_cell_col
 
 __all__ = ["with_hex_cell", "with_s2_cell", "tile_counts", "rollup",
            "raster_tile_counts", "tile_pyramid", "kring_smooth",
-           "hex_to_raster", "raster_to_points", "with_quadkey"]
+           "hex_to_raster", "raster_to_points", "with_quadkey",
+           "tile_mode"]
 
 
 def _hex_udf(res: int):
@@ -271,3 +272,30 @@ def with_quadkey(df: DataFrame, zoom: int) -> DataFrame:
               cast((shiftright(tile_x, i) & 1)
                    + 2 * (shiftright(tile_y, i) & 1) as string)), '')""")
     return df.withColumn("quadkey", digits)
+
+
+def tile_mode(df: DataFrame, res: int, cat_col: str, grid: str = "hex",
+              lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Dominant category per cell — (cell, top_cat, top_n, n_points).
+
+    The thematic-map primitive (dominant language / event type / land
+    use per tile). The per-cell argmax is a ``min(struct(-count,
+    category))`` AGGREGATE over the (cell, category) census — both
+    passes map-side combinable, never a row_number window, so a city
+    cell with 10^9 points reduces per task before either shuffle. Ties
+    break to the lexicographically first category.
+    """
+    if grid == "hex":
+        with_cell = df.withColumn(
+            "cell", hex_cell_col(F.col(lat_col), F.col(lon_col), res))
+    else:
+        with_cell = with_s2_cell(df, res, lat_col, lon_col, "cell")
+    census = (with_cell.groupBy("cell", F.col(cat_col).alias("cat"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    return (census.groupBy("cell")
+            .agg(F.min(F.struct((-F.col("c")).alias("negc"),
+                                F.col("cat").alias("cat"))).alias("m"),
+                 F.sum("c").cast("long").alias("n_points"))
+            .select("cell", F.col("m.cat").alias("top_cat"),
+                    (-F.col("m.negc")).cast("long").alias("top_n"),
+                    "n_points"))
