@@ -1727,6 +1727,33 @@ def _q_collocations(spark, sf_dir):
     return top_collocations(docs, k=20, min_count=5).orderBy("rank")
 
 
+def _q_events_day_range(spark, sf_dir):
+    """Day-partitioned event-log layout round-trip (osmspark/spatial/
+    layout.py:write_events_day_partitioned): hive partitionBy(day) +
+    in-file ts sort, then a 5-day range read whose BETWEEN resolves
+    against directory names (PartitionFilters — zero IO for skipped
+    days; plan-pinned in tests/test_layout.py), aggregated per
+    (day, event_type) with integer-cents value sums. The oracle filters
+    the raw table by CAST(ts AS DATE) — it never sees the layout, so a
+    match proves the partitioned write+pruned read loses nothing."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osmspark.spatial.layout import (read_events_range,
+                                         write_events_day_partitioned)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"osmspark_evday_{key}")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    write_events_day_partitioned(ev, path)
+    out = read_events_range(spark, path, "2024-01-05", "2024-01-09")
+    return (out.groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_cents"))
+            .orderBy("day", "event_type"))
+
+
 def _q_inverted_index(spark, sf_dir):
     """Inverted index (osmspark/pipeline/index.py): per term df + a
     bounded posting list (comma-joined ascending doc ids) for terms
@@ -2311,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_hosts": _q_link_graph,
         "pagerank_crawl": _q_pagerank_crawl,
         "tile_mode_r5": _q_tile_mode,
+        "events_day_range": _q_events_day_range,
         "top_collocations": _q_collocations,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
@@ -2904,6 +2932,18 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN nodes nn
               GROUP BY nn.node), p)
           SELECT node AS host, mass FROM pr WHERE it = 4 ORDER BY host
+        """,
+        # day-partition layout: oracle filters the RAW table by date —
+        # layout-blind, so a match proves the round-trip is lossless
+        "events_day_range": """
+          SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+          FROM events
+          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05'
+                                     AND DATE '2024-01-09'
+          GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # tile mode: shared hex encoder with event_type passthrough;
         # argmax via row_number (oracle-naive) vs the engine's

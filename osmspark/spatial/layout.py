@@ -32,7 +32,8 @@ from ..grid.hexgrid_sql import hex_cell_col
 
 __all__ = ["quantize_points", "dequantize_points",
            "write_points_fixedpoint", "read_points_fixedpoint",
-           "zorder_col", "write_points_zordered", "read_bbox"]
+           "zorder_col", "write_points_zordered", "read_bbox",
+           "write_events_day_partitioned", "read_events_range"]
 
 _SCALE = 1e7  # 1e-7° — OSM API precision; exact double
 
@@ -161,3 +162,39 @@ def read_bbox(spark: SparkSession, path: str,
         & (F.col("lon_q") >= F.lit(int(lon_min_q)))
         & (F.col("lon_q") <= F.lit(int(lon_max_q))))
     return dequantize_points(df, lat_col, lon_col)
+
+
+def write_events_day_partitioned(events: DataFrame, path: str,
+                                 ts_col: str = "ts",
+                                 files_per_day: int = 1) -> None:
+    """Event-log warehouse layout: hive-partitioned by calendar DAY,
+    rows sorted on the timestamp within each file.
+
+    The time axis is the third member of the layout family (bucketed
+    node-id joins, Z-ordered bboxes, day-partitioned time ranges): a
+    time-range predicate prunes whole day directories at PLANNING time
+    (PartitionFilters — zero IO for skipped days, the Iceberg
+    partition-spec equivalent), and the in-file ts sort gives row-group
+    min/max pruning within the boundary days. At 10^12 events this is
+    the difference between scanning 3 days and scanning 3 years.
+    """
+    df = events.withColumn("day", F.date_format(F.col(ts_col),
+                                                "yyyy-MM-dd"))
+    (df.repartition(files_per_day, F.col("day"))
+     .sortWithinPartitions("day", ts_col)
+     .write.mode("overwrite").partitionBy("day").parquet(path))
+
+
+def read_events_range(spark: SparkSession, path: str,
+                      start_day: str, end_day: str) -> DataFrame:
+    """Day-range read over the partitioned layout: the BETWEEN on the
+    partition column resolves against directory names only (plan shows
+    PartitionFilters, no data filter) — inclusive bounds.
+
+    Partition-type inference reads ``day`` back as DATE; the filter runs
+    on that (prunable) column and the output normalizes it back to the
+    'yyyy-MM-dd' string the writer derived."""
+    df = spark.read.parquet(path)
+    return (df.filter((F.col("day") >= start_day)
+                      & (F.col("day") <= end_day))
+            .withColumn("day", F.date_format(F.col("day"), "yyyy-MM-dd")))

