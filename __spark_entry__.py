@@ -1754,6 +1754,24 @@ def _q_events_day_range(spark, sf_dir):
             .orderBy("day", "event_type"))
 
 
+def _q_lang_mix(spark, sf_dir):
+    """Mixed-language detection (osmspark/pipeline/textstats.py:
+    with_lang_mix): 16-token chunks vote with the marker argmax, the
+    per-doc rollup is census + min(struct) argmax — no windows. Docs
+    with doc_id % 4 == 0 get a 16-token German marker run appended
+    (code-switch injection, mirrored textually in the oracle) so a
+    quarter of the corpus exercises the mixture path."""
+    from osmspark.pipeline.textstats import with_lang_mix
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    de = "der die und nicht " * 4
+    boosted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat_ws(" ", F.col("text"), F.lit(de.strip())))
+        .otherwise(F.col("text")).alias("text"))
+    return with_lang_mix(boosted).orderBy("doc_id")
+
+
 def _q_inverted_index(spark, sf_dir):
     """Inverted index (osmspark/pipeline/index.py): per term df + a
     bounded posting list (comma-joined ascending doc ids) for terms
@@ -2339,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_crawl": _q_pagerank_crawl,
         "tile_mode_r5": _q_tile_mode,
         "events_day_range": _q_events_day_range,
+        "lang_mix": _q_lang_mix,
         "top_collocations": _q_collocations,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
@@ -2932,6 +2951,57 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN nodes nn
               GROUP BY nn.node), p)
           SELECT node AS host, mass FROM pr WHERE it = 4 ORDER BY host
+        """,
+        # lang mix: same chunk votes (list_max over score/lang structs
+        # == Spark array_max tie order), row_number stands in for the
+        # engine's min(struct) majority argmax
+        "lang_mix": """
+          WITH boosted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN text || ' ' ||
+                  'der die und nicht der die und nicht der die und nicht der die und nicht'
+                        ELSE text END AS text
+            FROM documents),
+          t AS (SELECT doc_id,
+                       string_split_regex(trim(text), ' +') AS l
+                FROM boosted),
+          ch AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(0, CAST(ceil(len(l)/16.0) AS INT)),
+                     i -> l[i*16+1 : i*16+16])) AS ctoks
+            FROM t),
+          voted AS (
+            SELECT doc_id,
+                   list_max([
+                     {'score': len(list_filter(ctoks,
+                        t -> t IN ('the','a','value','fast'))), 'lang': 'en'},
+                     {'score': len(list_filter(ctoks,
+                        t -> t IN ('der','die','und','nicht'))), 'lang': 'de'},
+                     {'score': len(list_filter(ctoks,
+                        t -> t IN ('le','la','et','pas'))), 'lang': 'fr'},
+                     {'score': len(list_filter(ctoks,
+                        t -> t IN ('el','la','y','no'))), 'lang': 'es'},
+                     {'score': len(list_filter(ctoks,
+                        t -> t IN ('shi','bu','wo','de'))), 'lang': 'zh'}
+                   ]).lang AS lang
+            FROM ch),
+          census AS (SELECT doc_id, lang, count(*) AS c
+                     FROM voted GROUP BY 1, 2),
+          ranked AS (
+            SELECT doc_id, lang, c,
+                   sum(c) OVER (PARTITION BY doc_id) AS n_chunks,
+                   count(*) OVER (PARTITION BY doc_id) AS n_langs,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, lang) AS rn
+            FROM census)
+          SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+                 CAST(n_langs AS BIGINT) AS n_langs,
+                 lang AS major_lang,
+                 round(CAST(c AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6)
+                   AS major_frac
+          FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
         # day-partition layout: oracle filters the RAW table by date —
         # layout-blind, so a match proves the round-trip is lossless

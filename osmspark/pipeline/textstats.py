@@ -248,3 +248,50 @@ def top_collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
     w = Window.orderBy(F.col("score").desc(), F.col("bigram").asc())
     return (top.withColumn("rank", F.row_number().over(w))
             .select("bigram", "c_xy", "c_x", "c_y", "score", "rank"))
+
+
+def with_lang_mix(docs: DataFrame, chunk_tokens: int = 16,
+                  text_col: str = "text",
+                  doc_id: str = "doc_id") -> DataFrame:
+    """Mixed-language detection: per-chunk language votes aggregated to
+    a document disagreement profile — (doc_id, n_chunks, n_langs,
+    major_lang, major_frac). Code-switched / template-mixed documents
+    (major_frac well below 1) are routed to language-specific cleaning
+    or dropped; a whole-doc guesser can't see the mixture.
+
+    Each ``chunk_tokens``-token chunk votes with the SAME marker-count
+    argmax as :func:`with_lang_guess` (score desc, then lang — the
+    max(struct) tie order). The per-doc rollup is a (doc, lang) census
+    + min/max(struct) argmax — combinable aggregates, no windows, so a
+    10^6-chunk document reduces per task before any shuffle.
+    """
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    nl = F.ceil(n_tok.cast("double")
+                / F.lit(float(chunk_tokens))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.slice(toks, i * chunk_tokens + 1, chunk_tokens))
+    ch = docs.select(F.col(doc_id), F.explode(chunks).alias("ctoks"))
+
+    def marker_count(words):
+        return F.size(F.filter(F.col("ctoks"),
+                               lambda t: t.isin(*words)))
+
+    struct = F.array(*[
+        F.struct(marker_count(words).cast("long").alias("score"),
+                 F.lit(lang).alias("lang"))
+        for lang, words in LANG_MARKERS.items()])
+    voted = ch.select(doc_id, F.array_max(struct)["lang"].alias("lang"))
+    census = (voted.groupBy(doc_id, "lang")
+              .agg(F.count(F.lit(1)).alias("c")))
+    return (census.groupBy(doc_id)
+            .agg(F.sum("c").cast("long").alias("n_chunks"),
+                 F.count(F.lit(1)).cast("long").alias("n_langs"),
+                 F.min(F.struct((-F.col("c")).alias("negc"),
+                                F.col("lang").alias("lang"))).alias("m"))
+            .select(doc_id, "n_chunks", "n_langs",
+                    F.col("m.lang").alias("major_lang"),
+                    F.round((-F.col("m.negc")).cast("double")
+                            / F.col("n_chunks").cast("double"), 6)
+                    .alias("major_frac")))

@@ -393,3 +393,19 @@ def test_top_terms_tfidf_empty_and_case(spark):
     out = top_terms_tfidf(docs, k=3).collect()
     assert len(out) == 1  # empty text contributes no terms
     assert (out[0].term, out[0].tf, out[0].df) == ("the", 3, 1)
+
+
+# --- mixed-language detection (round 4) ---------------------------------
+
+def test_lang_mix_detects_code_switch(spark):
+    from osmspark.pipeline.textstats import with_lang_mix
+    en = "the value a fast " * 8            # 32 tokens → 2 en chunks
+    de = "der die und nicht " * 4           # 16 tokens → 1 de chunk
+    rows = [(1, (en + de).strip()), (2, en.strip())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_lang_mix(df).collect()}
+    mixed, pure = out[1], out[2]
+    assert mixed["n_chunks"] == 3 and mixed["n_langs"] == 2
+    assert mixed["major_lang"] == "en"
+    assert mixed["major_frac"] == round(2 / 3, 6)
+    assert pure["n_langs"] == 1 and pure["major_frac"] == 1.0
