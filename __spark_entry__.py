@@ -1891,6 +1891,21 @@ def _q_ann_topk(spark, sf_dir):
     return ann_bruteforce_topk(emb, qs, 10).orderBy("q_id", "rank")
 
 
+def _q_quantized_mips(spark, sf_dir):
+    """Scalar-quantized int8 inner-product top-k (osmspark/pipeline/
+    ann.py:quantized_mips_topk — the FAISS-SQ8/IP pattern): per-dim
+    round(v·127/max|v|) then EXACT int64 dot products, so the whole
+    operator — quantization, scoring, ranking — is hash-exact against
+    a DuckDB recomputation (float-dot ANN needs recall pins instead).
+    Queries broadcast; corpus never shuffles."""
+    from osmspark.pipeline.ann import quantized_mips_topk
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding",
+                       F.col("embedding").cast("array<double>")))
+    qs = emb.filter(F.col("vec_id") < 20)
+    return quantized_mips_topk(emb, qs, 10).orderBy("q_id", "rank")
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from osmspark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2376,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": _q_url_host_stats,
         "neardup_cosine": _q_neardup_cosine,
         "ann_topk_bruteforce": _q_ann_topk,
+        "ann_topk_sq8": _q_quantized_mips,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "incremental_dedup": _q_incremental_dedup,
         "simhash_pairs": _q_simhash,
@@ -3561,6 +3577,40 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
           WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.40
           ORDER BY a, b
+        """,
+        # SQ8 MIPS: same per-dim max-abs scales, same round(v·127/s)
+        # quantization, exact integer zip-dot — everything hash-exact
+        "ann_topk_sq8": """
+          WITH s AS (
+            SELECT pos, max(abs(v)) AS s FROM (
+              SELECT unnest(embedding::DOUBLE[]) AS v,
+                     generate_subscripts(embedding, 1) - 1 AS pos
+              FROM embeddings)
+            GROUP BY pos),
+          scales AS (
+            SELECT list(s ORDER BY pos) AS sl FROM s),
+          q8 AS (
+            SELECT vec_id,
+                   list_transform(
+                     list_zip(embedding::DOUBLE[], sl),
+                     p -> CASE WHEN p[2] > 0
+                               THEN CAST(round(p[1] * 127.0 / p[2])
+                                         AS BIGINT)
+                               ELSE 0 END) AS q
+            FROM embeddings, scales),
+          scored AS (
+            SELECT a.vec_id AS q_id, b.vec_id AS p_id,
+                   list_sum(list_transform(list_zip(a.q, b.q),
+                            p -> p[1] * p[2])) AS dot_q
+            FROM q8 a JOIN q8 b ON a.vec_id != b.vec_id
+            WHERE a.vec_id < 20),
+          ranked AS (
+            SELECT q_id, p_id, CAST(dot_q AS BIGINT) AS dot_q,
+                   row_number() OVER (PARTITION BY q_id
+                        ORDER BY dot_q DESC, p_id ASC) AS rank
+            FROM scored)
+          SELECT q_id, p_id, dot_q, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
         """,
         "ann_topk_bruteforce": """
           WITH scored AS (

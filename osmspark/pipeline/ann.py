@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 
 __all__ = ["ann_bruteforce_topk", "ann_lsh_topk", "train_ivf_centroids",
            "ivf_assign", "ann_ivf_topk", "ann_recall_vs_bruteforce",
-           "embedding_centroids"]
+           "embedding_centroids", "quantized_mips_topk"]
 
 
 def _cosine_cols():
@@ -265,3 +265,55 @@ def embedding_centroids(embeddings: DataFrame, label_col: str = "label",
             .withColumn("centroid",
                         F.col("_s") / (F.lit(scale) * F.col("n_vecs")))
             .select("label", "pos", "centroid", "n_vecs"))
+
+
+def quantized_mips_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Scalar-quantized (int8-style) maximum-inner-product top-k — the
+    FAISS-SQ8/IP pattern: per-dimension symmetric quantization
+    ``q = round(v·127/s_d)`` (s_d = corpus max |v| in dimension d),
+    then EXACT int64 dot products. Quantization is the scale play
+    (4 bytes → 1 per component, SIMD int dots); exactness of the
+    integer arithmetic is what lets a DuckDB oracle pin the whole
+    operator hash-exact — float dots are summation-order noise.
+
+    The per-dim scales are the corpus's index statistic: one scan
+    (posexplode → groupBy(pos).max — combinable), DIM scalars
+    collected to the driver and inlined as literals (same pattern as
+    kNN's density sample). Zero-range dims quantize to 0. Scoring
+    joins the (small, broadcast) query side against the corpus —
+    corpus never shuffles; the top-k window partitions by query id
+    (bounded by the corpus, one query's candidates per partition).
+
+    Output: (q_id, p_id, dot_q, rank) with (dot_q DESC, p_id ASC)
+    tie order; self-matches excluded.
+    """
+    scales = sorted(
+        corpus.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos").agg(F.max(F.abs(F.col("v"))).alias("s"))
+        .collect())
+    sarr = F.array(*[F.lit(float(r["s"])) for r in scales])
+
+    def quant(col):
+        return F.transform(
+            col,
+            lambda v, i: F.when(
+                F.element_at(sarr, i + 1) > 0,
+                F.round(v * F.lit(127.0) / F.element_at(sarr, i + 1))
+                .cast("long")).otherwise(F.lit(0).cast("long")))
+
+    cq = corpus.select(F.col(id_col).alias("p_id"),
+                       quant(F.col(vec_col)).alias("pq"))
+    qq = queries.select(F.col(id_col).alias("q_id"),
+                        quant(F.col(vec_col)).alias("qq"))
+    dot = F.aggregate(F.zip_with("qq", "pq", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (cq.join(F.broadcast(qq),
+                      F.col("p_id") != F.col("q_id"))
+              .withColumn("dot_q", dot))
+    w = Window.partitionBy("q_id").orderBy(F.col("dot_q").desc(),
+                                           F.col("p_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "p_id", "dot_q", "rank"))

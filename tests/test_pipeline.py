@@ -409,3 +409,22 @@ def test_lang_mix_detects_code_switch(spark):
     assert mixed["major_lang"] == "en"
     assert mixed["major_frac"] == round(2 / 3, 6)
     assert pure["n_langs"] == 1 and pure["major_frac"] == 1.0
+
+
+def test_quantized_mips_topk_exact_on_crafted(spark):
+    """SQ8 quantization: known scales, exact integer dots, zero-range
+    dim handled, tie order (dot desc, p_id asc)."""
+    from osmspark.pipeline.ann import quantized_mips_topk
+    rows = [  # dim1 max|v|=2.0, dim2 max=1.0, dim3 constant 0
+        (0, [2.0, 0.0, 0.0]),
+        (1, [1.0, 1.0, 0.0]),
+        (2, [-2.0, 0.5, 0.0]),
+        (3, [1.0, -1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter("vec_id = 0")
+    out = quantized_mips_topk(df, qs, 3).collect()
+    # q0 = [127, 0, 0]; dots: p1 = 127*64=8128 (1.0→round(63.5)=64),
+    # p2 = 127*-127, p3 = 127*64 → tie p1/p3 breaks to p_id 1
+    assert [(r["p_id"], r["dot_q"], r["rank"]) for r in out] == \
+        [(1, 8128, 1), (3, 8128, 2), (2, -16129, 3)]
