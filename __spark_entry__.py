@@ -1772,6 +1772,24 @@ def _q_lang_mix(spark, sf_dir):
     return with_lang_mix(boosted).orderBy("doc_id")
 
 
+def _q_triangles(spark, sf_dir):
+    """Per-node triangle counts (osmspark/graph/triangles.py) over a
+    dense 31-node synthetic graph (src = doc_id % 31, dst =
+    (doc_id // 31) % 31 — the mod/div pairing sweeps many distinct
+    pairs; the earlier affine map 17·doc_id+3 mod 31 was a PERMUTATION
+    of residues, a cycle cover with zero triangles): degree-ordered
+    orientation — each triangle counted once at its lowest-ranked
+    vertex, hub fan-out bounded O(√m) by construction. The oracle is
+    the brute-force 3-way join on canonical a<b<c edges — a completely
+    different enumeration, same exact counts."""
+    from osmspark.graph import triangle_counts
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.select(
+        (F.col("doc_id") % 31).alias("src"),
+        ((F.col("doc_id") / 31).cast("long") % 31).alias("dst"))
+    return triangle_counts(edges).orderBy("node")
+
+
 def _q_inverted_index(spark, sf_dir):
     """Inverted index (osmspark/pipeline/index.py): per term df + a
     bounded posting list (comma-joined ascending doc ids) for terms
@@ -2373,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_mode_r5": _q_tile_mode,
         "events_day_range": _q_events_day_range,
         "lang_mix": _q_lang_mix,
+        "triangle_counts": _q_triangles,
         "top_collocations": _q_collocations,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
@@ -2967,6 +2986,26 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN nodes nn
               GROUP BY nn.node), p)
           SELECT node AS host, mass FROM pr WHERE it = 4 ORDER BY host
+        """,
+        # triangles: brute-force a<b<c 3-way join — a completely
+        # different enumeration than the engine's oriented wedges
+        "triangle_counts": """
+          WITH canon AS (
+            SELECT DISTINCT least(doc_id % 31, (doc_id // 31) % 31) AS a,
+                   greatest(doc_id % 31, (doc_id // 31) % 31) AS b
+            FROM documents
+            WHERE doc_id % 31 != (doc_id // 31) % 31),
+          tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM canon e1
+            JOIN canon e2 ON e2.a = e1.b
+            JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+          nodes AS (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+          SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM nodes GROUP BY 1 ORDER BY node
         """,
         # lang mix: same chunk votes (list_max over score/lang structs
         # == Spark array_max tie order), row_number stands in for the
