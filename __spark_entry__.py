@@ -1790,6 +1790,19 @@ def _q_triangles(spark, sf_dir):
     return triangle_counts(edges).orderBy("node")
 
 
+def _q_clustering(spark, sf_dir):
+    """Local clustering coefficients over the triangle_counts graph:
+    exact integer numerator (2·tri) and denominator (deg·(deg−1)),
+    one rounded division. Oracle composes the brute-force triangle
+    enumeration with the canonical degree census."""
+    from osmspark.graph import clustering_coefficients
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.select(
+        (F.col("doc_id") % 31).alias("src"),
+        ((F.col("doc_id") / 31).cast("long") % 31).alias("dst"))
+    return clustering_coefficients(edges).orderBy("node")
+
+
 def _q_inverted_index(spark, sf_dir):
     """Inverted index (osmspark/pipeline/index.py): per term df + a
     bounded posting list (comma-joined ascending doc ids) for terms
@@ -2392,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_day_range": _q_events_day_range,
         "lang_mix": _q_lang_mix,
         "triangle_counts": _q_triangles,
+        "clustering_coeffs": _q_clustering,
         "top_collocations": _q_collocations,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
@@ -3006,6 +3020,38 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT z FROM tri)
           SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           FROM nodes GROUP BY 1 ORDER BY node
+        """,
+        # clustering coefficients: brute-force triangles + degree census
+        "clustering_coeffs": """
+          WITH canon AS (
+            SELECT DISTINCT least(doc_id % 31, (doc_id // 31) % 31) AS a,
+                   greatest(doc_id % 31, (doc_id // 31) % 31) AS b
+            FROM documents
+            WHERE doc_id % 31 != (doc_id // 31) % 31),
+          tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM canon e1
+            JOIN canon e2 ON e2.a = e1.b
+            JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+          tn AS (
+            SELECT node, count(*) AS n_triangles FROM (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri) GROUP BY 1),
+          deg AS (
+            SELECT node, count(*) AS degree FROM (
+              SELECT a AS node FROM canon
+              UNION ALL SELECT b FROM canon) GROUP BY 1)
+          SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+                 CAST(coalesce(tn.n_triangles, 0) AS BIGINT)
+                   AS n_triangles,
+                 round(CASE WHEN d.degree * (d.degree - 1) > 0
+                       THEN CAST(2 * coalesce(tn.n_triangles, 0)
+                                 AS DOUBLE)
+                            / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                       ELSE 0.0 END, 9) AS coeff
+          FROM deg d LEFT JOIN tn USING (node)
+          ORDER BY d.node
         """,
         # lang mix: same chunk votes (list_max over score/lang structs
         # == Spark array_max tie order), row_number stands in for the

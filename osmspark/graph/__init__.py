@@ -1,5 +1,6 @@
 from .cc import cc_labels
 from .pagerank import pagerank_mass
-from .triangles import triangle_counts
+from .triangles import clustering_coefficients, triangle_counts
 
-__all__ = ["cc_labels", "pagerank_mass", "triangle_counts"]
+__all__ = ["cc_labels", "clustering_coefficients", "pagerank_mass",
+           "triangle_counts"]

@@ -77,3 +77,34 @@ def triangle_counts(edges: DataFrame, src: str = "src",
              .union(tris.select(F.col("w").alias("node"))))
     return (nodes.groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+
+
+def clustering_coefficients(edges: DataFrame, src: str = "src",
+                            dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient per node: (node, degree,
+    n_triangles, coeff) with coeff = 2·tri / (deg·(deg−1)), the
+    closed-wedge fraction. Exact integer numerator/denominator; the
+    single division is the only float op (rounded 9 dp). Zero-degree-1
+    nodes get coeff 0.0. One extra combinable aggregate + a left join
+    on top of :func:`triangle_counts` — same skew-free shape."""
+    canon = (edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct())
+    deg = (canon.select(F.col("a").alias("node"))
+           .union(canon.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                .alias("degree")))
+    tri = triangle_counts(edges, src=src, dst=dst)
+    den = F.col("degree") * (F.col("degree") - 1)
+    return (deg.join(tri, "node", "left")
+            .select("node", "degree",
+                    F.coalesce(F.col("n_triangles"),
+                               F.lit(0).cast("long")).alias("n_triangles"),
+                    F.round(F.when(
+                        den > 0,
+                        (F.lit(2) * F.coalesce(F.col("n_triangles"),
+                                               F.lit(0))).cast("double")
+                        / den.cast("double")).otherwise(F.lit(0.0)), 9)
+                    .alias("coeff")))

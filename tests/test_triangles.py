@@ -50,3 +50,16 @@ def test_random_graph_matches_brute_force(spark):
     rng = random.Random(11)
     edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(60)]
     assert _run(spark, edges) == _brute(edges)
+
+
+def test_clustering_coefficients(spark):
+    from osmspark.graph import clustering_coefficients
+    # triangle 1-2-3 plus pendant 4 on node 3
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["coeff"])
+           for r in clustering_coefficients(df).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(2 / 6, 9))
+    assert got[4] == (1, 0, 0.0)         # degree-1: defined as 0
