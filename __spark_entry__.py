@@ -1803,6 +1803,21 @@ def _q_clustering(spark, sf_dir):
     return clustering_coefficients(edges).orderBy("node")
 
 
+def _q_bfs_hops(spark, sf_dir):
+    """Single-source BFS hop distances (osmspark/graph/bfs.py) from
+    node 1 over the (undirected) 101-node pagerank_hosts graph —
+    frontier-expansion rounds, one join + distinct per round. Oracle:
+    a DuckDB recursive CTE exploring (node, dist) pairs with UNION
+    dedup (bounded fixpoint), min(dist) per node."""
+    from osmspark.graph import shortest_hops
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.col("doc_id") % 101
+    d = (F.col("doc_id") * 31 + 7) % 101
+    edges = (docs.select(s.alias("src"), d.alias("dst"))
+             .filter((s % 10 != 0) & (s != d)).distinct())
+    return shortest_hops(edges, 1).orderBy("node")
+
+
 def _q_inverted_index(spark, sf_dir):
     """Inverted index (osmspark/pipeline/index.py): per term df + a
     bounded posting list (comma-joined ascending doc ids) for terms
@@ -2406,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix": _q_lang_mix,
         "triangle_counts": _q_triangles,
         "clustering_coeffs": _q_clustering,
+        "bfs_hops_from1": _q_bfs_hops,
         "top_collocations": _q_collocations,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
@@ -3020,6 +3036,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT z FROM tri)
           SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           FROM nodes GROUP BY 1 ORDER BY node
+        """,
+        # BFS: recursive-CTE (node, dist) fixpoint with UNION dedup,
+        # min(dist) per node — vs the engine's frontier rounds
+        "bfs_hops_from1": """
+          WITH RECURSIVE e0 AS (
+            SELECT DISTINCT doc_id % 101 AS src,
+                            (doc_id * 31 + 7) % 101 AS dst
+            FROM documents
+            WHERE (doc_id % 101) % 10 != 0
+              AND doc_id % 101 != (doc_id * 31 + 7) % 101),
+          e AS (SELECT src AS u, dst AS v FROM e0
+                UNION SELECT dst, src FROM e0),
+          bfs AS (
+            SELECT 1 AS node, 0 AS dist
+            UNION
+            SELECT e.v, bfs.dist + 1
+            FROM bfs JOIN e ON e.u = bfs.node
+            WHERE bfs.dist < 20)
+          SELECT node, CAST(min(dist) AS INT) AS dist
+          FROM bfs GROUP BY node ORDER BY node
         """,
         # clustering coefficients: brute-force triangles + degree census
         "clustering_coeffs": """

@@ -1,6 +1,7 @@
+from .bfs import shortest_hops
 from .cc import cc_labels
 from .pagerank import pagerank_mass
 from .triangles import clustering_coefficients, triangle_counts
 
 __all__ = ["cc_labels", "clustering_coefficients", "pagerank_mass",
-           "triangle_counts"]
+           "shortest_hops", "triangle_counts"]

@@ -63,3 +63,12 @@ def test_clustering_coefficients(spark):
     assert got[2] == (2, 1, 1.0)
     assert got[3] == (3, 1, round(2 / 6, 9))
     assert got[4] == (1, 0, 0.0)         # degree-1: defined as 0
+
+
+def test_bfs_shortest_hops(spark):
+    from osmspark.graph import shortest_hops
+    # path 1-2-3-4, shortcut 1-3, isolated component 8-9
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["dist"] for r in shortest_hops(df, 1).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}   # shortcut wins; 8,9 absent
