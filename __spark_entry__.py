@@ -1818,6 +1818,23 @@ def _q_bfs_hops(spark, sf_dir):
     return shortest_hops(edges, 1).orderBy("node")
 
 
+def _q_pagerank_personalized(spark, sf_dir):
+    """Weighted + personalized PageRank over the crawl host graph:
+    edge mass splits ∝ n_links (share = (mass·w) // W_u, exact), and
+    teleport flows ONLY to the two seed hosts (site0/site3.example.org
+    — the random-surfer restart distribution). 4 iterations; oracle is
+    the recursive CTE with per-node CASE teleport and weighted integer
+    shares."""
+    from osmspark.graph import pagerank_mass
+    from osmspark.pipeline.urls import link_graph
+    edges = link_graph(_doc_html(spark, sf_dir))
+    seeds = spark.createDataFrame(
+        [("site0.example.org",), ("site3.example.org",)], ["node"])
+    return (pagerank_mass(edges, n_iter=4, src="src_host",
+                          dst="dst_host", weight="n_links", seeds=seeds)
+            .withColumnRenamed("node", "host").orderBy("host"))
+
+
 def _q_inverted_index(spark, sf_dir):
     """Inverted index (osmspark/pipeline/index.py): per term df + a
     bounded posting list (comma-joined ascending doc ids) for terms
@@ -2416,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extracted_links": _q_extract_links,
         "link_graph_hosts": _q_link_graph,
         "pagerank_crawl": _q_pagerank_crawl,
+        "pagerank_personalized": _q_pagerank_personalized,
         "tile_mode_r5": _q_tile_mode,
         "events_day_range": _q_events_day_range,
         "lang_mix": _q_lang_mix,
@@ -3206,6 +3224,58 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (ORDER BY score DESC, bigram)
                       AS INT) AS rank
           FROM scored ORDER BY score DESC, bigram LIMIT 20
+        """,
+        # weighted personalized PageRank: per-node CASE teleport (seed
+        # set only), weighted integer shares (mass·w)//W_u
+        "pagerank_personalized": f"""
+          WITH RECURSIVE html AS
+            ({_DOC_HTML_SQL.format(urls=_DOC_URLS_SQL)}),
+          l AS (
+            SELECT unnest(regexp_extract_all(html_text,
+                          'href="([^"]*)"', 1)) AS link,
+                   lower(split_part(split_part(split_part(url, '://', 2),
+                         '/', 1), ':', 1)) AS page_host
+            FROM html),
+          r AS (
+            SELECT page_host AS src_host,
+                   CASE WHEN regexp_matches(link, '(?i)^https?://')
+                        THEN lower(split_part(split_part(
+                             split_part(link, '://', 2), '/', 1), ':', 1))
+                        WHEN link LIKE '/%' THEN page_host
+                        ELSE NULL END AS dst_host
+            FROM l),
+          e AS (SELECT src_host AS src, dst_host AS dst,
+                       count(*) AS w
+                FROM r WHERE dst_host IS NOT NULL GROUP BY 1, 2),
+          nodes AS (SELECT DISTINCT node FROM (
+                      SELECT src AS node FROM e
+                      UNION ALL SELECT dst FROM e) u),
+          deg AS (SELECT src AS node, sum(w) AS outw FROM e GROUP BY 1),
+          p AS (SELECT count(*) AS n FROM nodes),
+          pr AS (
+            SELECT 0 AS it, node,
+                   CAST(1000000000000 // n AS BIGINT) AS mass
+            FROM nodes, p
+            UNION ALL
+            SELECT c_it + 1, node,
+                   CAST(CASE WHEN node IN ('site0.example.org',
+                                           'site3.example.org')
+                             THEN (3 * 1000000000000) // (20 * 2)
+                             ELSE 0 END
+                        + (17 * in_mass) // 20 AS BIGINT) AS mass
+            FROM (
+              SELECT nn.node, max(c.it) AS c_it,
+                     coalesce(sum(c.share)
+                              FILTER (WHERE c.dst = nn.node), 0) AS in_mass
+              FROM (SELECT pr.it, e.dst,
+                           (pr.mass * e.w) // d.outw AS share
+                    FROM pr
+                    JOIN deg d USING (node)
+                    JOIN e ON e.src = pr.node
+                    WHERE pr.it < 4) c
+              CROSS JOIN nodes nn
+              GROUP BY nn.node), p)
+          SELECT node AS host, mass FROM pr WHERE it = 4 ORDER BY host
         """,
         # inverted index: same tokenizer, naive list(ORDER BY) oracle
         "inverted_index_df390": """

@@ -43,12 +43,24 @@ def _int_div(a: F.Column, b: F.Column) -> F.Column:
 def pagerank_mass(edges: DataFrame, n_iter: int = 5,
                   damping_num: int = 17, damping_den: int = 20,
                   total_mass: int = 10 ** 12,
-                  src: str = "src", dst: str = "dst") -> DataFrame:
+                  src: str = "src", dst: str = "dst",
+                  weight: str | None = None,
+                  seeds: DataFrame | None = None) -> DataFrame:
     """Ranks after ``n_iter`` exact integer power iterations.
 
     Nodes are ``distinct(src) ∪ distinct(dst)``; dangling nodes (no
     out-edges) keep receiving teleport mass but forward nothing.
     Output: (node, mass) with mass int64.
+
+    ``weight``: optional int64 edge-weight column — a node's mass
+    splits proportionally, ``share(u→v) = (mass·w_uv) // W_u`` (W_u =
+    u's total out-weight; exact integer division, remainders
+    evaporate like the unweighted variant's).
+
+    ``seeds``: optional one-column (node) DataFrame → PERSONALIZED
+    PageRank: teleport mass flows only to the seed set (split evenly,
+    ``(1−d)·M // (den·|seeds|)`` each), non-seeds receive a 0 teleport
+    term. The random-surfer restart distribution, exactly.
     """
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
@@ -56,25 +68,45 @@ def pagerank_mass(edges: DataFrame, n_iter: int = 5,
     n = nodes.count()  # single scalar to the driver
     if n == 0:
         return nodes.withColumn("mass", F.lit(0).cast("long"))
-    teleport = ((damping_den - damping_num) * total_mass) \
-        // (damping_den * n)
-    deg = edges.groupBy(F.col(src).alias("node")) \
-               .agg(F.count(F.lit(1)).alias("outdeg"))
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    w_col = (F.col(weight).cast("long") if weight
+             else F.lit(1).cast("long"))
+    deg = (edges.groupBy(F.col(src).alias("node"))
+           .agg(F.sum(w_col).alias("outdeg")))
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+                     w_col.alias("e_w"))
+
+    if seeds is None:
+        tele = F.lit(((damping_den - damping_num) * total_mass)
+                     // (damping_den * n)).cast("long")
+        teleported = nodes.withColumn("tele", tele)
+    else:
+        s = seeds.toDF("node").distinct()
+        k = s.count()
+        per_seed = ((damping_den - damping_num) * total_mass) \
+            // (damping_den * max(k, 1))
+        teleported = (nodes.join(s.withColumn("_s", F.lit(1)),
+                                 "node", "left")
+                      .select("node",
+                              F.when(F.col("_s").isNotNull(),
+                                     F.lit(per_seed))
+                              .otherwise(F.lit(0))
+                              .cast("long").alias("tele")))
 
     ranks = nodes.withColumn("mass",
                              F.lit(total_mass // n).cast("long"))
     for _ in range(n_iter):
         share = (ranks.join(deg, "node")
-                 .select(F.col("node").alias("s_src"),
-                         _int_div(F.col("mass"),
-                                  F.col("outdeg")).alias("share")))
-        inm = (e.join(share, e.e_src == F.col("s_src"))
-               .groupBy(F.col("e_dst").alias("node"))
+                 .select(F.col("node").alias("s_src"), "mass",
+                         F.col("outdeg")))
+        contrib = (e.join(share, e.e_src == F.col("s_src"))
+                   .select(F.col("e_dst").alias("node"),
+                           _int_div(F.col("mass") * F.col("e_w"),
+                                    F.col("outdeg")).alias("share")))
+        inm = (contrib.groupBy("node")
                .agg(F.sum("share").alias("in_mass")))
-        ranks = (nodes.join(inm, "node", "left")
+        ranks = (teleported.join(inm, "node", "left")
                  .select("node",
-                         (F.lit(teleport)
+                         (F.col("tele")
                           + _int_div(F.lit(damping_num)
                                      * F.coalesce(F.col("in_mass"),
                                                   F.lit(0).cast("long")),

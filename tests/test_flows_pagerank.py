@@ -69,3 +69,35 @@ def test_pagerank_hub_outranks_and_dangling_gets_teleport(spark):
     # 3 and 4 have no in-links: pure teleport mass
     tele = 3 * 10 ** 12 // (20 * 5)
     assert got[3] == tele and got[4] == tele
+
+
+def test_weighted_pagerank_follows_weights(spark):
+    # 1 sends to 2 with weight 9 and to 3 with weight 1 → 2 gets 9×
+    edges = [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["mass"]
+           for r in pagerank_mass(df, n_iter=5, weight="w").collect()}
+    assert got[2] > got[3]
+    # exact: replicate one weighted split by hand on iteration 1
+    m0 = 10 ** 12 // 3
+    tele = 3 * 10 ** 12 // (20 * 3)
+    assert_mass_2 = tele + 17 * (m0 * 9 // 10) // 20
+    one_iter = {r["node"]: r["mass"]
+                for r in pagerank_mass(df, n_iter=1, weight="w").collect()}
+    assert one_iter[2] == assert_mass_2
+
+
+def test_personalized_teleport_only_to_seeds(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["mass"]
+           for r in pagerank_mass(df, n_iter=5, seeds=seeds).collect()}
+    # node 4 has no in-links and is not a seed → exactly zero mass
+    assert got[4] == 0
+    # the 1→2→3→1 cycle keeps all restart mass; everyone on it > 0
+    assert min(got[1], got[2], got[3]) > 0
+    # vs the uniform-teleport run, node 4 there gets tele > 0
+    uni = {r["node"]: r["mass"]
+           for r in pagerank_mass(df, n_iter=5).collect()}
+    assert uni[4] == 3 * 10 ** 12 // (20 * 4)
