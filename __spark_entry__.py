@@ -1835,6 +1835,20 @@ def _q_pagerank_personalized(spark, sf_dir):
             .withColumnRenamed("node", "host").orderBy("host"))
 
 
+def _q_sample_rates(spark, sf_dir):
+    """Per-language rate sampling (osmspark/pipeline/split.py:
+    sample_by_rate) — the corpus-MIXING primitive (keep 90% en, 50% de,
+    25% fr, 10% es, default 75%): pure per-row md5-bucket filter, no
+    shuffle/census (vs stratified_sample's exact caps); the oracle
+    replicates buckets and thresholds bit-identically."""
+    from osmspark.pipeline.split import sample_by_rate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_by_rate(docs, {"en": 0.9, "de": 0.5, "fr": 0.25,
+                                "es": 0.1},
+                         group_col="lang", seed=11, default_rate=0.75)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def _q_inverted_index(spark, sf_dir):
     """Inverted index (osmspark/pipeline/index.py): per term df + a
     bounded posting list (comma-joined ascending doc ids) for terms
@@ -2440,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangles,
         "clustering_coeffs": _q_clustering,
         "bfs_hops_from1": _q_bfs_hops,
+        "sample_rates_lang": _q_sample_rates,
         "top_collocations": _q_collocations,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
@@ -3054,6 +3069,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT z FROM tri)
           SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           FROM nodes GROUP BY 1 ORDER BY node
+        """,
+        # rate sampling: identical md5 buckets + per-lang thresholds
+        "sample_rates_lang": """
+          WITH b AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 8))
+                     ::BIGINT % 10000 AS bucket
+            FROM documents)
+          SELECT doc_id, lang FROM b
+          WHERE bucket < CASE lang WHEN 'en' THEN 9000
+                                   WHEN 'de' THEN 5000
+                                   WHEN 'fr' THEN 2500
+                                   WHEN 'es' THEN 1000
+                                   ELSE 7500 END
+          ORDER BY doc_id
         """,
         # BFS: recursive-CTE (node, dist) fixpoint with UNION dedup,
         # min(dist) per node — vs the engine's frontier rounds

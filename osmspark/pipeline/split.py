@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["hash_split", "split_column", "stratified_sample"]
+__all__ = ["hash_split", "sample_by_rate", "split_column",
+           "stratified_sample"]
 
 _BUCKETS = 10_000
 
@@ -78,3 +79,33 @@ def stratified_sample(df: DataFrame, group_col: str, n_per_group: int,
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n_per_group)
             .drop("_rn"))
+
+
+def sample_by_rate(df: DataFrame, rates: dict[str, float],
+                   group_col: str = "source", id_col: str = "doc_id",
+                   seed: int = 0, default_rate: float = 1.0) -> DataFrame:
+    """Deterministic per-group rate sampling — the corpus-MIXING
+    primitive (temperature-weighted source mixing: keep 100% of wiki,
+    30% of common-crawl, …). Each row's fate is a pure function of its
+    identity: the same md5 bucket as :func:`split_column`, kept iff
+    ``bucket < round(rate·10_000)`` for its group's rate — re-runs,
+    incremental appends and the DuckDB oracle all agree row-for-row,
+    and expected proportions are exact at 4 decimals of rate.
+
+    Unlike :func:`stratified_sample` (exact per-group CAPS — needs a
+    census), this is a pure per-row filter: no shuffle, no state,
+    pushes down to a stored column. Use caps when the budget is a
+    count, rates when it's a proportion.
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+        1, 8), 16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(_BUCKETS))
+    thr = F.lit(round(default_rate * _BUCKETS))
+    for g, r in rates.items():
+        thr = F.when(F.col(group_col) == g,
+                     F.lit(round(r * _BUCKETS))).otherwise(thr)
+    return df.filter(bucket < thr)

@@ -86,3 +86,36 @@ def test_stratified_sample_small_group_kept_whole(spark):
     out = stratified_sample(spark.createDataFrame(pdf), "lang", 5).toPandas()
     assert (out[out.lang == "tiny"]["doc_id"].sort_values().tolist()
             == [8, 9])
+
+
+# --- rate-based corpus mixing (round 4) ---------------------------------
+
+def test_sample_by_rate_deterministic_and_bounded(spark):
+    from osmspark.pipeline.split import sample_by_rate
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_by_rate(df, {"a": 1.0, "b": 0.2}, seed=5)
+    kept = {(r["doc_id"], r["source"]) for r in out.collect()}
+    # rate 1.0 keeps everything in group a
+    assert sum(1 for _, s in kept if s == "a") == 1000
+    # rate 0.2 keeps ~200 of b (md5-uniform: within a loose band)
+    nb = sum(1 for _, s in kept if s == "b")
+    assert 140 <= nb <= 260
+    # re-run is row-identical (per-row function of identity)
+    again = {(r["doc_id"], r["source"])
+             for r in sample_by_rate(df, {"a": 1.0, "b": 0.2},
+                                     seed=5).collect()}
+    assert again == kept
+    # different seed reshuffles membership
+    other = {(r["doc_id"], r["source"])
+             for r in sample_by_rate(df, {"a": 1.0, "b": 0.2},
+                                     seed=6).collect()}
+    assert other != kept
+
+
+def test_sample_by_rate_zero_and_default(spark):
+    from osmspark.pipeline.split import sample_by_rate
+    rows = [(1, "x"), (2, "x"), (3, "y")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_by_rate(df, {"x": 0.0}, default_rate=1.0).collect()
+    assert {r["source"] for r in out} == {"y"}
