@@ -1835,6 +1835,24 @@ def _q_pagerank_personalized(spark, sf_dir):
             .withColumnRenamed("node", "host").orderBy("host"))
 
 
+def _q_forward_fill(spark, sf_dir):
+    """LOCF gap filling (osmspark/pipeline/temporal.py:forward_fill):
+    event values nulled deterministically (event_id % 5 == 0) then
+    carried forward per user in (ts, event_id) order; leading gaps
+    stay NULL (no future leak). Values pass through untouched, so the
+    oracle (last_value IGNORE NULLS) matches byte-for-byte."""
+    from osmspark.pipeline.temporal import forward_fill
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    holes = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("value"))
+    return (forward_fill(holes, "user_id", "ts", "value",
+                         id_col="event_id")
+            .select("event_id", "user_id", "value", "value_filled")
+            .orderBy("event_id"))
+
+
 def _q_sample_rates(spark, sf_dir):
     """Per-language rate sampling (osmspark/pipeline/split.py:
     sample_by_rate) — the corpus-MIXING primitive (keep 90% en, 50% de,
@@ -2455,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeffs": _q_clustering,
         "bfs_hops_from1": _q_bfs_hops,
         "sample_rates_lang": _q_sample_rates,
+        "forward_fill_values": _q_forward_fill,
         "top_collocations": _q_collocations,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
@@ -3069,6 +3088,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT z FROM tri)
           SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           FROM nodes GROUP BY 1 ORDER BY node
+        """,
+        # forward fill: last_value IGNORE NULLS over the same frame
+        "forward_fill_values": """
+          SELECT event_id, user_id,
+                 CASE WHEN event_id % 5 = 0 THEN NULL
+                      ELSE value END AS value,
+                 last_value(CASE WHEN event_id % 5 = 0 THEN NULL
+                                 ELSE value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS value_filled
+          FROM events ORDER BY event_id
         """,
         # rate sampling: identical md5 buckets + per-lang thresholds
         "sample_rates_lang": """

@@ -59,7 +59,8 @@ def _micros(c: F.Column) -> F.Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
-__all__ = ["asof_join", "interval_join", "sessionize", "session_stats"]
+__all__ = ["asof_join", "forward_fill", "interval_join", "sessionize",
+           "session_stats"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -228,3 +229,20 @@ def interval_join(points: DataFrame, intervals: DataFrame, bucket: int,
             .filter((F.col("t") >= F.col("t_start"))
                     & (F.col("t") < F.col("t_end")))
             .select("id", "iv_id", "t", "t_start", "t_end"))
+
+
+def forward_fill(df: DataFrame, key_col: str, ts_col: str,
+                 value_col: str, id_col: str | None = None,
+                 out_col: str | None = None) -> DataFrame:
+    """Per-key forward fill (LOCF — last observation carried forward):
+    the time-series gap-filling primitive for sensor/metric streams.
+    One window per key — ``last(value, ignorenulls)`` over the
+    unbounded-preceding frame; a single Exchange on the key, skew
+    bounded by the longest series. Rows before the first observation
+    stay NULL (no backfill — that would leak the future).
+    ``id_col``: optional tiebreak for duplicate timestamps."""
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(out_col or f"{value_col}_filled",
+                         F.last(value_col, ignorenulls=True).over(w))

@@ -169,3 +169,21 @@ def test_interval_join_bruteforce_parity(spark):
     want = sorted((i, j) for (i, t) in pts for (j, s, e) in ivs
                   if s <= t < e)
     assert got == want and len(want) > 100
+
+
+# --- forward fill (round 4) ---------------------------------------------
+
+def test_forward_fill_locf(spark):
+    from osmspark.pipeline.temporal import forward_fill
+    rows = [
+        (1, 10, None), (1, 20, 5.0), (1, 30, None), (1, 40, None),
+        (1, 50, 7.0),
+        (2, 10, None),                       # key with no observation
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, value double")
+    got = {(r["k"], r["ts"]): r["value_filled"]
+           for r in forward_fill(df, "k", "ts", "value").collect()}
+    assert got[(1, 10)] is None               # leading gap: no backfill
+    assert got[(1, 30)] == 5.0 and got[(1, 40)] == 5.0
+    assert got[(1, 50)] == 7.0
+    assert got[(2, 10)] is None               # isolated key untouched
