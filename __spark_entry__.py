@@ -1835,6 +1835,49 @@ def _q_pagerank_personalized(spark, sf_dir):
             .withColumnRenamed("node", "host").orderBy("host"))
 
 
+def _q_pii_counts(spark, sf_dir):
+    """Redaction-audit PII counts (osmspark/pipeline/textstats.py:
+    with_pii_counts): emails/IPv4s/phone numbers injected
+    deterministically (doc_id % 3/4/7, with % 12 docs carrying two
+    emails), counted by regexp_count — patterns restricted to the
+    Java∩RE2 regex subset so DuckDB counts the same matches."""
+    from osmspark.pipeline.textstats import with_pii_counts
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(i % 3 == 0, F.lit(" contact bob@example.com now"))
+            .otherwise(F.lit("")),
+            F.when(i % 12 == 0, F.lit(" cc alice.b@sub.example.org"))
+            .otherwise(F.lit("")),
+            F.when(i % 4 == 0, F.lit(" from 192.168.10.1 seen"))
+            .otherwise(F.lit("")),
+            F.when(i % 7 == 0, F.lit(" call +4915112345678"))
+            .otherwise(F.lit(""))).alias("text"))
+    return (with_pii_counts(injected)
+            .select("doc_id", "n_emails", "n_ipv4", "n_phones")
+            .orderBy("doc_id"))
+
+
+def _q_event_transitions(spark, sf_dir):
+    """Event-type transition matrix per the whole population
+    (from_type, to_type, n): lag window per user in (ts, event_id)
+    order then one combinable census — the Markov-chain estimation
+    primitive for behavioral sequences. First events (no predecessor)
+    are excluded."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("prev", F.lag("event_type").over(w))
+             .filter(F.col("prev").isNotNull()))
+    return (pairs.groupBy(F.col("prev").alias("from_type"),
+                          F.col("event_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("from_type", "to_type"))
+
+
 def _q_forward_fill(spark, sf_dir):
     """LOCF gap filling (osmspark/pipeline/temporal.py:forward_fill):
     event values nulled deterministically (event_id % 5 == 0) then
@@ -2474,6 +2517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops_from1": _q_bfs_hops,
         "sample_rates_lang": _q_sample_rates,
         "forward_fill_values": _q_forward_fill,
+        "pii_counts": _q_pii_counts,
+        "event_transitions": _q_event_transitions,
         "top_collocations": _q_collocations,
         "resample_trips_4h": _q_resample_trips,
         "repetition_signals": _q_repetition_signals,
@@ -3088,6 +3133,43 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT z FROM tri)
           SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           FROM nodes GROUP BY 1 ORDER BY node
+        """,
+        # PII counts: same injections, regexp_extract_all lengths
+        "pii_counts": r"""
+          WITH injected AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 3 = 0
+                        THEN ' contact bob@example.com now' ELSE '' END ||
+                   CASE WHEN doc_id % 12 = 0
+                        THEN ' cc alice.b@sub.example.org' ELSE '' END ||
+                   CASE WHEN doc_id % 4 = 0
+                        THEN ' from 192.168.10.1 seen' ELSE '' END ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' call +4915112345678' ELSE '' END AS text
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text,
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                   AS BIGINT) AS n_ipv4,
+                 CAST(len(regexp_extract_all(text,
+                   '\+[0-9]{7,12}')) AS BIGINT) AS n_phones
+          FROM injected ORDER BY doc_id
+        """,
+        # event transitions: same lag window + census
+        "event_transitions": """
+          WITH p AS (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events)
+          SELECT prev AS from_type, event_type AS to_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE prev IS NOT NULL
+          GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # forward fill: last_value IGNORE NULLS over the same frame
         "forward_fill_values": """

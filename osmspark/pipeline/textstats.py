@@ -295,3 +295,27 @@ def with_lang_mix(docs: DataFrame, chunk_tokens: int = 16,
                     F.round((-F.col("m.negc")).cast("double")
                             / F.col("n_chunks").cast("double"), 6)
                     .alias("major_frac")))
+
+
+#: redaction-scan patterns — identical semantics in Java regex (Spark)
+#: and DuckDB's RE2: no backrefs, no lookaround, POSIX classes avoided
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "n_phones": r"\+[0-9]{7,12}",
+}
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII-pattern occurrence counts (emails, IPv4s,
+    international phone numbers) — the redaction-audit signal a corpus
+    pipeline computes before release. Pure ``regexp_count`` codegen
+    (one scan, no shuffle); patterns deliberately restricted to the
+    regex subset Java and RE2 agree on, so an oracle can count the
+    same matches."""
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(name,
+                             F.regexp_count(F.col(text_col), F.lit(pat))
+                             .cast("long"))
+    return out

@@ -428,3 +428,16 @@ def test_quantized_mips_topk_exact_on_crafted(spark):
     # p2 = 127*-127, p3 = 127*64 → tie p1/p3 breaks to p_id 1
     assert [(r["p_id"], r["dot_q"], r["rank"]) for r in out] == \
         [(1, 8128, 1), (3, 8128, 2), (2, -16129, 3)]
+
+
+def test_pii_counts_patterns(spark):
+    from osmspark.pipeline.textstats import with_pii_counts
+    rows = [(1, "mail a@b.co and c.d+e@f-g.org, ip 10.0.0.1, tel +123456789"),
+            (2, "no pii here, not an ip 300 dot or p@ incomplete"),
+            (3, "double 1.2.3.4 5.6.7.8 and +12345678901")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["n_phones"])
+           for r in with_pii_counts(df).collect()}
+    assert got[1] == (2, 1, 1)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (0, 2, 1)
