@@ -164,7 +164,7 @@ def _traj_section() -> str:
     rows = "\n".join(
         f"| {s} | {s_lo[s]} | {s_hi[s]} | {tj['speedup'][s]} "
         f"| {tj['efficiency'][s]} |" for s in tj["speedup"])
-    return TRAJ_SECTION.format(
+    out = TRAJ_SECTION.format(
         tlo=tlo, thi=thi, traj_rows=rows,
         n_trips=tj["traj_points"] // tj["trip_len"],
         trip_len=tj["trip_len"],
@@ -174,6 +174,21 @@ def _traj_section() -> str:
         tt_speedup=round(tj["total_sec"][str(tlo)]
                          / tj["total_sec"][str(thi)], 3),
         tt_eff=tj["total_efficiency"])
+    p416 = os.path.join(HERE, "traj_scaling_4_16.json")
+    if os.path.exists(p416):
+        with open(p416) as f:
+            t4 = json.load(f)
+        lo4, hi4 = t4["levels"]
+        raw = t4["total_efficiency"]
+        norm = min(1.0, round(raw / DEFAULT_CEILING, 3))
+        per = ", ".join(f"{s} {t4['efficiency'][s]}"
+                        for s in t4["efficiency"])
+        out += (
+            f"\nThe {lo4}→{hi4} pair (`traj_scaling_4_16.json`, same "
+            f"host-ceiling caveats as §2b): raw total efficiency "
+            f"**{raw}** (per stage: {per}); normalized vs the "
+            f"{DEFAULT_CEILING} pinned-burn ceiling: **{norm}**.\n")
+    return out
 
 
 def main():
