@@ -1818,6 +1818,25 @@ def _q_bfs_hops(spark, sf_dir):
     return shortest_hops(edges, 1).orderBy("node")
 
 
+def _q_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (osmspark/graph/sssp.py)
+    from node 1 over the SAME 101-node graph as bfs_hops_from1, with
+    deterministic integer weights w = (src·7 + dst·13) % 19 + 1 carried
+    identically in both directions — frontier-pruned Bellman-Ford,
+    exact int64 distances. Oracle: a DuckDB recursive CTE exploring
+    (node, dist) states under a bound that provably exceeds every
+    optimal distance (dist ≤ 19·BFS-ecc ≤ 361 < 400), min per node."""
+    from osmspark.graph import shortest_paths
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.col("doc_id") % 101
+    d = (F.col("doc_id") * 31 + 7) % 101
+    edges = (docs.select(s.alias("src"), d.alias("dst"))
+             .filter((s % 10 != 0) & (s != d)).distinct()
+             .withColumn("w", (F.col("src") * 7 + F.col("dst") * 13)
+                         % 19 + 1))
+    return shortest_paths(edges, 1).orderBy("node")
+
+
 def _q_pagerank_personalized(spark, sf_dir):
     """Weighted + personalized PageRank over the crawl host graph:
     edge mass splits ∝ n_links (share = (mass·w) // W_u, exact), and
@@ -2515,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangles,
         "clustering_coeffs": _q_clustering,
         "bfs_hops_from1": _q_bfs_hops,
+        "sssp_from1": _q_sssp,
         "sample_rates_lang": _q_sample_rates,
         "forward_fill_values": _q_forward_fill,
         "pii_counts": _q_pii_counts,
@@ -3200,6 +3220,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BFS: recursive-CTE (node, dist) fixpoint with UNION dedup,
         # min(dist) per node — vs the engine's frontier rounds
+        "sssp_from1": """
+          WITH RECURSIVE e0 AS (
+            SELECT DISTINCT doc_id % 101 AS src,
+                            (doc_id * 31 + 7) % 101 AS dst
+            FROM documents
+            WHERE (doc_id % 101) % 10 != 0
+              AND doc_id % 101 != (doc_id * 31 + 7) % 101),
+          ew AS (SELECT src, dst, (src * 7 + dst * 13) % 19 + 1 AS w
+                 FROM e0),
+          e AS (SELECT src AS u, dst AS v, w FROM ew
+                UNION SELECT dst, src, w FROM ew),
+          sp AS (
+            SELECT 1 AS node, 0 AS dist
+            UNION
+            SELECT e.v, sp.dist + e.w
+            FROM sp JOIN e ON e.u = sp.node
+            WHERE sp.dist + e.w < 400)
+          SELECT node, CAST(min(dist) AS BIGINT) AS dist
+          FROM sp GROUP BY node ORDER BY node
+        """,
         "bfs_hops_from1": """
           WITH RECURSIVE e0 AS (
             SELECT DISTINCT doc_id % 101 AS src,

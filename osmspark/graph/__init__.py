@@ -1,7 +1,8 @@
 from .bfs import shortest_hops
 from .cc import cc_labels
 from .pagerank import pagerank_mass
+from .sssp import shortest_paths
 from .triangles import clustering_coefficients, triangle_counts
 
 __all__ = ["cc_labels", "clustering_coefficients", "pagerank_mass",
-           "shortest_hops", "triangle_counts"]
+           "shortest_hops", "shortest_paths", "triangle_counts"]
