@@ -1818,6 +1818,20 @@ def _q_bfs_hops(spark, sf_dir):
     return shortest_hops(edges, 1).orderBy("node")
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """Mergeable HyperLogLog distinct sketch (osmspark/pipeline/
+    cardinality.py): distinct customers per order priority, m=64
+    registers from the md5 60-bit bridge, rho by a flat 54-term
+    threshold sum (no log2), harmonic sum kept rational (exact int64
+    numerator s_num ≤ 2^61) so the ONLY float op is the final pinned
+    literal ÷ s_num — the oracle reproduces registers AND estimate
+    bit-for-bit."""
+    from osmspark.pipeline.cardinality import hll_distinct
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (hll_distinct(orders, ["o_orderpriority"], "o_custkey")
+            .orderBy("o_orderpriority"))
+
+
 def _q_sssp(spark, sf_dir):
     """Weighted single-source shortest paths (osmspark/graph/sssp.py)
     from node 1 over the SAME 101-node graph as bfs_hops_from1, with
@@ -2535,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeffs": _q_clustering,
         "bfs_hops_from1": _q_bfs_hops,
         "sssp_from1": _q_sssp,
+        "hll_custkey_priority": _q_hll_distinct,
         "sample_rates_lang": _q_sample_rates,
         "forward_fill_values": _q_forward_fill,
         "pii_counts": _q_pii_counts,
@@ -3220,6 +3235,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BFS: recursive-CTE (node, dist) fixpoint with UNION dedup,
         # min(dist) per node — vs the engine's frontier rounds
+        # HLL: same registers + estimate recomputed from scratch —
+        # bitlen as the same flat threshold sum, harmonic numerator
+        # exact int64, estimate = the identical pinned literal ÷ s_num
+        "hll_custkey_priority": """
+          WITH hsh AS (
+            SELECT o_orderpriority,
+                   ('0x' || substr(md5(o_custkey::VARCHAR || ':hll1'),
+                                   1, 15))::BIGINT AS h
+            FROM orders),
+          wv AS (SELECT o_orderpriority, h % 64 AS j, h >> 6 AS w
+                 FROM hsh),
+          r AS (SELECT o_orderpriority, j,
+                       max(55 - (""" + " + ".join(
+            f"CAST(w >= {1 << k} AS INT)" for k in range(54)) + """))
+                       AS m
+                FROM wv GROUP BY o_orderpriority, j),
+          fin AS (
+            SELECT o_orderpriority,
+                   64 - count(*) AS v_zero,
+                   sum(1::BIGINT << (55 - m))
+                     + (64 - count(*)) * (1::BIGINT << 55) AS s_num
+            FROM r GROUP BY o_orderpriority)
+          SELECT o_orderpriority,
+                 CAST(v_zero AS BIGINT) AS v_zero,
+                 CAST(s_num AS BIGINT) AS s_num,
+                 1.046802484394006e+20 / CAST(s_num AS DOUBLE) AS est
+          FROM fin ORDER BY o_orderpriority
+        """,
         "sssp_from1": """
           WITH RECURSIVE e0 AS (
             SELECT DISTINCT doc_id % 101 AS src,
