@@ -57,3 +57,28 @@ def test_pagerank_no_cartesian(spark):
                                   "src long, dst long")
     plan = _plan(pagerank_mass(edges, n_iter=3))
     assert "CartesianProduct" not in plan
+
+
+def test_hll_partial_max_below_exchange(spark):
+    # the register pass must be map-side combinable: a hot group's
+    # billion rows reduce to <=64 (j, partial max) rows per task BEFORE
+    # the shuffle — pinned by partial_max appearing under HashAggregate
+    # twice (register max, then finalize sum) and no Window anywhere
+    from osmspark.pipeline.cardinality import hll_distinct
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(50)], "g string, v string")
+    plan = _plan(hll_distinct(df, ["g"], "v"))
+    assert "partial_max" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sssp_round_is_join_plus_combinable_min(spark):
+    # one relaxation round = equi-join + min aggregate; never a
+    # cartesian product or a window over the frontier
+    from osmspark.graph import shortest_paths
+    edges = spark.createDataFrame([(1, 2, 3), (2, 3, 4), (1, 3, 9)],
+                                  "src long, dst long, w long")
+    plan = _plan(shortest_paths(edges, 1))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
