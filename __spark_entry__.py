@@ -233,7 +233,7 @@ def _geohash_kring_oracle_sql(precision: int) -> str:
         SELECT (lq + dx + {lon_n}) % {lon_n} AS tl, aq + dy AS ta, n
         FROM cells CROSS JOIN deltas
         WHERE aq + dy >= 0 AND aq + dy < {lat_n}),
-      agg AS (SELECT tl, ta, sum(n) AS n_smooth FROM scat GROUP BY 1, 2),
+      agg AS (SELECT tl, ta, CAST(sum(n) AS BIGINT) AS n_smooth FROM scat GROUP BY 1, 2),
       m AS (SELECT {morton} AS m, n_smooth FROM agg)
       SELECT {chars} AS geohash, n_smooth FROM m ORDER BY geohash
     """
@@ -4163,7 +4163,7 @@ def oracle_sql() -> dict[str, str]:
           WITH tiles AS ({_hex_tiles_oracle_sql(7)}),
           deltas(d) AS (VALUES (-1073741824), (-1073741823), (-1), (0), (1), (1073741823), (1073741824))
           SELECT tiles.cell + deltas.d AS cell,
-                 sum(n_points) AS n_smooth, 1 AS ring
+                 CAST(sum(n_points) AS BIGINT) AS n_smooth, 1 AS ring
           FROM tiles CROSS JOIN deltas
           GROUP BY 1 ORDER BY cell
         """,
@@ -4176,7 +4176,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT CASE WHEN bucket < 8000 THEN 'train'
                       WHEN bucket < 9000 THEN 'val'
                       ELSE 'test' END AS split,
-                 lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+                 lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
           FROM b GROUP BY 1, 2 ORDER BY split, lang
         """,
         # each zoom from the raw formula — independent of the finest-zoom

@@ -34,7 +34,17 @@ def compare(name: str, spark_df, sql: str | None, con) -> str:
     o = odf[scols].sort_values(scols, ignore_index=True)
     for c in scols:
         sv, ov = s[c], o[c]
-        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+        # The driver hashes the TEXTUAL rendering of each cell, so an
+        # int-kind vs float-kind dtype split (e.g. DuckDB sum(BIGINT) ->
+        # HUGEINT -> pandas float64 rendering 974.0 against Spark's 974)
+        # is a real failure even when the values are numerically equal.
+        # Be exactly as strict here: integer-vs-float kind is FAIL.
+        skind, okind = sv.dtype.kind, ov.dtype.kind
+        if {skind, okind} & {"f"} and {skind, okind} & {"i", "u"}:
+            return (f"FAIL dtype-kind col={c} spark={sv.dtype} "
+                    f"oracle={ov.dtype} (driver hash would diverge: "
+                    f"int vs float rendering)")
+        if skind == "f" or okind == "f":
             svn = sv.astype(float).to_numpy()
             ovn = ov.astype(float).to_numpy()
             if not np.array_equal(svn, ovn, equal_nan=True):
