@@ -70,6 +70,16 @@ def pagerank_mass(edges: DataFrame, n_iter: int = 5,
         return nodes.withColumn("mass", F.lit(0).cast("long"))
     w_col = (F.col(weight).cast("long") if weight
              else F.lit(1).cast("long"))
+    if weight:
+        # Drop non-positive-weight edges up front: an all-zero-weight
+        # node would make outdeg=0 and _int_div's a%b NULL, silently
+        # dropping its shares (a zero-weight edge carries no mass by
+        # definition, so this changes nothing for valid inputs).
+        # int64 envelope: the mass*e_w product requires
+        # max_mass * max_weight < 2^63 — at the default total_mass of
+        # 10^12 that caps weights at ~9.2e6; larger weights need a
+        # smaller total_mass or pre-normalized weights.
+        edges = edges.filter(F.col(weight).cast("long") > 0)
     deg = (edges.groupBy(F.col(src).alias("node"))
            .agg(F.sum(w_col).alias("outdeg")))
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),

@@ -122,6 +122,18 @@ TEXT_SCHEMA = T.StructType(
     ]
 )
 
+# Per-row bad-record channel (SURVEY §2.4's Spark mapping of the
+# reference's error callback, lib/pbfParser.js:41-47): one row per
+# failed blob — the job itself succeeds.
+QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("block_idx", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("error", T.StringType(), False),
+    ]
+)
+
 
 def to_arrow_schema(spark_schema: T.StructType) -> pa.Schema:
     """Arrow schema matching what Spark expects back from mapInArrow."""

@@ -6,8 +6,9 @@ From-scratch vectorized re-implementation of the reference decode pipeline
 * block framing: 4-byte big-endian BlobHeader size, then BlobHeader, then
   ``datasize`` Blob bytes (reference ``lib/pbfParser.js:189-243``,
   ``lib/nodejs/fsReader.js:8-27``).
-* zlib-only blobs; raw (uncompressed) rejected exactly like the reference
-  (``lib/pbfParser.js:604-606``); 32 MiB element cap
+* zlib blobs, plus uncompressed (``Blob.raw``) ones — the reference
+  rejects raw (``lib/pbfParser.js:604-606``) but they are legal PBF
+  (``lib/proto/fileformat.proto:29-41``); 32 MiB element cap
   (``lib/nodejs/fsReader.js:25-27``).
 * per-block string table, UTF-8 decoded once (``lib/pbfParser.js:245-264``).
 * DenseNodes delta decode = int64 prefix sums (``lib/pbfParser.js:314-367``)
@@ -45,7 +46,19 @@ MEMBER_TYPES = np.array(["node", "way", "relation"], dtype=object)
 
 
 class PbfError(ValueError):
-    """Decode failure — the reference routes these to opts.error."""
+    """Decode failure — the reference routes these to opts.error
+    (``lib/pbfParser.js:41-47``: every failure hits the error callback
+    and the parser closes cleanly).
+
+    ``kind`` is a stable machine-readable category so the Spark-side
+    quarantine channel (``source.quarantine_from_pages``) can group
+    failures without string-matching human messages:
+    ``framing | oversize | inflate | decode``.
+    """
+
+    def __init__(self, msg: str, kind: str = "decode"):
+        super().__init__(msg)
+        self.kind = kind
 
 
 # --------------------------------------------------------------------------
@@ -69,21 +82,29 @@ def split_file_blocks(data: bytes) -> list[tuple[FileBlock, bytes]]:
     ``readFileBlocks`` index pass, except we already hold the bytes (they
     live in the ``html`` binary column of the pages table).
     """
-    out: list[tuple[FileBlock, bytes]] = []
+    return list(iter_file_blocks(data))
+
+
+def iter_file_blocks(data: bytes):
+    """Generator form of ``split_file_blocks`` — blocks already yielded
+    survive a framing PbfError raised mid-walk, which is what the
+    quarantine channel needs (framing is a prefix scan: after a bad
+    frame there is no resync point, but everything before it is good).
+    """
     mv = memoryview(data)
     pos = 0
     idx = 0
     n = len(mv)
     while pos < n:
         if n - pos < 4:
-            raise PbfError("truncated file block length")
+            raise PbfError("truncated file block length", kind="framing")
         header_size = int.from_bytes(mv[pos : pos + 4], "big")
         if header_size <= 0 or header_size > MAX_ELEMENT_SIZE:
-            raise PbfError(f"invalid blob header size {header_size}")
+            raise PbfError(f"invalid blob header size {header_size}", kind="framing")
         pos += 4
         header_buf = mv[pos : pos + header_size]
         if len(header_buf) < header_size:
-            raise PbfError("truncated BlobHeader")
+            raise PbfError("truncated BlobHeader", kind="framing")
         pos += header_size
         blob_type = ""
         datasize = -1
@@ -93,22 +114,30 @@ def split_file_blocks(data: bytes) -> list[tuple[FileBlock, bytes]]:
             elif f == 3 and w == 0:    # datasize
                 datasize = v
         if datasize < 0:
-            raise PbfError("BlobHeader missing datasize")
+            raise PbfError("BlobHeader missing datasize", kind="framing")
         if datasize > MAX_ELEMENT_SIZE:
             raise PbfError(
-                f"PBF element at {pos} exceeds maximum size: {datasize} > {MAX_ELEMENT_SIZE}"
+                f"PBF element at {pos} exceeds maximum size: {datasize} > {MAX_ELEMENT_SIZE}",
+                kind="oversize",
             )
         blob = bytes(mv[pos : pos + datasize])
         if len(blob) < datasize:
-            raise PbfError("truncated Blob payload")
+            raise PbfError("truncated Blob payload", kind="framing")
         pos += datasize
-        out.append((FileBlock(idx, blob_type, pos - datasize, datasize), blob))
+        yield FileBlock(idx, blob_type, pos - datasize, datasize), blob
         idx += 1
-    return out
 
 
 def inflate_blob(blob_buf: bytes) -> bytes:
-    """Blob message → decompressed payload. zlib only, like the reference."""
+    """Blob message → decompressed payload: zlib (Blob.zlib_data) or
+    uncompressed (Blob.raw).
+
+    The reference rejects ``raw`` with 'Uncompressed pbfs are currently
+    not supported' (``lib/pbfParser.js:604-606``) — that is its TODO,
+    not a format semantic: ``Blob.raw`` is legal PBF per
+    ``lib/proto/fileformat.proto:29-41``, so this engine accepts it
+    behind the same interface (golden parity pinned by
+    ``tests/test_pbf_golden.py::test_raw_blob_decodes``)."""
     raw = None
     zlib_data = None
     raw_size = 0
@@ -121,12 +150,19 @@ def inflate_blob(blob_buf: bytes) -> bytes:
             zlib_data = bytes(v)
     if zlib_data is None:
         if raw is not None:
-            # reference: 'Uncompressed pbfs are currently not supported'
-            raise PbfError("Uncompressed pbfs are currently not supported")
-        raise PbfError("Blob has no payload")
-    out = zlib.decompress(zlib_data)
+            if raw_size and len(raw) != raw_size:
+                raise PbfError(
+                    f"raw size {len(raw)} != raw_size {raw_size}",
+                    kind="inflate")
+            return raw
+        raise PbfError("Blob has no payload", kind="inflate")
+    try:
+        out = zlib.decompress(zlib_data)
+    except zlib.error as e:
+        raise PbfError(f"zlib inflate failed: {e}", kind="inflate") from e
     if raw_size and len(out) != raw_size:
-        raise PbfError(f"inflated size {len(out)} != raw_size {raw_size}")
+        raise PbfError(f"inflated size {len(out)} != raw_size {raw_size}",
+                       kind="inflate")
     return out
 
 
@@ -359,6 +395,87 @@ def _decode_info(buf, st: StringTable, date_granularity: int) -> dict:
         elif f == 6 and w == 0:
             out["visible"] = bool(v)
     return out
+
+
+def _zz_scalar(v: int) -> int:
+    """Zigzag-decode one varint value (sint64 scalar field)."""
+    return (v >> 1) ^ -(v & 1)
+
+
+def _decode_plain_nodes(node_bufs: list, st: StringTable, granularity: int,
+                        lat_offset: int, lon_offset: int,
+                        date_granularity: int) -> dict:
+    """Non-dense ``Node`` messages → the same columnar dict as
+    ``_decode_dense_nodes``.
+
+    The reference refuses these with 'not supported yet'
+    (``lib/pbfParser.js:269-271``); plain nodes are legal PBF
+    (``lib/proto/osmformat.proto`` Node: id=1 sint64, keys=2, vals=3,
+    info=4, lat=8 sint64, lon=9 sint64) and rare in real extracts, so a
+    per-node scan is fine — coordinates still dequantize through the
+    literal reference expression for bit parity with the dense path."""
+    n = len(node_bufs)
+    ids = np.empty(n, dtype=np.int64)
+    lat_q = np.zeros(n, dtype=np.int64)
+    lon_q = np.zeros(n, dtype=np.int64)
+    tag_counts = np.zeros(n, dtype=np.int64)
+    keys_parts: list[np.ndarray] = []
+    vals_parts: list[np.ndarray] = []
+    infos: list[dict | None] = []
+    for i, buf in enumerate(node_bufs):
+        k_chunks: list = []
+        v_chunks: list = []
+        k_sc: list[int] = []
+        v_sc: list[int] = []
+        info = None
+        for f, w, v in iter_fields(buf):
+            if f == 1 and w == 0:
+                ids[i] = _zz_scalar(v)
+            elif f == 2:
+                (k_chunks if w == 2 else k_sc).append(v)
+            elif f == 3:
+                (v_chunks if w == 2 else v_sc).append(v)
+            elif f == 4 and w == 2:
+                info = _decode_info(v, st, date_granularity)
+            elif f == 8 and w == 0:
+                lat_q[i] = _zz_scalar(v)
+            elif f == 9 and w == 0:
+                lon_q[i] = _zz_scalar(v)
+        tk, tv = _decode_tags(k_chunks, k_sc, v_chunks, v_sc, st)
+        keys_parts.append(tk)
+        vals_parts.append(tv)
+        tag_counts[i] = tk.size
+        infos.append(info)
+    lat = (np.float64(lat_offset)
+           + np.float64(granularity) * lat_q.astype(np.float64)) / 1e9
+    lon = (np.float64(lon_offset)
+           + np.float64(granularity) * lon_q.astype(np.float64)) / 1e9
+    tag_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tag_counts, out=tag_offs[1:])
+    empty = np.empty(0, dtype=object)
+    tag_keys = np.concatenate(keys_parts) if keys_parts else empty
+    tag_vals = np.concatenate(vals_parts) if vals_parts else empty
+
+    def info_col(key):
+        if all(it is None for it in infos):
+            return None
+        return [None if it is None else it[key] for it in infos]
+
+    return {
+        "n": n,
+        "id": ids,
+        "lat": lat,
+        "lon": lon,
+        "tag_offsets": tag_offs,
+        "tag_keys": tag_keys,
+        "tag_vals": tag_vals,
+        "version": info_col("version"),
+        "timestamp_ms": info_col("timestamp_ms"),
+        "changeset": info_col("changeset"),
+        "uid": info_col("uid"),
+        "user": info_col("user"),
+        "visible": info_col("visible"),
+    }
 
 
 def _decode_tags(keys_chunks, keys_sc, vals_chunks, vals_sc, st: StringTable):
@@ -644,20 +761,28 @@ def decode_primitive_block(buf: bytes) -> DecodedBlock:
         dense_buf = None
         way_bufs = []
         rel_bufs = []
-        plain_nodes = 0
+        node_bufs = []
         for f, w, v in iter_fields(gbuf):
             if f == 1 and w == 2:
-                plain_nodes += 1
+                node_bufs.append(v)
             elif f == 2 and w == 2:
                 dense_buf = v
             elif f == 3 and w == 2:
                 way_bufs.append(v)
             elif f == 4 and w == 2:
                 rel_bufs.append(v)
-        if plain_nodes:
-            # parity with the reference (lib/pbfParser.js:269-271)
-            raise PbfError("non-dense Node messages are not supported yet")
-        if dense_buf is not None:
+        if node_bufs and dense_buf is not None:
+            # osmformat.proto: a PrimitiveGroup holds exactly one kind
+            raise PbfError("PrimitiveGroup mixes Node and DenseNodes")
+        if node_bufs:
+            # the reference refuses these (lib/pbfParser.js:269-271 'not
+            # supported yet'); we decode them — see _decode_plain_nodes.
+            groups.append(DecodedGroup(
+                "nodes",
+                nodes=_decode_plain_nodes(node_bufs, st, granularity,
+                                          lat_offset, lon_offset,
+                                          date_granularity)))
+        elif dense_buf is not None:
             groups.append(DecodedGroup(
                 "nodes",
                 nodes=_decode_dense_nodes(dense_buf, st, granularity,

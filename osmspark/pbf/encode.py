@@ -258,15 +258,109 @@ def build_header_block(writingprogram: str = "osmspark-synth",
     return bytes(b)
 
 
-def _file_block(blob_type: str, payload: bytes) -> bytes:
-    blob = _varint_field(2, len(payload)) + _len_field(3, zlib.compress(payload, 6))
+def _file_block(blob_type: str, payload: bytes, compress: bool = True) -> bytes:
+    if compress:
+        blob = _varint_field(2, len(payload)) + _len_field(3, zlib.compress(payload, 6))
+    else:
+        # Blob.raw (fileformat.proto field 1) + raw_size — the legal
+        # uncompressed form the reference TODO-rejects but we decode.
+        blob = _len_field(1, payload) + _varint_field(2, len(payload))
     header = _len_field(1, blob_type.encode("utf-8")) + _varint_field(3, len(blob))
     return len(header).to_bytes(4, "big") + header + blob
 
 
-def build_file(primitive_blocks: list[bytes], writingprogram: str = "osmspark-synth") -> bytes:
-    """Frame a header block + N primitive blocks into a full PBF stream."""
-    out = bytearray(_file_block("OSMHeader", build_header_block(writingprogram)))
+def build_file(primitive_blocks: list[bytes],
+               writingprogram: str = "osmspark-synth",
+               compress: bool = True) -> bytes:
+    """Frame a header block + N primitive blocks into a full PBF stream.
+
+    ``compress=False`` emits uncompressed (``Blob.raw``) blobs — same
+    payload bytes, no zlib wrapper — for raw-path parity tests."""
+    out = bytearray(_file_block("OSMHeader", build_header_block(writingprogram),
+                                compress=compress))
     for pb in primitive_blocks:
-        out += _file_block("OSMData", pb)
+        out += _file_block("OSMData", pb, compress=compress)
     return bytes(out)
+
+
+def recode_file_raw(data: bytes) -> bytes:
+    """Re-frame an existing PBF stream with every blob uncompressed.
+
+    Inflates each Blob and re-emits it as ``Blob.raw`` with identical
+    framing/type — the decoded entity rows must be identical to the
+    zlib original's (pinned by test_raw_blob_decodes)."""
+    from .decode import inflate_blob, split_file_blocks
+
+    out = bytearray()
+    for fb, blob in split_file_blocks(data):
+        out += _file_block(fb.type, inflate_blob(blob), compress=False)
+    return bytes(out)
+
+
+def build_plain_nodes_block(
+    ids: np.ndarray,
+    lats_deg: np.ndarray,
+    lons_deg: np.ndarray,
+    *,
+    granularity: int = 100,
+    date_granularity: int = 1000,
+    timestamps_ms: np.ndarray | None = None,
+    versions: np.ndarray | None = None,
+    changesets: np.ndarray | None = None,
+    uids: np.ndarray | None = None,
+    users: list[str] | None = None,
+    tags: list[dict] | None = None,
+) -> bytes:
+    """PrimitiveBlock whose group carries non-dense ``Node`` messages
+    (osmformat.proto: id=1 sint64, keys=2, vals=3, info=4, lat=8,
+    lon=9) — the form the reference refuses; used to pin our plain-node
+    decode against the dense path on identical logical content."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = ids.size
+    lat_q = np.round(np.asarray(lats_deg, dtype=np.float64) * 1e9 / granularity).astype(np.int64)
+    lon_q = np.round(np.asarray(lons_deg, dtype=np.float64) * 1e9 / granularity).astype(np.int64)
+
+    strings: list[str] = [""]
+    sid: dict[str, int] = {}
+
+    def intern(s: str) -> int:
+        if s not in sid:
+            sid[s] = len(strings)
+            strings.append(s)
+        return sid[s]
+
+    def _sint_field(field_no: int, value: int) -> bytes:
+        return _varint_field(field_no, int(
+            zigzag_encode(np.array([value], dtype=np.int64))[0]))
+
+    nbufs = bytearray()
+    for i in range(n):
+        nb = bytearray()
+        nb += _sint_field(1, int(ids[i]))
+        t = (tags[i] if tags is not None else None) or {}
+        if t:
+            nb += _packed_unsigned_field(2, np.array([intern(k) for k in t], dtype=np.int64))
+            nb += _packed_unsigned_field(3, np.array([intern(v) for v in t.values()], dtype=np.int64))
+        if timestamps_ms is not None:
+            info = {"timestamp_ms": int(timestamps_ms[i])}
+            if versions is not None:
+                info["version"] = int(versions[i])
+            if changesets is not None:
+                info["changeset"] = int(changesets[i])
+            if uids is not None:
+                info["uid"] = int(uids[i])
+            if users is not None:
+                info["user"] = users[i]
+            nb += _len_field(4, _encode_info(info, intern, date_granularity))
+        nb += _sint_field(8, int(lat_q[i]))
+        nb += _sint_field(9, int(lon_q[i]))
+        nbufs += _len_field(1, bytes(nb))
+
+    block = bytearray()
+    block += _len_field(1, _string_table(strings))
+    block += _len_field(2, bytes(nbufs))
+    if granularity != 100:
+        block += _varint_field(17, granularity)
+    if date_granularity != 1000:
+        block += _varint_field(18, date_granularity)
+    return bytes(block)

@@ -22,10 +22,12 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from .. import model
-from .decode import DecodedBlock, PbfError, decode_header_block, decode_primitive_block, inflate_blob, split_file_blocks
+from .decode import DecodedBlock, PbfError, decode_header_block, decode_primitive_block, inflate_blob, iter_file_blocks, split_file_blocks
 
 __all__ = [
     "decode_page",
+    "decode_page_quarantine",
+    "quarantine_from_pages",
     "nodes_from_pages",
     "ways_from_pages",
     "relations_from_pages",
@@ -52,6 +54,53 @@ def decode_page(html: bytes) -> list[tuple[int, str, object]]:
         else:
             out.append((fb.blob_idx, fb.type, None))
     return out
+
+
+def decode_page_quarantine(
+    html: bytes,
+) -> tuple[list[tuple[int, str, object]], list[tuple[int, str, str]]]:
+    """Per-blob error channel: decode what decodes, record what doesn't.
+
+    Returns (decoded_blocks, errors) where errors is
+    [(block_idx, kind, message)]. One corrupt/oversize blob yields one
+    error record and every other blob still decodes; a framing error
+    ends the page (no resync point after a bad frame) with one record
+    carrying the index the walk died at. This is the Spark mapping of
+    the reference's error callback (``lib/pbfParser.js:41-47``: failure
+    routed to ``opts.error``, parser closed cleanly) — at 10^12-page
+    scale one truncated payload must not fail the stage.
+    """
+    blocks: list[tuple[int, str, object]] = []
+    errors: list[tuple[int, str, str]] = []
+    it = iter_file_blocks(html)
+    next_idx = 0
+    while True:
+        try:
+            fb, blob = next(it)
+        except StopIteration:
+            break
+        except PbfError as e:
+            errors.append((next_idx, e.kind, str(e)))
+            break
+        next_idx = fb.blob_idx + 1
+        try:
+            if fb.type == "OSMData":
+                blocks.append((fb.blob_idx, fb.type,
+                               decode_primitive_block(inflate_blob(blob))))
+            elif fb.type == "OSMHeader":
+                blocks.append((fb.blob_idx, fb.type,
+                               decode_header_block(inflate_blob(blob))))
+            else:
+                blocks.append((fb.blob_idx, fb.type, None))
+        except PbfError as e:
+            errors.append((fb.blob_idx, e.kind, str(e)))
+    return blocks, errors
+
+
+def _page_blocks(html: bytes, on_error: str) -> list[tuple[int, str, object]]:
+    if on_error == "quarantine":
+        return decode_page_quarantine(html)[0]
+    return decode_page(html)
 
 
 # --------------------------------------------------------------------------
@@ -121,6 +170,7 @@ _ARROW_WAY_SCHEMA = model.to_arrow_schema(model.WAY_SCHEMA)
 _ARROW_REL_SCHEMA = model.to_arrow_schema(model.RELATION_SCHEMA)
 _ARROW_HEADER_SCHEMA = model.to_arrow_schema(model.HEADER_SCHEMA)
 _ARROW_TEXT_SCHEMA = model.to_arrow_schema(model.TEXT_SCHEMA)
+_ARROW_QUARANTINE_SCHEMA = model.to_arrow_schema(model.QUARANTINE_SCHEMA)
 
 
 def _iter_pages(batch: pa.RecordBatch):
@@ -130,17 +180,23 @@ def _iter_pages(batch: pa.RecordBatch):
         yield urls[i].as_py(), htmls[i].as_py()
 
 
-def _nodes_fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in it:
-        acc = _NodeAccumulator()
-        for url, html in _iter_pages(batch):
-            for block_idx, btype, decoded in decode_page(html):
-                if btype != "OSMData":
-                    continue
-                for group_idx, grp in enumerate(decoded.groups):
-                    if grp.kind == "nodes":
-                        acc.add_group(url, block_idx, group_idx, grp.nodes)
-        yield from acc.flush()
+def _make_nodes_fn(on_error: str = "raise"):
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            acc = _NodeAccumulator()
+            for url, html in _iter_pages(batch):
+                for block_idx, btype, decoded in _page_blocks(html, on_error):
+                    if btype != "OSMData":
+                        continue
+                    for group_idx, grp in enumerate(decoded.groups):
+                        if grp.kind == "nodes":
+                            acc.add_group(url, block_idx, group_idx, grp.nodes)
+            yield from acc.flush()
+    return fn
+
+
+# default instance — also consumed by the streaming source
+_nodes_fn = _make_nodes_fn()
 
 
 def _info_cols(rows: list[dict]):
@@ -155,11 +211,17 @@ def _info_cols(rows: list[dict]):
     ]
 
 
-def _ways_fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _make_ways_fn(on_error: str = "raise"):
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _ways_fn_impl(it, on_error)
+    return fn
+
+
+def _ways_fn_impl(it: Iterator[pa.RecordBatch], on_error: str = "raise") -> Iterator[pa.RecordBatch]:
     for batch in it:
         rows = []
         for url, html in _iter_pages(batch):
-            for block_idx, btype, decoded in decode_page(html):
+            for block_idx, btype, decoded in _page_blocks(html, on_error):
                 if btype != "OSMData":
                     continue
                 for group_idx, grp in enumerate(decoded.groups):
@@ -197,11 +259,17 @@ def _ways_fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         yield pa.RecordBatch.from_arrays(cols, schema=_ARROW_WAY_SCHEMA)
 
 
-def _relations_fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _make_relations_fn(on_error: str = "raise"):
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _relations_fn_impl(it, on_error)
+    return fn
+
+
+def _relations_fn_impl(it: Iterator[pa.RecordBatch], on_error: str = "raise") -> Iterator[pa.RecordBatch]:
     for batch in it:
         rows = []
         for url, html in _iter_pages(batch):
-            for block_idx, btype, decoded in decode_page(html):
+            for block_idx, btype, decoded in _page_blocks(html, on_error):
                 if btype != "OSMData":
                     continue
                 for group_idx, grp in enumerate(decoded.groups):
@@ -244,11 +312,17 @@ def _relations_fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         yield pa.RecordBatch.from_arrays(cols, schema=_ARROW_REL_SCHEMA)
 
 
-def _headers_fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _make_headers_fn(on_error: str = "raise"):
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _headers_fn_impl(it, on_error)
+    return fn
+
+
+def _headers_fn_impl(it: Iterator[pa.RecordBatch], on_error: str = "raise") -> Iterator[pa.RecordBatch]:
     for batch in it:
         rows = []
         for url, html in _iter_pages(batch):
-            for block_idx, btype, decoded in decode_page(html):
+            for block_idx, btype, decoded in _page_blocks(html, on_error):
                 if btype == "OSMHeader":
                     rows.append((url, decoded))
         if not rows:
@@ -320,12 +394,18 @@ def render_text(decoded_blocks: list) -> str:
     return "\n".join(lines)
 
 
-def _text_fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _make_text_fn(on_error: str = "raise"):
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _text_fn_impl(it, on_error)
+    return fn
+
+
+def _text_fn_impl(it: Iterator[pa.RecordBatch], on_error: str = "raise") -> Iterator[pa.RecordBatch]:
     for batch in it:
         urls, texts = [], []
         for url, html in _iter_pages(batch):
             urls.append(url)
-            texts.append(render_text(decode_page(html)))
+            texts.append(render_text(_page_blocks(html, on_error)))
         if urls:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(urls, type=pa.string()), pa.array(texts, type=pa.string())],
@@ -342,20 +422,52 @@ def _pruned(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html")
 
 
-def nodes_from_pages(pages: DataFrame) -> DataFrame:
-    return _pruned(pages).mapInArrow(_nodes_fn, model.NODE_SCHEMA)
+def nodes_from_pages(pages: DataFrame, on_error: str = "raise") -> DataFrame:
+    """``on_error``: "raise" (parity default — a bad blob fails the job,
+    like the reference's fatal error path) or "quarantine" (bad blobs
+    are skipped; read them via ``quarantine_from_pages``)."""
+    return _pruned(pages).mapInArrow(_make_nodes_fn(on_error), model.NODE_SCHEMA)
 
 
-def ways_from_pages(pages: DataFrame) -> DataFrame:
-    return _pruned(pages).mapInArrow(_ways_fn, model.WAY_SCHEMA)
+def ways_from_pages(pages: DataFrame, on_error: str = "raise") -> DataFrame:
+    return _pruned(pages).mapInArrow(_make_ways_fn(on_error), model.WAY_SCHEMA)
 
 
-def relations_from_pages(pages: DataFrame) -> DataFrame:
-    return _pruned(pages).mapInArrow(_relations_fn, model.RELATION_SCHEMA)
+def relations_from_pages(pages: DataFrame, on_error: str = "raise") -> DataFrame:
+    return _pruned(pages).mapInArrow(_make_relations_fn(on_error), model.RELATION_SCHEMA)
 
 
-def headers_from_pages(pages: DataFrame) -> DataFrame:
-    return _pruned(pages).mapInArrow(_headers_fn, model.HEADER_SCHEMA)
+def headers_from_pages(pages: DataFrame, on_error: str = "raise") -> DataFrame:
+    return _pruned(pages).mapInArrow(_make_headers_fn(on_error), model.HEADER_SCHEMA)
+
+
+def quarantine_from_pages(pages: DataFrame) -> DataFrame:
+    """Bad-record channel: one row per undecodable blob —
+    (url, block_idx, kind, error). The decode job itself succeeds; at
+    10^12 pages a truncated payload becomes a row here, not a stage
+    failure. Reference behavior being mapped: every failure routed to
+    the error callback and the parser closed cleanly
+    (``lib/pbfParser.js:41-47``)."""
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            urls: list[str] = []
+            idxs: list[int] = []
+            kinds: list[str] = []
+            msgs: list[str] = []
+            for url, html in _iter_pages(batch):
+                for block_idx, kind, msg in decode_page_quarantine(html)[1]:
+                    urls.append(url)
+                    idxs.append(block_idx)
+                    kinds.append(kind)
+                    msgs.append(msg)
+            if urls:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(urls, type=pa.string()),
+                     pa.array(idxs, type=pa.int32()),
+                     pa.array(kinds, type=pa.string()),
+                     pa.array(msgs, type=pa.string())],
+                    schema=_ARROW_QUARANTINE_SCHEMA)
+    return _pruned(pages).mapInArrow(fn, model.QUARANTINE_SCHEMA)
 
 
 def bounds_from_pages(pages: DataFrame) -> DataFrame:
@@ -375,5 +487,5 @@ def bounds_from_pages(pages: DataFrame) -> DataFrame:
                     (F.col("bbox_right") * nano).alias("maxlon")))
 
 
-def extracted_text_from_pages(pages: DataFrame) -> DataFrame:
-    return _pruned(pages).mapInArrow(_text_fn, model.TEXT_SCHEMA)
+def extracted_text_from_pages(pages: DataFrame, on_error: str = "raise") -> DataFrame:
+    return _pruned(pages).mapInArrow(_make_text_fn(on_error), model.TEXT_SCHEMA)

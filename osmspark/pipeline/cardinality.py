@@ -70,9 +70,15 @@ def hll_registers(df: DataFrame, group_cols: list[str], value_col: str,
     """Per-group sketch state: (group..., j, m) — only POPULATED
     registers appear (empty ones are implicit m=0). One combinable
     max-aggregate; hot groups cost 64 rows in the shuffle, not their
-    row count."""
+    row count.
+
+    NULL values are dropped before hashing (a NULL hashes to a
+    (group, j=NULL) row that hll_estimate would count in n_regs but
+    skip in the harmonic sum, understating v_zero and inflating the
+    estimate)."""
     h = _hash60(F.col(value_col), seed)
-    return (df.select(*group_cols,
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(*group_cols,
                       (h % M_REGS).alias("j"),
                       _rho(F.shiftright(h, 6)).alias("rho"))
             .groupBy(*group_cols, "j")

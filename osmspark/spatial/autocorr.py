@@ -65,13 +65,16 @@ def morans_i(cells: DataFrame, x_col: str = "n",
                        F.col("dev").alias("dev_j"))
     pairs = left.join(right, ["cx", "cy"], "inner")
 
+    # Cast each deviation to decimal BEFORE multiplying: an int64*int64
+    # product wraps silently under non-ANSI Spark for |dev| >= ~3e9,
+    # whereas a decimal(38,0) product overflows to NULL and surfaces.
     num = pairs.agg(
         F.count(F.lit(1)).alias("w_pairs"),
-        F.coalesce(F.sum((F.col("dev_i") * F.col("dev_j"))
-                         .cast("decimal(38,0)")),
+        F.coalesce(F.sum(F.col("dev_i").cast("decimal(38,0)")
+                         * F.col("dev_j").cast("decimal(38,0)")),
                    F.lit(0).cast("decimal(38,0)")).alias("num_d"))
-    den = dev.agg(F.sum((F.col("dev") * F.col("dev"))
-                        .cast("decimal(38,0)")).alias("den_d"))
+    den = dev.agg(F.sum(F.col("dev").cast("decimal(38,0)")
+                        * F.col("dev").cast("decimal(38,0)")).alias("den_d"))
     out = (tot.select(F.col("n").alias("n_cells"))
            .crossJoin(num).crossJoin(den))
     moran = F.when(

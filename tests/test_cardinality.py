@@ -92,3 +92,18 @@ def test_multiple_groups(spark):
         _py_registers([f"u{i}" for i in range(100)]))
     assert out["b"]["est"] == _py_estimate(
         _py_registers([f"u{i}" for i in range(40)]))
+
+
+def test_null_values_are_ignored(spark):
+    vals = [f"n-{i}" for i in range(200)]
+    clean = hll_distinct(_df(spark, vals), ["g"], "v").collect()[0]
+    noisy_df = spark.createDataFrame(
+        pd.DataFrame({"g": ["g"] * (len(vals) + 5),
+                      "v": vals + [None] * 5}))
+    noisy = hll_distinct(noisy_df, ["g"], "v").collect()[0]
+    assert (clean["v_zero"], clean["s_num"], clean["est"]) == \
+           (noisy["v_zero"], noisy["s_num"], noisy["est"])
+    # an all-NULL group produces no register rows at all
+    null_df = spark.createDataFrame(
+        pd.DataFrame({"g": ["z"] * 3, "v": [None] * 3}))
+    assert hll_registers(null_df, ["g"], "v").count() == 0

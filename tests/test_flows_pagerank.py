@@ -101,3 +101,21 @@ def test_personalized_teleport_only_to_seeds(spark):
     uni = {r["node"]: r["mass"]
            for r in pagerank_mass(df, n_iter=5).collect()}
     assert uni[4] == 3 * 10 ** 12 // (20 * 4)
+
+
+def test_weighted_zero_weight_edges_dropped(spark):
+    # node 3's only out-edge has weight 0: pre-fix its outdeg=0 made
+    # the integer division NULL and silently dropped its shares; now
+    # the zero-weight edge is filtered and the run matches the graph
+    # without it.
+    edges = [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["mass"]
+           for r in pagerank_mass(df, n_iter=4, weight="w").collect()}
+    clean = spark.createDataFrame(edges[:3], "src long, dst long, w long")
+    # node 3 still exists (endpoint of a surviving edge) so the node
+    # sets match; masses must be identical edge-for-edge.
+    want = {r["node"]: r["mass"]
+            for r in pagerank_mass(clean, n_iter=4, weight="w").collect()}
+    assert got == want
+    assert None not in got.values()

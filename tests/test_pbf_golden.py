@@ -128,17 +128,82 @@ def test_many_nodes_3000(many_nodes_pbf):
     assert total == 3000  # manyNodesTest.js:30-32
 
 
-def test_raw_blob_rejected():
-    """Uncompressed blobs rejected with the reference's message."""
+def test_raw_blob_decodes(golden_pbf):
+    """Uncompressed (Blob.raw) blobs decode to the exact zlib-path rows.
+
+    The reference rejects raw with 'Uncompressed pbfs are currently not
+    supported' (lib/pbfParser.js:604-606) — its TODO, not a semantic:
+    raw is legal per lib/proto/fileformat.proto:29-41."""
+    from osmspark.pbf.encode import recode_file_raw
+    from osmspark.pbf.source import decode_page, render_text
+
+    raw_file = recode_file_raw(golden_pbf)
+    assert raw_file != golden_pbf  # actually re-framed
+    a = decode_page(golden_pbf)
+    b = decode_page(raw_file)
+    assert len(a) == len(b)
+    assert render_text(a) == render_text(b)
+    ga = next(d for _, t, d in a if t == "OSMData")
+    gb = next(d for _, t, d in b if t == "OSMData")
+    na, nb = ga.groups[0].nodes, gb.groups[0].nodes
+    assert list(na["id"]) == list(nb["id"])
+    assert list(na["lat"]) == list(nb["lat"])
+    assert list(na["tag_vals"]) == list(nb["tag_vals"])
+
+
+def test_raw_blob_size_mismatch_rejected():
     from osmspark.pbf.encode import _len_field, _varint_field
 
-    payload = b"\x00" * 10
-    blob = _len_field(1, payload)  # raw field, no zlib_data
-    header = _len_field(1, b"OSMData") + _varint_field(3, len(blob))
-    data = len(header).to_bytes(4, "big") + header + blob
-    blocks = split_file_blocks(data)
-    with pytest.raises(PbfError, match="Uncompressed"):
-        inflate_blob(blocks[0][1])
+    blob = _len_field(1, b"\x00" * 10) + _varint_field(2, 99)
+    with pytest.raises(PbfError, match="raw size"):
+        inflate_blob(blob)
+
+
+def test_plain_nodes_parity_with_dense():
+    """Non-dense Node messages decode to the same columns the dense
+    path produces for identical logical content (reference refuses
+    plain nodes at lib/pbfParser.js:269-271 — we decode them)."""
+    import numpy as np
+
+    from osmspark.pbf.encode import (
+        build_dense_nodes_block, build_file, build_plain_nodes_block)
+
+    kw = dict(
+        ids=np.array([101, 102, 203], dtype=np.int64),
+        lats_deg=np.array([51.5074, -33.8688, 35.6895]),
+        lons_deg=np.array([-0.1278, 151.2093, 139.6917]),
+        timestamps_ms=np.array([1735689600000, 1735689661000, 1735693200000]),
+        versions=np.array([1, 3, 2]),
+        changesets=np.array([11, 12, 13]),
+        uids=np.array([7, 8, 7]),
+        users=["alice", "bob", "alice"],
+        tags=[{"name": "poi", "amenity": "cafe"}, {}, {"name": "x"}],
+    )
+    dense = decode_primitive_block(build_dense_nodes_block(**kw))
+    plain = decode_primitive_block(build_plain_nodes_block(**kw))
+    gd, gp = dense.groups[0].nodes, plain.groups[0].nodes
+    assert gp["n"] == gd["n"] == 3
+    for col in ("id", "lat", "lon", "tag_offsets", "tag_keys", "tag_vals"):
+        assert list(gp[col]) == list(gd[col]), col
+    for col in ("version", "timestamp_ms", "changeset", "uid", "user"):
+        assert list(gp[col]) == list(gd[col]), col
+    # negative-coordinate zigzag and framing also survive a file round trip
+    from osmspark.pbf.source import decode_page
+    blocks = decode_page(build_file([build_plain_nodes_block(**kw)]))
+    assert blocks[1][2].groups[0].nodes["n"] == 3
+
+
+def test_plain_nodes_without_info():
+    import numpy as np
+
+    from osmspark.pbf.encode import build_plain_nodes_block
+
+    blk = decode_primitive_block(build_plain_nodes_block(
+        ids=np.array([5], dtype=np.int64),
+        lats_deg=np.array([0.5]), lons_deg=np.array([-0.5])))
+    g = blk.groups[0].nodes
+    assert g["version"] is None and g["user"] is None
+    assert g["lat"][0] == 0.5 and g["lon"][0] == -0.5
 
 
 def test_oversize_element_rejected():
