@@ -18,6 +18,10 @@ synthetic 25M-edge host graph:
 - resample      2-second grid interpolation (~0.5 ticks/point)
 - od_matrix     trip collapse + flow count — two combinable aggs
 - pagerank      3 integer-mass iterations, 25M edges / 4M nodes
+- sssp          frontier-pruned Bellman-Ford from node 0 over a 12M-edge
+                / 1M-node weighted graph (weights in {1,2} keep the round
+                count near the hop diameter, so per-round driver sync
+                stays a small fraction of the relaxation work)
 - dwithin_m     geodesic 100 m self-join on a 320k-point slice
 
 Usage: python BENCH/traj_scale.py [--levels 2,8] [--reps 2]
@@ -38,8 +42,10 @@ TRAJ_N = 80_000_000
 TRIP_LEN = 10_000
 EDGE_N = 25_000_000
 NODE_MOD = 1 << 22
+SSSP_EDGE_N = 12_000_000
+SSSP_NODE_MOD = 1 << 20
 STAGES = ["staypoints", "speed_filter", "resample", "od_matrix",
-          "pagerank", "dwithin_m"]
+          "pagerank", "sssp", "dwithin_m"]
 
 
 def worker(n_threads: int) -> None:
@@ -51,7 +57,7 @@ def worker(n_threads: int) -> None:
     from pyspark.sql import functions as F
 
     import scaling  # BENCH/scaling.py — reuse the big-table cache
-    from osmspark.graph import pagerank_mass
+    from osmspark.graph import pagerank_mass, shortest_paths
     from osmspark.session import INFER_FILTERS_RULE, get_spark
     from osmspark.spatial import (detect_staypoints, dwithin_meters_join,
                                   read_points_fixedpoint)
@@ -78,6 +84,13 @@ def worker(n_threads: int) -> None:
              .filter(F.col("src") != F.col("dst")))
     slice_pts = points.filter(F.col("id") % 1000 == 0) \
                       .select("id", "lat", "lon")
+    wedges = (spark.range(SSSP_EDGE_N, numPartitions=64)
+              .select((F.col("id") % SSSP_NODE_MOD).alias("src"),
+                      F.pmod(F.xxhash64("id"), F.lit(SSSP_NODE_MOD))
+                      .alias("dst"),
+                      (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(2)) + 1)
+                      .alias("w"))
+              .filter(F.col("src") != F.col("dst")))
 
     # warm every stage shape on tiny slices (codegen, not throughput)
     tiny = traj.filter(F.col("id") < 100_000).cache()
@@ -90,6 +103,9 @@ def worker(n_threads: int) -> None:
     pagerank_mass(spark.createDataFrame([(1, 2), (2, 1)],
                                         "src long, dst long"),
                   n_iter=2).count()
+    shortest_paths(spark.createDataFrame([(1, 2, 1), (2, 3, 2)],
+                                         "src long, dst long, w long"),
+                   source=1).count()
     wsl = slice_pts.limit(1000)
     dwithin_meters_join(wsl, wsl, 100.0, keep_self=False).count()
 
@@ -116,6 +132,7 @@ def worker(n_threads: int) -> None:
             od_matrix(traj, cell_deg=0.02), "total_duration_us"),
         "pagerank": lambda: _force(pagerank_mass(edges, n_iter=3),
                                    "mass"),
+        "sssp": lambda: _force(shortest_paths(wedges, source=0), "dist"),
         "dwithin_m": lambda: _force(
             dwithin_meters_join(slice_pts, slice_pts, 100.0,
                                 keep_self=False), "dist_m"),

@@ -2029,6 +2029,29 @@ def _q_sample_rates(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def _q_mixture_weights(spark, sf_dir):
+    """α = 0.5 temperature-flattened per-language mixture weights
+    (osmspark/pipeline/split.py:mixture_weights): sqrt-powered counts
+    floored to int64 at 1e6 resolution (exact order-insensitive sum),
+    one rounded float division — hash-exact across engines."""
+    from osmspark.pipeline.split import mixture_weights
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_weights(docs, group_col="lang", alpha=0.5) \
+        .orderBy("domain")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing into 2048-token sequences
+    (osmspark/pipeline/packing.py): distributed exact prefix sum (the
+    only unpartitioned window runs over per-bucket totals, one row per
+    256 ids here, never corpus rows) + integer-DIV chunk arithmetic —
+    hash-exact vs a plain SQL window cumsum."""
+    from osmspark.pipeline.packing import pack_sequences
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, 2048, token_col="n_chars",
+                          bucket_width=256).orderBy("doc_id")
+
+
 def _q_inverted_index(spark, sf_dir):
     """Inverted index (osmspark/pipeline/index.py): per term df + a
     bounded posting list (comma-joined ascending doc ids) for terms
@@ -2087,6 +2110,18 @@ def _q_dup_spans(spark, sf_dir):
     return dup_span_stats(docs, k=8, min_dup=2).orderBy("doc_id")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (osmspark/pipeline/substrings.py):
+    docs with doc_id % 17 == 0 play the eval set; every other doc is
+    flagged if it shares any 8-token span with them. Benchmark span set
+    broadcasts (map-side hash join, no shuffle on win_hash)."""
+    from osmspark.pipeline.substrings import decontaminate_flags
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate_flags(corpus, bench, k=8).orderBy("doc_id")
+
+
 def _q_len_quantiles(spark, sf_dir):
     """Exact nearest-rank length quantiles per language
     (osmspark/pipeline/textstats.py:exact_quantiles) — the engine walks
@@ -2138,6 +2173,18 @@ def _q_neardup_cosine(spark, sf_dir):
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .withColumn("embedding", F.col("embedding").cast("array<double>")))
     return cosine_neardup_pairs(emb, 0.40).orderBy("a", "b")
+
+
+def _q_neardup_cosine_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup at recall-exhaustive settings: θ = 0.40 with
+    2 bits × 48 tables gives a per-pair miss probability ≈ 2.6e-11 at the
+    threshold, so the output equals the brute-force pair set and the same
+    DuckDB all-pairs SQL oracles the bucketed plan hash-exact."""
+    from osmspark.pipeline.dedup import cosine_neardup_lsh
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    return cosine_neardup_lsh(emb, 0.40, n_bits=2, n_tables=48) \
+        .orderBy("a", "b")
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -2570,6 +2617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # come FIRST (the r4 driver checked only the first 50 dict
         # entries), followed by the three queries whose oracles were
         # red in r4 (now cast to BIGINT), then earlier-round greens.
+        "neardup_cosine_lsh": _q_neardup_cosine_lsh,
+        "decontaminate_k8": _q_decontaminate,
+        "mixture_weights_lang": _q_mixture_weights,
+        "pack_sequences_2048": _q_pack_sequences,
         "quarantine_counts": _q_quarantine_counts,
         "raw_blob_parity": _q_raw_blob_parity,
         "plain_nodes_golden": _q_plain_nodes_golden,
@@ -3344,6 +3395,45 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE 7500 END
           ORDER BY doc_id
         """,
+        # α=0.5 weights: sqrt is IEEE-correctly-rounded in both
+        # engines; the floor-to-int64 scaling makes the total an exact
+        # integer sum, so the single rounded division is hash-exact
+        "mixture_weights_lang": """
+          WITH c AS (
+            SELECT lang AS domain, count(*) AS n_docs
+            FROM documents GROUP BY lang),
+          s AS (
+            SELECT domain, n_docs,
+                   CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS sv
+            FROM c)
+          SELECT domain, n_docs,
+                 round(sv::DOUBLE / (SELECT CAST(sum(sv) AS BIGINT)
+                                     FROM s), 6) AS weight
+          FROM s ORDER BY domain
+        """,
+        # packing: plain global window cumsum (fine at oracle scale) vs
+        # the engine's two-pass bucket prefix sum; every output cast
+        # to BIGINT (DuckDB window sum(BIGINT) renders HUGEINT)
+        "pack_sequences_2048": """
+          WITH c AS (
+            SELECT doc_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+            FROM documents)
+          SELECT doc_id,
+                 CAST(n_chars AS BIGINT) AS n_tokens,
+                 CAST(cum - n_chars AS BIGINT) AS start_pos,
+                 CAST((cum - n_chars) // 2048 AS BIGINT) AS seq_first,
+                 CAST((CASE WHEN n_chars > 0 THEN cum - 1
+                            ELSE cum - n_chars END) // 2048
+                      AS BIGINT) AS seq_last,
+                 CAST((cum - n_chars) % 2048 AS BIGINT) AS offset_in_seq,
+                 CAST((CASE WHEN n_chars > 0 THEN cum - 1
+                            ELSE cum - n_chars END) // 2048
+                      - (cum - n_chars) // 2048 + 1
+                      AS BIGINT) AS n_seqs
+          FROM c ORDER BY doc_id
+        """,
         # BFS: recursive-CTE (node, dist) fixpoint with UNION dedup,
         # min(dist) per node — vs the engine's frontier rounds
         # HLL: same registers + estimate recomputed from scratch —
@@ -3911,6 +4001,37 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d LEFT JOIN agg a USING (doc_id)
           ORDER BY d.doc_id
         """,
+        "decontaminate_k8": """
+          WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+            FROM documents),
+          wins AS (
+            SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS win_hash
+            FROM toks,
+                 LATERAL (SELECT unnest(range(1, greatest(len(t)-7, 0)+1)) AS i) r),
+          bench AS (
+            SELECT DISTINCT win_hash FROM wins WHERE doc_id % 17 = 0),
+          corpus AS (
+            SELECT * FROM wins WHERE doc_id % 17 <> 0),
+          hits AS (
+            SELECT c.doc_id, count(*) AS n_hits
+            FROM corpus c JOIN bench b USING (win_hash)
+            GROUP BY c.doc_id),
+          per_doc AS (
+            SELECT doc_id, count(*) AS n_windows
+            FROM corpus GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(p.n_windows, 0) AS n_windows,
+                 coalesce(h.n_hits, 0) AS n_hits,
+                 CASE WHEN coalesce(p.n_windows, 0) > 0
+                      THEN round(coalesce(h.n_hits, 0)::DOUBLE / p.n_windows, 6)
+                      ELSE 0.0 END AS hit_frac,
+                 coalesce(h.n_hits, 0) > 0 AS contaminated
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+          LEFT JOIN per_doc p USING (doc_id)
+          LEFT JOIN hits h USING (doc_id)
+          ORDER BY d.doc_id
+        """,
         "dedup_exact": """
           SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                  count(*) AS n_dups
@@ -4105,6 +4226,16 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY id
         """,
         "neardup_cosine": """
+          SELECT e1.vec_id AS a, e2.vec_id AS b,
+                 round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS cosine
+          FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+          WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.40
+          ORDER BY a, b
+        """,
+        # LSH path at recall-exhaustive (2 bits x 48 tables) settings:
+        # the bucketed candidate set provably covers every qualifying
+        # pair, so the exact all-pairs SQL is its oracle too
+        "neardup_cosine_lsh": """
           SELECT e1.vec_id AS a, e2.vec_id AS b,
                  round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS cosine
           FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

@@ -10,8 +10,9 @@ Scale design: every operator is a shuffle-on-key DataFrame plan —
            bucket) — candidates only within buckets; tunable (b, r)
 * simhash: 64-bit signature → 4×16-bit chunk buckets (Hamming ≤ 3 ⇒ ≥ 1
            identical chunk by pigeonhole) → verify distance in-bucket
-* cosine:  brute-force pair join (oracle-checkable) — the ANN module owns
-           the bucketed scale path
+* cosine:  brute-force pair join (oracle-checkable) + hyperplane-LSH
+           bucketed variant (`cosine_neardup_lsh`) — the 10^12-row path;
+           at recall-exhaustive settings the brute-force SQL oracles it
 """
 
 from __future__ import annotations
@@ -23,8 +24,8 @@ from pyspark.sql import types as T
 
 __all__ = ["exact_dedup", "ngram_jaccard_pairs", "minhash_signatures",
            "lsh_candidate_pairs", "simhash_signatures", "simhash_pairs",
-           "cosine_neardup_pairs", "dedup_clusters", "band_frame",
-           "incremental_filter"]
+           "cosine_neardup_pairs", "cosine_neardup_lsh", "dedup_clusters",
+           "band_frame", "incremental_filter"]
 
 # --------------------------------------------------------------------------
 # exact
@@ -531,5 +532,46 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float,
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
                             F.lit(0.0), lambda acc, v: acc + v))
     return (pairs.withColumn("cosine", F.round(dot / (na * nb), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine"))
+
+
+def cosine_neardup_lsh(emb: DataFrame, threshold: float,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int = 64, n_bits: int = 3, n_tables: int = 32,
+                       seed: int = 42) -> DataFrame:
+    """Near-dup (a < b) pairs with cosine ≥ threshold — the bucketed scale
+    path for :func:`cosine_neardup_pairs`.
+
+    Candidate generation is a random-hyperplane LSH self-equi-join on
+    bucket ids (never all-pairs): each vector hashes to ``n_tables``
+    sign-pattern buckets, pairs sharing any bucket become candidates, and
+    only the candidates pay the exact-cosine rerank. The bucket join
+    carries (id, bucket) rows only — vectors re-attach after the
+    candidate ``distinct``, so embedding arrays never shuffle.
+
+    Recall: a pair at cosine θ collides per hyperplane with probability
+    1 − arccos(θ)/π, per table (1 − arccos(θ)/π)^n_bits, and is missed by
+    all tables with probability (1 − p_table)^n_tables. At the defaults
+    (3 bits / 32 tables) a θ = 0.8 pair is missed with probability
+    ≈ 5e-10 — effectively exhaustive, which is what lets the brute-force
+    SQL oracle check this path hash-exact. At 10^12 rows raise ``n_bits``
+    so buckets stay small (expected bucket size n / 2^n_bits); the
+    recall/cost trade is (n_bits, n_tables), same knobs as the ANN LSH
+    index (`osmspark/pipeline/ann.py`)."""
+    from osmspark.pipeline.ann import _bucket_udf, _cosine_cols, _hyperplanes
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    bud = _bucket_udf(planes)
+    ids = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+           .withColumn("bucket", F.explode(bud(F.col("v"))))
+           .select("id", "bucket"))
+    cand = (ids.alias("x").join(ids.alias("y"), "bucket")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct())
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (cand.join(va, "a").join(vb, "b")
+            .withColumn("cosine", F.round(_cosine_cols(), 6))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", "cosine"))

@@ -19,8 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["hash_split", "sample_by_rate", "split_column",
-           "stratified_sample"]
+__all__ = ["hash_split", "mixture_weights", "sample_by_rate",
+           "split_column", "stratified_sample"]
 
 _BUCKETS = 10_000
 
@@ -109,3 +109,41 @@ def sample_by_rate(df: DataFrame, rates: dict[str, float],
         thr = F.when(F.col(group_col) == g,
                      F.lit(round(r * _BUCKETS))).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def mixture_weights(df: DataFrame, group_col: str = "source",
+                    alpha: float = 0.5,
+                    scale: int = 1_000_000) -> DataFrame:
+    """Per-domain temperature-flattened sampling weights — the mixing
+    computation that feeds :func:`sample_by_rate`'s rates (the
+    α-smoothing of multilingual/multi-source corpora, Conneau & Lample
+    2019): w_i = n_i^α / Σ_j n_j^α, so α = 1 reproduces natural
+    proportions and α → 0 flattens toward uniform.
+
+    Engine-portable exactness (the same rational-scaling discipline as
+    the HLL sketch): the powered count is floored to an integer at
+    ``scale`` resolution — for α = 0.5 the power is IEEE-correctly-
+    rounded ``sqrt`` (never ``pow``, whose libm results differ across
+    engines), the scaled values sum as exact int64 (order-insensitive),
+    and the only float op is one final division, rounded to 6 dp.
+    Arbitrary α falls back to ``pow`` and is documented best-effort for
+    cross-engine hashes.
+
+    Scale: one combinable census shuffle; the per-group table is
+    domain-cardinality-sized (tiny), so the total attaches by broadcast
+    — no second pass over rows.
+    """
+    counts = df.groupBy(F.col(group_col).alias("domain")) \
+               .agg(F.count(F.lit(1)).alias("n_docs"))
+    if alpha == 1.0:
+        powered = F.col("n_docs").cast("double")
+    elif alpha == 0.5:
+        powered = F.sqrt(F.col("n_docs"))
+    else:
+        powered = F.pow(F.col("n_docs"), F.lit(float(alpha)))
+    scaled = counts.withColumn(
+        "_s", F.floor(powered * F.lit(scale)).cast("long"))
+    tot = scaled.agg(F.sum("_s").alias("_tot"))
+    return (scaled.crossJoin(F.broadcast(tot))
+            .select("domain", "n_docs",
+                    F.round(F.col("_s") / F.col("_tot"), 6).alias("weight")))

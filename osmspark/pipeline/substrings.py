@@ -42,7 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["explode_token_windows", "window_census", "dup_span_stats"]
+__all__ = ["explode_token_windows", "window_census", "dup_span_stats",
+           "decontaminate_flags"]
 
 
 def explode_token_windows(docs: DataFrame, k: int = 8,
@@ -134,3 +135,51 @@ def dup_span_stats(docs: DataFrame, k: int = 8, min_dup: int = 2,
                            F.round(F.coalesce("n_dup", F.lit(0))
                                    / F.col("n_windows"), 6))
                     .otherwise(F.lit(0.0)).alias("dup_ratio")))
+
+
+def decontaminate_flags(docs: DataFrame, bench: DataFrame, k: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text",
+                        bench_id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any k-token
+    span with an eval/benchmark set (the n-gram-overlap check of GPT-3
+    appendix C / Brown et al. 2020 — standard before training on crawl
+    data so eval answers aren't memorized from leaks).
+
+    Returns one row per corpus document (never-drop):
+
+    * ``n_windows`` — k-token windows the doc emits,
+    * ``n_hits`` — how many of them occur anywhere in the benchmark set,
+    * ``hit_frac`` — n_hits / n_windows rounded to 6 dp (0.0 when the
+      doc emits no windows),
+    * ``contaminated`` — n_hits > 0.
+
+    Scale design: benchmark suites are MB-scale against a 100 TB corpus,
+    so the distinct benchmark-span set is tiny — it broadcasts, and the
+    corpus side meets it in a map-side hash join with NO shuffle on
+    ``win_hash``; the only corpus shuffles are the two combinable
+    per-doc censuses on ``doc_id``. The corpus text itself never rides
+    a shuffle (window rows are fixed-width (doc_id, hash)).
+    """
+    wins = explode_token_windows(docs, k=k, text_col=text_col,
+                                 id_col=id_col)
+    bench_spans = (explode_token_windows(bench, k=k,
+                                         text_col=bench_text_col,
+                                         id_col=bench_id_col)
+                   .select("win_hash").distinct())
+    hits = (wins.join(F.broadcast(bench_spans), "win_hash")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    per_doc = wins.groupBy("doc_id").agg(F.count(F.lit(1))
+                                         .alias("n_windows"))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.when(F.coalesce("n_windows", F.lit(0)) > 0,
+                           F.round(F.coalesce("n_hits", F.lit(0))
+                                   / F.col("n_windows"), 6))
+                    .otherwise(F.lit(0.0)).alias("hit_frac"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))

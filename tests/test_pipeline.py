@@ -141,6 +141,21 @@ def test_cosine_neardup_matches_numpy(emb):
     assert got == expected and len(expected) > 0
 
 
+def test_cosine_neardup_lsh_matches_bruteforce(emb):
+    """At recall-exhaustive settings (2 bits × 48 tables ⇒ per-pair miss
+    ≈ 4e-28 at θ = 0.9) the bucketed path must equal the all-pairs path
+    exactly — and must not plan a cartesian product."""
+    from osmspark.pipeline.dedup import cosine_neardup_lsh
+    lsh = cosine_neardup_lsh(emb, 0.9, dim=32, n_bits=2, n_tables=48)
+    exact = {(r.a, r.b, r.cosine)
+             for r in cosine_neardup_pairs(emb, 0.9).collect()}
+    got = {(r.a, r.b, r.cosine) for r in lsh.collect()}
+    assert got == exact and len(exact) > 0
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 # --------------------------------------------------------------------------
 # ANN
 # --------------------------------------------------------------------------

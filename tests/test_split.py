@@ -119,3 +119,29 @@ def test_sample_by_rate_zero_and_default(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string")
     out = sample_by_rate(df, {"x": 0.0}, default_rate=1.0).collect()
     assert {r["source"] for r in out} == {"y"}
+
+
+def test_mixture_weights_alpha_half(spark):
+    """sqrt-temperature weights: exact vs a Python recomputation of the
+    same rational-scaled arithmetic; weights sum to ~1; α=1 reproduces
+    natural proportions."""
+    import math
+
+    from osmspark.pipeline.split import mixture_weights
+    rows = [(i, "big") for i in range(90)] + \
+           [(i + 100, "mid") for i in range(9)] + \
+           [(200, "small")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r.domain: r for r in mixture_weights(df, alpha=0.5).collect()}
+    sv = {g: math.floor(math.sqrt(n) * 1_000_000)
+          for g, n in (("big", 90), ("mid", 9), ("small", 1))}
+    tot = sum(sv.values())
+    for g, n in (("big", 90), ("mid", 9), ("small", 1)):
+        assert out[g].n_docs == n
+        assert out[g].weight == round(sv[g] / tot, 6)
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-5
+    nat = {r.domain: r.weight
+           for r in mixture_weights(df, alpha=1.0).collect()}
+    assert nat["big"] == 0.9 and nat["small"] == 0.01
+    # flattening: sqrt weights strictly lift the small domain
+    assert out["small"].weight > nat["small"]

@@ -123,3 +123,33 @@ def test_brute_force_parity(spark):
     got = {r.doc_id: (r.n_windows, r.n_dup, r.n_removable, r.dup_ratio)
            for r in dup_span_stats(docs, k=k, min_dup=min_dup).collect()}
     assert got == expect
+
+
+def test_decontaminate_flags(spark):
+    """Corpus docs sharing any k-gram with the bench set flag; others
+    don't; short docs keep a zero-window row; the bench-span join is a
+    broadcast (no shuffle on win_hash)."""
+    from osmspark.pipeline.substrings import decontaminate_flags
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            # shares "the quick brown" and "quick brown fox" → 2 hits
+            (1, "so the quick brown fox ran"),
+            # clean
+            (2, "entirely different words here now"),
+            # short (< k tokens) → 0 windows, still present
+            (3, "tiny"),
+        ],
+        "doc_id long, text string")
+    out = decontaminate_flags(corpus, bench, k=3)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_hits == 2 and rows[1].contaminated
+    assert rows[1].n_windows == 4
+    assert rows[1].hit_frac == 0.5
+    assert rows[2].n_hits == 0 and not rows[2].contaminated
+    assert rows[3].n_windows == 0 and rows[3].hit_frac == 0.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
