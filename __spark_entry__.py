@@ -2122,6 +2122,55 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate_flags(corpus, bench, k=8).orderBy("doc_id")
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher-rule composite quality filter (osmspark/pipeline/
+    quality.py): per-rule boolean flags + the AND verdict, thresholds
+    fit to the synthetic corpus so every verdict column varies
+    (min_words=50 splits 277/223, max_mean_wlen=4.8 bites the long-word
+    tail, stop list {the,a,data,row} at >=3 distinct splits 375/125).
+    Pure per-row JVM expressions — map-only, no shuffle."""
+    from osmspark.pipeline.quality import gopher_filter
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (gopher_filter(docs, min_words=50, max_mean_wlen=4.8,
+                          stop_words=("the", "a", "data", "row"),
+                          min_stop_hits=3)
+            .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+                    "alpha_word_frac", "n_stop_hits", "ok_words",
+                    "ok_mean_wlen", "ok_symbols", "ok_alpha",
+                    "ok_stopwords", "keep")
+            .orderBy("doc_id"))
+
+
+def _q_bloom_probe(spark, sf_dir):
+    """Bloom seen-set pre-filter (osmspark/pipeline/membership.py):
+    per-lang filters built from even-doc_id texts (m=256, k=3, md5
+    bridge), odd-doc_id texts probed within their lang. ``maybe_seen``
+    verdicts include the sketch's false positives by design — the
+    oracle reproduces every bit, so the FP set is deterministic. The
+    filter side is 5 rows (broadcast); probes never shuffle."""
+    from osmspark.pipeline.membership import bloom_build, bloom_might_contain
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flt = bloom_build(docs.filter(F.col("doc_id") % 2 == 0),
+                      ["lang"], "text", m=256, k=3)
+    probes = docs.filter(F.col("doc_id") % 2 == 1) \
+                 .select("doc_id", "lang", "text")
+    return (bloom_might_contain(probes, flt, "text", ["lang"],
+                                m=256, k=3)
+            .select("doc_id", "lang", "maybe_seen").orderBy("doc_id"))
+
+
+def _q_bloom_fill(spark, sf_dir):
+    """Bloom filter fill stats (osmspark/pipeline/membership.py
+    bloom_stats): per-lang set-bit count, fill fraction, and the
+    false-positive estimate (n_set/m)^k computed as an exact int64
+    numerator over m^k in one pinned division."""
+    from osmspark.pipeline.membership import bloom_build, bloom_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flt = bloom_build(docs.filter(F.col("doc_id") % 2 == 0),
+                      ["lang"], "text", m=256, k=3)
+    return bloom_stats(flt, m=256, k=3).orderBy("lang")
+
+
 def _q_len_quantiles(spark, sf_dir):
     """Exact nearest-rank length quantiles per language
     (osmspark/pipeline/textstats.py:exact_quantiles) — the engine walks
@@ -2617,6 +2666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # come FIRST (the r4 driver checked only the first 50 dict
         # entries), followed by the three queries whose oracles were
         # red in r4 (now cast to BIGINT), then earlier-round greens.
+        "gopher_quality": _q_gopher_quality,
+        "bloom_probe_lang": _q_bloom_probe,
+        "bloom_fill_lang": _q_bloom_fill,
         "neardup_cosine_lsh": _q_neardup_cosine_lsh,
         "decontaminate_k8": _q_decontaminate,
         "mixture_weights_lang": _q_mixture_weights,
@@ -4031,6 +4083,86 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN per_doc p USING (doc_id)
           LEFT JOIN hits h USING (doc_id)
           ORDER BY d.doc_id
+        """,
+        # Gopher composite: every ratio is ONE division rounded to 6 dp
+        # on both sides; flags compare the ROUNDED value so sub-1e-6
+        # float noise can't flip a verdict
+        "gopher_quality": """
+          WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), ' +') AS tk,
+                   length(replace(text, ' ', '')) AS ns
+            FROM documents),
+          m AS (
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_words,
+                   round(ns::DOUBLE / len(tk), 6) AS mean_word_len,
+                   round(len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+                         / len(tk), 6) AS symbol_ratio,
+                   round(len(list_filter(tk,
+                             x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                         / len(tk), 6) AS alpha_word_frac,
+                   CAST(len(list_intersect(list_distinct(tk),
+                            ['the', 'a', 'data', 'row'])) AS BIGINT)
+                     AS n_stop_hits
+            FROM t)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                 alpha_word_frac, n_stop_hits,
+                 n_words BETWEEN 50 AND 100000 AS ok_words,
+                 mean_word_len BETWEEN 3.0 AND 4.8 AS ok_mean_wlen,
+                 symbol_ratio <= 0.1 AS ok_symbols,
+                 alpha_word_frac >= 0.8 AS ok_alpha,
+                 n_stop_hits >= 3 AS ok_stopwords,
+                 (n_words BETWEEN 50 AND 100000)
+                   AND (mean_word_len BETWEEN 3.0 AND 4.8)
+                   AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+                   AND n_stop_hits >= 3 AS keep
+          FROM m ORDER BY doc_id
+        """,
+        # Bloom sketch: positions from the md5 60-bit bridge mod m —
+        # the oracle reproduces every set bit, so the false-positive
+        # set itself is deterministic and hash-checked
+        "bloom_probe_lang": """
+          WITH pos AS (
+            SELECT lang,
+                   ('0x' || substr(md5(text || ':bloom1:'
+                                       || CAST(s.i AS VARCHAR)), 1, 15))
+                     ::BIGINT % 256 AS p
+            FROM documents, (VALUES (0), (1), (2)) AS s(i)
+            WHERE doc_id % 2 = 0),
+          bits AS (
+            SELECT lang, list_sort(list(DISTINCT p)) AS bits
+            FROM pos GROUP BY lang),
+          probe AS (
+            SELECT doc_id, lang,
+                   list_distinct([
+                     ('0x' || substr(md5(text || ':bloom1:0'), 1, 15))
+                       ::BIGINT % 256,
+                     ('0x' || substr(md5(text || ':bloom1:1'), 1, 15))
+                       ::BIGINT % 256,
+                     ('0x' || substr(md5(text || ':bloom1:2'), 1, 15))
+                       ::BIGINT % 256]) AS pp
+            FROM documents WHERE doc_id % 2 = 1)
+          SELECT p.doc_id, p.lang,
+                 coalesce(list_has_all(b.bits, p.pp), false) AS maybe_seen
+          FROM probe p LEFT JOIN bits b USING (lang)
+          ORDER BY p.doc_id
+        """,
+        "bloom_fill_lang": """
+          WITH pos AS (
+            SELECT lang,
+                   ('0x' || substr(md5(text || ':bloom1:'
+                                       || CAST(s.i AS VARCHAR)), 1, 15))
+                     ::BIGINT % 256 AS p
+            FROM documents, (VALUES (0), (1), (2)) AS s(i)
+            WHERE doc_id % 2 = 0),
+          b AS (SELECT lang, count(DISTINCT p) AS n_set
+                FROM pos GROUP BY lang)
+          SELECT lang, CAST(n_set AS BIGINT) AS n_set,
+                 round(n_set::DOUBLE / 256, 6) AS fill,
+                 round((n_set * n_set * n_set)::DOUBLE
+                       / (256 * 256 * 256), 6) AS fpp_est
+          FROM b ORDER BY lang
         """,
         "dedup_exact": """
           SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

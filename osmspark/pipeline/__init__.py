@@ -1,1 +1,2 @@
-from . import ann, dedup, lines, multimodal, repetition, textstats
+from . import (ann, dedup, lines, membership, multimodal, quality,
+               repetition, textstats)

@@ -82,3 +82,27 @@ def test_sssp_round_is_join_plus_combinable_min(spark):
     plan = _plan(shortest_paths(edges, 1))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_gopher_filter_map_only(spark, traj):
+    from osmspark.pipeline.quality import gopher_filter
+    docs = traj.selectExpr("id AS doc_id",
+                           "concat('the a data row ', cast(id AS string))"
+                           " AS text")
+    plan = _plan(gopher_filter(docs))
+    # pure per-row expressions: no shuffle, no Python worker
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_bloom_probe_broadcasts_filter_side(spark, traj):
+    from osmspark.pipeline.membership import (bloom_build,
+                                              bloom_might_contain)
+    docs = traj.selectExpr("trip_id AS g", "cast(id AS string) AS v")
+    flt = bloom_build(docs, ["g"], "v", m=64, k=3)
+    plan = _plan(bloom_might_contain(docs, flt, "v", ["g"], m=64, k=3))
+    # probes meet the per-group filter rows map-side: broadcast hash
+    # join, never a shuffle on the probe side's join key
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
