@@ -2040,6 +2040,18 @@ def _q_mixture_weights(spark, sf_dir):
         .orderBy("domain")
 
 
+def _q_budget_plan(spark, sf_dir):
+    """Token-budget sampling plan (osmspark/pipeline/split.py
+    sample_to_budget): per-lang target tokens under sqrt-temperature
+    weights for a 1M-token budget — targets are exact integer
+    (scaled·B) div total in decimal(38,0), epochs/rate one rounded
+    division each; the plan exposes which langs up- vs down-sample."""
+    from osmspark.pipeline.split import sample_to_budget
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_to_budget(docs, 1_000_000, group_col="lang",
+                            token_col="n_chars").orderBy("domain")
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk packing into 2048-token sequences
     (osmspark/pipeline/packing.py): distributed exact prefix sum (the
@@ -2157,6 +2169,18 @@ def _q_bloom_probe(spark, sf_dir):
     return (bloom_might_contain(probes, flt, "text", ["lang"],
                                 m=256, k=3)
             .select("doc_id", "lang", "maybe_seen").orderBy("doc_id"))
+
+
+def _q_ngram_familiarity(spark, sf_dir):
+    """KenLM-free LM familiarity scoring (osmspark/pipeline/lm.py):
+    each doc scored against its own lang's char-trigram unigram model —
+    mean model probability kept RATIONAL (exact int64 sum_c over one
+    n_grams·T division, no log), so the perplexity-filter ranking
+    direction is hash-exact across engines. Model is a bounded
+    (lang, gram) census that broadcasts; corpus shuffles once."""
+    from osmspark.pipeline.lm import ngram_familiarity
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_familiarity(docs, n=3).orderBy("doc_id")
 
 
 def _q_bloom_fill(spark, sf_dir):
@@ -2667,11 +2691,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries), followed by the three queries whose oracles were
         # red in r4 (now cast to BIGINT), then earlier-round greens.
         "gopher_quality": _q_gopher_quality,
+        "ngram_familiarity_3": _q_ngram_familiarity,
         "bloom_probe_lang": _q_bloom_probe,
         "bloom_fill_lang": _q_bloom_fill,
         "neardup_cosine_lsh": _q_neardup_cosine_lsh,
         "decontaminate_k8": _q_decontaminate,
         "mixture_weights_lang": _q_mixture_weights,
+        "budget_plan_lang": _q_budget_plan,
         "pack_sequences_2048": _q_pack_sequences,
         "quarantine_counts": _q_quarantine_counts,
         "raw_blob_parity": _q_raw_blob_parity,
@@ -3463,6 +3489,32 @@ def oracle_sql() -> dict[str, str]:
                                      FROM s), 6) AS weight
           FROM s ORDER BY domain
         """,
+        # budget plan: targets are exact integral (scaled*B) // total
+        # (HUGEINT product in DuckDB, decimal(38,0) in the engine);
+        # epochs/rate one rounded division each
+        "budget_plan_lang": """
+          WITH s AS (
+            SELECT lang AS domain, CAST(sum(n_chars) AS BIGINT) AS size
+            FROM documents GROUP BY lang),
+          sc AS (
+            SELECT domain, size,
+                   CAST(floor(sqrt(size) * 1000000) AS BIGINT) AS sv
+            FROM s),
+          t AS (SELECT CAST(sum(sv) AS BIGINT) AS tot FROM sc),
+          p AS (
+            SELECT domain, size,
+                   round(sv::DOUBLE / tot, 6) AS weight,
+                   CAST((sv::HUGEINT * 1000000) // tot AS BIGINT)
+                     AS target_tokens
+            FROM sc, t),
+          e AS (
+            SELECT domain, size, weight, target_tokens,
+                   round(target_tokens::DOUBLE / size, 6) AS epochs
+            FROM p)
+          SELECT domain, size, weight, target_tokens, epochs,
+                 least(1.0, epochs) AS rate
+          FROM e ORDER BY domain
+        """,
         # packing: plain global window cumsum (fine at oracle scale) vs
         # the engine's two-pass bucket prefix sum; every output cast
         # to BIGINT (DuckDB window sum(BIGINT) renders HUGEINT)
@@ -4118,6 +4170,37 @@ def oracle_sql() -> dict[str, str]:
                    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
                    AND n_stop_hits >= 3 AS keep
           FROM m ORDER BY doc_id
+        """,
+        # LM familiarity: sum_c is an exact integer sum of model
+        # counts (cast — DuckDB sum(BIGINT) renders HUGEINT), the
+        # score one rounded division by the exact n*T product
+        "ngram_familiarity_3": """
+          WITH grams AS (
+            SELECT doc_id, lang, substr(text, CAST(r.i AS INT), 3) AS g
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) r
+            WHERE length(text) >= 3),
+          model AS (
+            SELECT lang, g, count(*) AS c FROM grams GROUP BY lang, g),
+          tot AS (
+            SELECT lang, CAST(sum(c) AS BIGINT) AS t
+            FROM model GROUP BY lang),
+          doc AS (
+            SELECT gr.doc_id, gr.lang,
+                   count(*) AS n_grams,
+                   CAST(sum(m.c) AS BIGINT) AS sum_c
+            FROM grams gr JOIN model m USING (lang, g)
+            GROUP BY gr.doc_id, gr.lang)
+          SELECT d.doc_id, d.lang,
+                 CAST(coalesce(x.n_grams, 0) AS BIGINT) AS n_grams,
+                 CAST(coalesce(x.sum_c, 0) AS BIGINT) AS sum_c,
+                 CASE WHEN coalesce(x.n_grams, 0) > 0
+                      THEN round(x.sum_c::DOUBLE / (x.n_grams * t.t), 6)
+                      ELSE 0.0 END AS familiarity
+          FROM documents d
+          LEFT JOIN doc x USING (doc_id, lang)
+          LEFT JOIN tot t ON d.lang = t.lang
+          ORDER BY d.doc_id
         """,
         # Bloom sketch: positions from the md5 60-bit bridge mod m —
         # the oracle reproduces every set bit, so the false-positive

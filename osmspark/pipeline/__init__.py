@@ -1,2 +1,2 @@
-from . import (ann, dedup, lines, membership, multimodal, quality,
-               repetition, textstats)
+from . import (ann, dedup, lines, lm, membership, multimodal,
+               quality, repetition, textstats)

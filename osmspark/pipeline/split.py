@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["hash_split", "mixture_weights", "sample_by_rate",
-           "split_column", "stratified_sample"]
+           "sample_to_budget", "split_column", "stratified_sample"]
 
 _BUCKETS = 10_000
 
@@ -135,15 +135,63 @@ def mixture_weights(df: DataFrame, group_col: str = "source",
     """
     counts = df.groupBy(F.col(group_col).alias("domain")) \
                .agg(F.count(F.lit(1)).alias("n_docs"))
-    if alpha == 1.0:
-        powered = F.col("n_docs").cast("double")
-    elif alpha == 0.5:
-        powered = F.sqrt(F.col("n_docs"))
-    else:
-        powered = F.pow(F.col("n_docs"), F.lit(float(alpha)))
     scaled = counts.withColumn(
-        "_s", F.floor(powered * F.lit(scale)).cast("long"))
+        "_s", F.floor(_powered(F.col("n_docs"), alpha) * F.lit(scale))
+        .cast("long"))
     tot = scaled.agg(F.sum("_s").alias("_tot"))
     return (scaled.crossJoin(F.broadcast(tot))
             .select("domain", "n_docs",
                     F.round(F.col("_s") / F.col("_tot"), 6).alias("weight")))
+
+
+def _powered(n, alpha: float):
+    """n^α with the engine-portable special cases: α=1 identity, α=0.5
+    IEEE-correctly-rounded sqrt; other α via libm pow (best-effort for
+    cross-engine hashes)."""
+    if alpha == 1.0:
+        return n.cast("double")
+    if alpha == 0.5:
+        return F.sqrt(n)
+    return F.pow(n, F.lit(float(alpha)))
+
+
+def sample_to_budget(df: DataFrame, budget_tokens: int,
+                     group_col: str = "source",
+                     token_col: str | None = None, alpha: float = 0.5,
+                     scale: int = 1_000_000) -> DataFrame:
+    """Per-domain sampling PLAN to hit a token budget under
+    α-temperature mixture weights — the recipe table every published
+    data mix ships (tokens drawn per source and the implied epoch
+    count, up- or down-sampling): target_d = floor(w_d · B) with
+    w_d = s_d^α / Σ s_j^α over domain sizes s (token sums when
+    ``token_col`` is given, doc counts otherwise).
+
+    Exactness: target tokens are computed as the EXACT integer
+    ``(scaled_d · B) div total_scaled`` — the product runs in
+    decimal(38,0) (int64 would wrap at ~10^13-token domains × 10^6
+    scaling), the division is integral, so targets are engine-portable;
+    ``epochs = target / size`` and ``rate = min(1, epochs)`` are each
+    one rounded float division. Same single-census + broadcast-total
+    shape as :func:`mixture_weights`.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    size = (F.sum(F.col(token_col).cast("long")) if token_col
+            else F.count(F.lit(1)))
+    sizes = df.groupBy(F.col(group_col).alias("domain")) \
+              .agg(size.alias("size"))
+    scaled = sizes.withColumn(
+        "_s", F.floor(_powered(F.col("size"), alpha) * F.lit(scale))
+        .cast("long"))
+    tot = scaled.agg(F.sum("_s").alias("_tot"))
+    target = F.expr(
+        f"CAST((CAST(_s AS DECIMAL(38,0)) * CAST({int(budget_tokens)} "
+        f"AS DECIMAL(38,0))) DIV CAST(_tot AS DECIMAL(38,0)) AS BIGINT)")
+    return (scaled.crossJoin(F.broadcast(tot))
+            .withColumn("weight", F.round(F.col("_s") / F.col("_tot"), 6))
+            .withColumn("target_tokens", target)
+            .withColumn("epochs",
+                        F.round(F.col("target_tokens") / F.col("size"), 6))
+            .withColumn("rate", F.least(F.lit(1.0), F.col("epochs")))
+            .select("domain", "size", "weight", "target_tokens",
+                    "epochs", "rate"))

@@ -145,3 +145,39 @@ def test_mixture_weights_alpha_half(spark):
     assert nat["big"] == 0.9 and nat["small"] == 0.01
     # flattening: sqrt weights strictly lift the small domain
     assert out["small"].weight > nat["small"]
+
+
+def test_sample_to_budget_exact_plan(spark):
+    """Budget plan: targets match the exact integer recomputation,
+    floor property bounds the total draw, epochs/rate expose up- vs
+    down-sampling, budget 0 zeroes the plan."""
+    import math
+
+    from osmspark.pipeline.split import sample_to_budget
+    rows = [(i, "big", 100) for i in range(90)] + \
+           [(i + 100, "mid", 100) for i in range(9)] + \
+           [(200, "small", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string,"
+                                     " n_tokens long")
+    B = 5_000
+    out = {r.domain: r for r in
+           sample_to_budget(df, B, token_col="n_tokens").collect()}
+    sizes = {"big": 9000, "mid": 900, "small": 100}
+    sv = {g: math.floor(math.sqrt(s) * 1_000_000)
+          for g, s in sizes.items()}
+    tot = sum(sv.values())
+    for g, s in sizes.items():
+        tgt = (sv[g] * B) // tot
+        assert out[g].size == s
+        assert out[g].target_tokens == tgt
+        assert out[g].epochs == round(tgt / s, 6)
+        assert out[g].rate == min(1.0, out[g].epochs)
+    drawn = sum(r.target_tokens for r in out.values())
+    assert B - len(sizes) < drawn <= B
+    # sqrt flattening at a small budget: the big domain downsamples
+    # (epochs < 1) while the tiny one upsamples (epochs > 1, rate
+    # clamped to 1.0)
+    assert out["big"].epochs < 1.0 and out["big"].rate < 1.0
+    assert out["small"].epochs > 1.0 and out["small"].rate == 1.0
+    zero = sample_to_budget(df, 0, token_col="n_tokens").collect()
+    assert all(r.target_tokens == 0 for r in zero)
