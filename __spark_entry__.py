@@ -1686,6 +1686,23 @@ def _q_morans_i(spark, sf_dir):
     return morans_i(cells)
 
 
+def _q_gi_star(spark, sf_dir):
+    """Getis-Ord Gi* hot-spot z-scores
+    (osmspark/spatial/autocorr.py:getis_ord_gi_star) over the same
+    0.5° cell counts as morans_i_halfdeg, queen 3×3 neighborhood with
+    self. Every float input is an exact N-scaled integer (A = N·L−S·W,
+    B = N·Q−S², C = N·W−W²) so the oracle's brute-force Chebyshev
+    cross join reproduces the identical IEEE division/sqrt tail; the
+    engine derives neighbors by the exploded 9-offset equi-join."""
+    from osmspark.spatial.autocorr import getis_ord_gi_star
+    pts = _event_points(spark, sf_dir)
+    cells = (pts.groupBy(
+        F.floor(F.col("lon") / 0.5).cast("long").alias("cell_x"),
+        F.floor(F.col("lat") / 0.5).cast("long").alias("cell_y"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    return getis_ord_gi_star(cells).orderBy("cell_x", "cell_y")
+
+
 def _q_dwithin_meters(spark, sf_dir):
     """Geodesic ST_DWithin self-join, 30 km haversine radius
     (osmspark/spatial/dwithin.py:dwithin_meters_join — lat-banded bucket
@@ -2690,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # come FIRST (the r4 driver checked only the first 50 dict
         # entries), followed by the three queries whose oracles were
         # red in r4 (now cast to BIGINT), then earlier-round greens.
+        "gi_star_hotspots": _q_gi_star,
         "gopher_quality": _q_gopher_quality,
         "ngram_familiarity_3": _q_ngram_familiarity,
         "bloom_probe_lang": _q_bloom_probe,
@@ -3835,6 +3853,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Moran's I: brute-force |dcx|+|dcy|=1 adjacency cross join;
         # hugeint sums cast to BIGINT (exact at this scale)
+        # Gi* hot spots: brute Chebyshev-<=1 self-join vs the engine's
+        # exploded 9-offset equi-join; hugeint A/B/C integers feed the
+        # identical IEEE division/sqrt tail
+        "gi_star_hotspots": """
+          WITH pts AS (""" + _EVENT_POINTS_SQL + """),
+          cells AS (
+            SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+                   CAST(floor(lat / 0.5) AS BIGINT) AS cy,
+                   count(*) AS x
+            FROM pts GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS q
+                  FROM cells),
+          nbr AS (
+            SELECT a.cx, a.cy, count(*) AS w_i, sum(b.x) AS l_sum
+            FROM cells a JOIN cells b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+            GROUP BY 1, 2),
+          calc AS (
+            SELECT c.cx, c.cy, c.x, nbr.w_i, nbr.l_sum,
+                   (n * nbr.l_sum - s * nbr.w_i) AS a_num,
+                   (n * q - s * s) AS b_d,
+                   (n * nbr.w_i - nbr.w_i * nbr.w_i) AS c_i, n
+            FROM cells c JOIN nbr ON c.cx = nbr.cx AND c.cy = nbr.cy,
+                 tot)
+          SELECT cx AS cell_x, cy AS cell_y, CAST(x AS BIGINT) AS x,
+                 CAST(w_i AS BIGINT) AS w_i,
+                 CAST(l_sum AS BIGINT) AS l_sum,
+                 CAST(a_num AS BIGINT) AS a_num,
+                 CASE WHEN n > 1 AND c_i > 0 AND b_d > 0 THEN
+                   round(CAST(a_num AS DOUBLE)
+                         / (sqrt(CAST(b_d AS DOUBLE))
+                            * sqrt(CAST(c_i AS DOUBLE)
+                                   / CAST(n - 1 AS DOUBLE))), 9)
+                 END AS gi_z
+          FROM calc ORDER BY cell_x, cell_y
+        """,
         "morans_i_halfdeg": """
           WITH pts AS (""" + _EVENT_POINTS_SQL + """),
           cells AS (

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["morans_i"]
+__all__ = ["morans_i", "getis_ord_gi_star"]
 
 
 def morans_i(cells: DataFrame, x_col: str = "n",
@@ -86,3 +86,82 @@ def morans_i(cells: DataFrame, x_col: str = "n",
         F.col("num_d").cast("long").alias("num"),
         F.col("den_d").cast("long").alias("den"),
         F.round(moran, 9).alias("moran_i"))
+
+
+def getis_ord_gi_star(cells: DataFrame, x_col: str = "n",
+                      cx_col: str = "cell_x", cy_col: str = "cell_y",
+                      ring: int = 1) -> DataFrame:
+    """Local hot-spot z-scores (Getis-Ord Gi*) per cell — the per-cell
+    companion to global ``morans_i``: WHERE are the hot tiles, not just
+    whether hotness clusters. Binary queen weights over the Chebyshev
+    ``ring`` (the (2r+1)² block, self included — the * variant).
+
+        Gi* = (L_i − x̄·W_i) / (s·sqrt[(N·W_i − W_i²)/(N−1)])
+
+    Exactness discipline (same as morans_i): every input to the final
+    float expression is an exact integer —
+
+        A_i = N·L_i − S·W_i          (N-scaled numerator)
+        B   = N·Q − S²               (N²·s² , Q = Σx²)
+        C_i = N·W_i − W_i²
+
+    and Gi* = A_i / (sqrt(B)·sqrt(C_i/(N−1))) — the N factors cancel.
+    Products go through decimal(38,0) so overflow surfaces as NULL
+    (never a silent int64 wrap); the float tail is division/sqrt of
+    identical exact operands on any IEEE engine, rounded to 9 dp.
+
+    Scale shape: one exploded-offset equi-join ((2r+1)² offsets — no
+    range or cross join), one per-cell combinable aggregation, and the
+    three global moments broadcast. Observed-cells-only convention as
+    in morans_i: absent tiles are not zero observations.
+
+    NULL z when N = 1 or C_i = 0 (the neighborhood covers every
+    observed cell — variance of the permutation distribution is 0).
+    """
+    base = cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(x_col).cast("long").alias("x"))
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)")
+              * F.col("x").cast("decimal(38,0)")).alias("q_d"))
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)])
+    # origin cell scatters to every neighborhood slot it can observe
+    # from; joining on the slot == "which observed cells does origin
+    # see" because the offset grid is symmetric.
+    left = (base.select(F.col("cx").alias("ox"), F.col("cy").alias("oy"),
+                        F.explode(offs).alias("o"))
+            .select("ox", "oy",
+                    (F.col("ox") + F.col("o.dx")).alias("cx"),
+                    (F.col("oy") + F.col("o.dy")).alias("cy")))
+    nbr = (left.join(base, ["cx", "cy"], "inner")
+           .groupBy("ox", "oy")
+           .agg(F.count(F.lit(1)).alias("w_i"),
+                F.sum("x").alias("l_sum")))
+
+    joined = (base.join(nbr, (F.col("cx") == F.col("ox"))
+                        & (F.col("cy") == F.col("oy")), "inner")
+              .crossJoin(F.broadcast(tot)))
+    a_d = (F.col("n").cast("decimal(38,0)")
+           * F.col("l_sum").cast("decimal(38,0)")
+           - F.col("s").cast("decimal(38,0)")
+           * F.col("w_i").cast("decimal(38,0)"))
+    b_d = (F.col("n").cast("decimal(38,0)") * F.col("q_d")
+           - F.col("s").cast("decimal(38,0)")
+           * F.col("s").cast("decimal(38,0)"))
+    c_i = F.col("n") * F.col("w_i") - F.col("w_i") * F.col("w_i")
+    z = F.when(
+        (F.col("n") > 1) & (c_i > 0) & (b_d > 0),
+        a_d.cast("double")
+        / (F.sqrt(b_d.cast("double"))
+           * F.sqrt(c_i.cast("double")
+                    / (F.col("n") - F.lit(1)).cast("double"))))
+    return (joined.select(
+        F.col("cx").alias("cell_x"), F.col("cy").alias("cell_y"),
+        F.col("x"), F.col("w_i"), F.col("l_sum"),
+        a_d.cast("long").alias("a_num"),
+        F.round(z, 9).alias("gi_z")))

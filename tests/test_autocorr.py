@@ -62,3 +62,78 @@ def test_no_adjacency_null(spark):
     r = _run(spark, cells)
     assert r["w_pairs"] == 0
     assert r["moran_i"] is None
+
+
+# ---- Getis-Ord Gi* ----------------------------------------------------
+
+from osmspark.spatial.autocorr import getis_ord_gi_star  # noqa: E402
+
+
+def _gi_np(cells, ring=1):
+    xs = np.array([c[2] for c in cells], dtype=float)
+    n = len(cells)
+    xbar = xs.mean()
+    s = np.sqrt((xs ** 2).mean() - xbar ** 2)
+    pos = {(c[0], c[1]): i for i, c in enumerate(cells)}
+    out = {}
+    for (cx, cy), i in pos.items():
+        nb = [pos[(cx + dx, cy + dy)]
+              for dx in range(-ring, ring + 1)
+              for dy in range(-ring, ring + 1)
+              if (cx + dx, cy + dy) in pos]
+        w = len(nb)
+        l_sum = xs[nb].sum()
+        denom = s * np.sqrt((n * w - w * w) / (n - 1))
+        out[(cx, cy)] = (l_sum - xbar * w) / denom if denom > 0 else None
+    return out
+
+
+def _run_gi(spark, cells, ring=1):
+    df = spark.createDataFrame(cells, "cell_x long, cell_y long, n long")
+    return {(r["cell_x"], r["cell_y"]): r
+            for r in getis_ord_gi_star(df, ring=ring).collect()}
+
+
+def test_gi_star_matches_numpy_reference(spark):
+    cells = [(x, y, (x * 7 + y * 13) % 23 + 1)
+             for x in range(5) for y in range(4)]
+    got = _run_gi(spark, cells)
+    ref = _gi_np(cells)
+    assert set(got) == set(ref)
+    for k, r in got.items():
+        assert abs(r["gi_z"] - ref[k]) < 1e-8
+
+
+def test_gi_star_hot_cluster_is_positive(spark):
+    # a 2x2 hot block in a cold 6x6 field: block cells z >> 0,
+    # far-corner cells z < 0
+    cells = [(x, y, 100 if (x in (2, 3) and y in (2, 3)) else 1)
+             for x in range(6) for y in range(6)]
+    got = _run_gi(spark, cells)
+    assert got[(2, 2)]["gi_z"] > 2.0
+    assert got[(0, 0)]["gi_z"] < 0.0
+    # self-inclusive queen 3x3: interior cells observe 9 neighbors
+    assert got[(2, 2)]["w_i"] == 9
+    assert got[(0, 0)]["w_i"] == 4       # corner
+
+
+def test_gi_star_degenerate_null(spark):
+    # neighborhood covers ALL observed cells -> C_i = 0 -> NULL z
+    cells = [(0, 0, 1), (0, 1, 5), (1, 0, 9), (1, 1, 2)]
+    got = _run_gi(spark, cells)
+    assert all(r["gi_z"] is None for r in got.values())
+    # constant field -> B = 0 -> NULL even with proper neighborhoods
+    flat = [(x, y, 7) for x in range(5) for y in range(5)]
+    gotf = _run_gi(spark, flat)
+    assert all(r["gi_z"] is None for r in gotf.values())
+
+
+def test_gi_star_plan_no_cartesian_on_cells(spark):
+    cells = [(x, y, x + y + 1) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(cells, "cell_x long, cell_y long, n long")
+    plan = getis_ord_gi_star(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the only nested-loop join allowed is the broadcast of the
+    # one-row global moments; the neighbor join must be an equi-join
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
