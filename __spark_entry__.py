@@ -2188,6 +2188,40 @@ def _q_bloom_probe(spark, sf_dir):
             .select("doc_id", "lang", "maybe_seen").orderBy("doc_id"))
 
 
+_CMS_PROBE_WORDS = ["scan", "join", "window", "the", "spark", "zzznever"]
+
+
+def _q_cms_token_freq(spark, sf_dir):
+    """Count-min frequency sketch (osmspark/pipeline/frequency.py):
+    per-lang depth=4 × width=512 counter sketch over whitespace tokens,
+    point-queried for a fixed probe list (incl. one absent token whose
+    estimate is pure collision mass). Everything is int64 — registers
+    AND estimates reproduce hash-exact in the oracle — and
+    ``est >= true_n`` is the CMS guarantee, carried as a column. Sketch
+    state is 2048 counters/lang regardless of corpus size; probes
+    never touch the raw corpus."""
+    from osmspark.pipeline.frequency import cms_build, cms_point_query
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +"))
+        .alias("tok"))
+    sk = cms_build(toks, ["lang"], "tok", depth=4, width=512)
+    words = spark.createDataFrame([(w,) for w in _CMS_PROBE_WORDS],
+                                  "token string")
+    probes = (docs.select("lang").distinct()
+              .crossJoin(F.broadcast(words)))
+    est = cms_point_query(probes, sk, "token", ["lang"],
+                          depth=4, width=512)
+    true = (toks.groupBy("lang", F.col("tok").alias("token"))
+            .agg(F.count(F.lit(1)).alias("true_n")))
+    return (est.join(true, ["lang", "token"], "left")
+            .select("lang", "token", "est",
+                    F.coalesce(F.col("true_n"), F.lit(0)).cast("long")
+                    .alias("true_n"))
+            .orderBy("lang", "token"))
+
+
 def _q_ngram_familiarity(spark, sf_dir):
     """KenLM-free LM familiarity scoring (osmspark/pipeline/lm.py):
     each doc scored against its own lang's char-trigram unigram model —
@@ -2708,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries), followed by the three queries whose oracles were
         # red in r4 (now cast to BIGINT), then earlier-round greens.
         "gi_star_hotspots": _q_gi_star,
+        "cms_token_freq": _q_cms_token_freq,
         "gopher_quality": _q_gopher_quality,
         "ngram_familiarity_3": _q_ngram_familiarity,
         "bloom_probe_lang": _q_bloom_probe,
@@ -4259,6 +4294,46 @@ def oracle_sql() -> dict[str, str]:
         # Bloom sketch: positions from the md5 60-bit bridge mod m —
         # the oracle reproduces every set bit, so the false-positive
         # set itself is deterministic and hash-checked
+        # count-min sketch: rebuild every (lang, r, j) counter from the
+        # identical salted-md5 bridge, min the probe's 4 counters —
+        # pure int64 on both engines, incl. the absent-token probe
+        "cms_token_freq": """
+          WITH toks AS (
+            SELECT lang,
+                   unnest(string_split_regex(trim(lower(text)), ' +'))
+                     AS tok
+            FROM documents),
+          pos AS (
+            SELECT lang, s.i AS r,
+                   ('0x' || substr(md5(tok || ':cms1:'
+                                       || CAST(s.i AS VARCHAR)), 1, 15))
+                     ::BIGINT % 512 AS j
+            FROM toks, (VALUES (0), (1), (2), (3)) AS s(i)),
+          regs AS (SELECT lang, r, j, count(*) AS c
+                   FROM pos GROUP BY 1, 2, 3),
+          langs AS (SELECT DISTINCT lang FROM documents),
+          words(token) AS (VALUES ('scan'), ('join'), ('window'),
+                                  ('the'), ('spark'), ('zzznever')),
+          probe AS (
+            SELECT lang, token, s.i AS r,
+                   ('0x' || substr(md5(token || ':cms1:'
+                                       || CAST(s.i AS VARCHAR)), 1, 15))
+                     ::BIGINT % 512 AS j
+            FROM langs, words, (VALUES (0), (1), (2), (3)) AS s(i)),
+          est AS (
+            SELECT p.lang, p.token,
+                   CAST(min(coalesce(rg.c, 0)) AS BIGINT) AS est
+            FROM probe p LEFT JOIN regs rg
+              ON p.lang = rg.lang AND p.r = rg.r AND p.j = rg.j
+            GROUP BY 1, 2),
+          cnt AS (SELECT lang, tok AS token, count(*) AS n
+                  FROM toks GROUP BY 1, 2)
+          SELECT e.lang, e.token, e.est,
+                 CAST(coalesce(c.n, 0) AS BIGINT) AS true_n
+          FROM est e LEFT JOIN cnt c
+            ON e.lang = c.lang AND e.token = c.token
+          ORDER BY e.lang, e.token
+        """,
         "bloom_probe_lang": """
           WITH pos AS (
             SELECT lang,
