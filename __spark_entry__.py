@@ -2735,8 +2735,98 @@ def _q_session_stats(spark, sf_dir):
             .orderBy("user_id", "session_seq"))
 
 
+# --- r5: geofencing / interpolation / map algebra / semantic dedup ----------
+
+_FENCES = [
+    {"fence_id": 1, "min_lat": -60.25, "max_lat": -45.25,
+     "min_lon": -150.25, "max_lon": -50.25},
+    {"fence_id": 2, "min_lat": -50.45, "max_lat": -35.45,
+     "min_lon": -100.35, "max_lon": 49.65},
+    {"fence_id": 3, "min_lat": -45.35, "max_lat": -30.35,
+     "min_lon": -0.45, "max_lon": 149.55},
+    {"fence_id": 4, "min_lat": -40.15, "max_lat": -39.15,
+     "min_lon": -150.25, "max_lon": 149.75},
+]
+
+
+def _q_geofence(spark, sf_dir):
+    """Geofence enter/exit transitions (osmspark/spatial/geofence.py):
+    per-device membership set-diff over the synthetic user walks, four
+    overlapping bbox fences. The engine computes per-point
+    containing-fence ARRAYS and diffs consecutive arrays (one window,
+    one explode); the oracle lags a per-(trip, fence) boolean — two
+    formulations, identical transition set. Fence bounds sit at .x5
+    offsets so no lattice point (integer + 0.1·j jitter) ever lands on
+    a boundary at double precision."""
+    from osmspark.spatial.geofence import geofence_transitions
+    pts = _trip_points(spark, sf_dir, 30)
+    return (geofence_transitions(pts, _FENCES, trip_col="trip_id",
+                                 ts_col="ts_us", id_col="id")
+            .orderBy("trip", "ts", "pid", "fence_id", "kind"))
+
+
+def _q_idw_grid(spark, sf_dir):
+    """IDW grid interpolation (osmspark/spatial/interp.py:idw_grid):
+    event points scatter to their 3×3 half-degree neighborhood, the
+    power-2 kernel is the exact integer 10^15 DIV (1 + d²) on 1e-6°
+    fixed-point distances, and the estimate is ONE double division of
+    two decimal(38,0)-exact sums — hash-identical to DuckDB's hugeint
+    recomputation. Sample value = event_id % 1000 (integral per the
+    idw_grid contract)."""
+    from osmspark.spatial.interp import idw_grid
+    pts = _event_points(spark, sf_dir)
+    samples = pts.select(
+        "lat", "lon", (F.col("id") % 1000).cast("long").alias("value_int"))
+    return idw_grid(samples, cell_deg=0.5).orderBy("cell_x", "cell_y")
+
+
+def _q_raster_algebra(spark, sf_dir):
+    """Cell-wise raster change detection (osmspark/spatial/
+    mapalgebra.py:raster_algebra): even-id vs odd-id event points each
+    rasterized at zoom 5, combined by a full-outer tile-key join with
+    zero-fill — diff exact int64, ratio / normalized difference a
+    single IEEE division of exact integers (NULL on zero denominators
+    in both engines)."""
+    from osmspark.spatial.mapalgebra import raster_algebra
+    from osmspark.spatial.tiles import raster_tile_counts
+    pts = _event_points(spark, sf_dir)
+    a = raster_tile_counts(pts.filter(F.col("id") % 2 == 0), 5)
+    b = raster_tile_counts(pts.filter(F.col("id") % 2 == 1), 5)
+    return raster_algebra(a, b).orderBy("tile_x", "tile_y")
+
+
+def _q_semdedup_pairs(spark, sf_dir):
+    """SemDeDup within-cluster near-dup pairs (osmspark/pipeline/
+    semdedup.py, Abbas et al. 2023): candidate pairs never leave their
+    embedding cluster (equi-join on the label — one co-partitioned
+    shuffle, no cross join); cosine reuses the zip_with/aggregate
+    expressions proven hash-exact against DuckDB's
+    list_cosine_similarity in neardup_cosine."""
+    from osmspark.pipeline.semdedup import semdedup_pairs
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    return semdedup_pairs(emb, 0.25).orderBy("a", "b")
+
+
+def _q_semdedup_keep(spark, sf_dir):
+    """SemDeDup greedy min-id survivor selection: keep=false iff a
+    smaller-id cluster-mate is within cosine 0.25. One anti-join on the
+    vec id after the within-cluster pair stage; the oracle's NOT EXISTS
+    is the independent formulation."""
+    from osmspark.pipeline.semdedup import semdedup_keep
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    return semdedup_keep(emb, 0.25).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # r5 additions (never driver-validated) first.
+        "geofence_transitions": _q_geofence,
+        "idw_grid_halfdeg": _q_idw_grid,
+        "raster_algebra_z5": _q_raster_algebra,
+        "semdedup_pairs_025": _q_semdedup_pairs,
+        "semdedup_keep_025": _q_semdedup_keep,
         # Ordered so that entries the driver gate has never validated
         # come FIRST (the r4 driver checked only the first 50 dict
         # entries), followed by the three queries whose oracles were
@@ -2946,7 +3036,114 @@ def _nearest_segment_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     tok = "string_split_regex(trim(text), ' +')"
+    fences_sql = ", ".join(
+        f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
+        f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # Engine diffs per-point containing-fence arrays; oracle lags a
+        # per-(trip, fence) boolean — independent formulations.
+        "geofence_transitions": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=30) + """),
+          fences(fence_id, min_lat, max_lat, min_lon, max_lon) AS (
+            VALUES """ + fences_sql + """),
+          memb AS (
+            SELECT p.trip, p.ts, p.pid, f.fence_id,
+                   (p.lat >= f.min_lat AND p.lat <= f.max_lat
+                    AND p.lon >= f.min_lon AND p.lon <= f.max_lon) AS inside
+            FROM pts p CROSS JOIN fences f),
+          lagged AS (
+            SELECT trip, ts, pid, fence_id, inside,
+                   coalesce(lag(inside) OVER (
+                     PARTITION BY trip, fence_id ORDER BY ts, pid),
+                     FALSE) AS prev
+            FROM memb)
+          SELECT trip, ts, pid, CAST(fence_id AS BIGINT) AS fence_id,
+                 CASE WHEN inside THEN 'enter' ELSE 'exit' END AS kind
+          FROM lagged WHERE inside <> prev
+          ORDER BY trip, ts, pid, fence_id, kind
+        """,
+        # Same fixed-point scatter/gather: hugeint-exact sums mirror the
+        # engine's decimal(38,0); one final double division each side.
+        "idw_grid_halfdeg": f"""
+          WITH pts AS ({_EVENT_POINTS_SQL}),
+          s AS (
+            SELECT CAST(round(lat * 1e6) AS BIGINT) AS y_e6,
+                   CAST(round(lon * 1e6) AS BIGINT) AS x_e6,
+                   id % 1000 AS v
+            FROM pts),
+          q AS (
+            SELECT *, CAST(floor(y_e6 / 500000) AS BIGINT) AS sy,
+                      CAST(floor(x_e6 / 500000) AS BIGINT) AS sx
+            FROM s),
+          o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                               (1,-1),(1,0),(1,1)),
+          scat AS (
+            SELECT q.x_e6, q.y_e6, q.v,
+                   q.sx + o.dx AS cell_x, q.sy + o.dy AS cell_y
+            FROM q CROSS JOIN o),
+          d AS (
+            SELECT cell_x, cell_y, v,
+                   (x_e6 - (cell_x * 500000 + 250000))
+                     * (x_e6 - (cell_x * 500000 + 250000))
+                   + (y_e6 - (cell_y * 500000 + 250000))
+                     * (y_e6 - (cell_y * 500000 + 250000)) AS d2
+            FROM scat),
+          w AS (
+            SELECT cell_x, cell_y, v,
+                   CAST(1000000000000000 AS BIGINT) // (1 + d2) AS w
+            FROM d)
+          SELECT cell_x, cell_y, count(*) AS n_samples,
+                 CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS idw
+          FROM w GROUP BY 1, 2 ORDER BY cell_x, cell_y
+        """,
+        "raster_algebra_z5": f"""
+          WITH pts AS ({_EVENT_POINTS_SQL}),
+          clamped AS (SELECT id,
+                             greatest(-85.05112878, least(85.05112878, lat)) AS lat,
+                             lon
+                      FROM pts),
+          t AS (
+            SELECT id,
+                   greatest(0, least(31, floor((lon + 180.0) / 360.0 * 32.0)::BIGINT)) AS tile_x,
+                   greatest(0, least(31, floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32.0)::BIGINT)) AS tile_y
+            FROM clamped),
+          a AS (SELECT tile_x, tile_y, count(*) AS n_a FROM t
+                WHERE id % 2 = 0 GROUP BY 1, 2),
+          b AS (SELECT tile_x, tile_y, count(*) AS n_b FROM t
+                WHERE id % 2 = 1 GROUP BY 1, 2),
+          j AS (
+            SELECT coalesce(a.tile_x, b.tile_x) AS tile_x,
+                   coalesce(a.tile_y, b.tile_y) AS tile_y,
+                   coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+            FROM a FULL OUTER JOIN b
+              ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y)
+          SELECT 5 AS zoom, tile_x, tile_y,
+                 CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                 CAST(n_a - n_b AS BIGINT) AS diff,
+                 CASE WHEN n_b <> 0
+                      THEN CAST(n_a AS DOUBLE) / CAST(n_b AS DOUBLE) END AS ratio,
+                 CASE WHEN n_a + n_b <> 0
+                      THEN CAST(n_a - n_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE) END AS ndiff
+          FROM j ORDER BY tile_x, tile_y
+        """,
+        "semdedup_pairs_025": """
+          SELECT e1.label AS cluster, e1.vec_id AS a, e2.vec_id AS b,
+                 round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS cosine
+          FROM embeddings e1 JOIN embeddings e2
+            ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+          WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.25
+          ORDER BY a, b
+        """,
+        "semdedup_keep_025": """
+          SELECT e.vec_id, e.label AS cluster,
+                 NOT EXISTS (
+                   SELECT 1 FROM embeddings e2
+                   WHERE e2.label = e.label AND e2.vec_id < e.vec_id
+                     AND round(list_cosine_similarity(e2.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) >= 0.25
+                 ) AS keep
+          FROM embeddings e ORDER BY vec_id
+        """,
         "quarantine_counts": """
           SELECT * FROM (VALUES
             ('https://fixture.test/doc/0', -1, 'decoded', 6),

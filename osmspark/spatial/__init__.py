@@ -28,6 +28,9 @@ from .layout import (
 from .pip import pip_join, pip_join_bbox, polygon_cover_cells, ray_cast_contains
 from .dwithin import dwithin_join, dwithin_meters_join
 from .staypoints import detect_staypoints
+from .geofence import geofence_transitions
+from .interp import idw_grid
+from .mapalgebra import raster_algebra
 from .intersect import segment_intersect_join
 from .mapmatch import explode_segments, nearest_segment_join
 from .polygon import polygon_metrics
