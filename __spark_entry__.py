@@ -2819,9 +2819,47 @@ def _q_semdedup_keep(spark, sf_dir):
     return semdedup_keep(emb, 0.25).orderBy("vec_id")
 
 
+def _q_closeness(spark, sf_dir):
+    """Closeness centrality from sampled roots (osmspark/graph/
+    centrality.py): multi-source BFS carries (root, node) state through
+    the bfs.py frontier discipline — ALL roots expand simultaneously,
+    rounds = max eccentricity, state O(|roots|·reach) (sampling roots
+    is the standard pivot-closeness scale lever). n_reached/sum_dist
+    are exact int64; closeness is ONE division of exact integers.
+    Oracle: a DuckDB recursive CTE over (root, node, dist) states,
+    bound derived from |V| = 101, min per pair, grouped per root."""
+    from osmspark.graph import closeness_centrality
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.col("doc_id") % 101
+    d = (F.col("doc_id") * 31 + 7) % 101
+    edges = (docs.select(s.alias("src"), d.alias("dst"))
+             .filter((s % 10 != 0) & (s != d)).distinct())
+    roots = (edges.select(F.col("src").alias("root"))
+             .filter(F.col("root") % 7 == 1).distinct())
+    return closeness_centrality(edges, roots).orderBy("root")
+
+
+def _q_ripleys_k(spark, sf_dir):
+    """Ripley's K point-pattern ladder (osmspark/spatial/ripley.py):
+    one lat-banded ST_DWithin bucket join at the envelope radius, every
+    smaller radius a combinable conditional count over the same pair
+    set. The ORACLE is the brute-force all-pairs haversine count — no
+    bucketing — so a match re-proves the banded cover's completeness at
+    1000 km (the dwithin_m_30km strategy). Ordered-pair counts exact
+    int64; K-hat one float multiply-divide over exact integers with
+    the earth surface area as the (uncorrected) study window."""
+    from osmspark.spatial.ripley import ripleys_k
+    pts = _event_points(spark, sf_dir).filter(F.col("id") % 13 == 0)
+    return (ripleys_k(pts, [200000.0, 500000.0, 1000000.0],
+                      area_m2=5.1e14)
+            .orderBy("r_m"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "closeness_sample7": _q_closeness,
+        "ripleys_k_events": _q_ripleys_k,
         "geofence_transitions": _q_geofence,
         "idw_grid_halfdeg": _q_idw_grid,
         "raster_algebra_z5": _q_raster_algebra,
@@ -3040,6 +3078,66 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # multi-root BFS: recursive (root, node, dist) states, |V|-derived
+        # bound, min per pair; closeness = one division of exact ints
+        "closeness_sample7": """
+          WITH RECURSIVE e0 AS (
+            SELECT DISTINCT doc_id % 101 AS src,
+                            (doc_id * 31 + 7) % 101 AS dst
+            FROM documents
+            WHERE (doc_id % 101) % 10 != 0
+              AND doc_id % 101 != (doc_id * 31 + 7) % 101),
+          e AS (SELECT src AS u, dst AS v FROM e0
+                UNION SELECT dst, src FROM e0),
+          roots AS (SELECT DISTINCT src AS root FROM e0 WHERE src % 7 = 1),
+          bfs AS (
+            SELECT root, root AS node, 0 AS dist FROM roots
+            UNION
+            SELECT bfs.root, e.v, bfs.dist + 1
+            FROM bfs JOIN e ON e.u = bfs.node
+            WHERE bfs.dist < 101),
+          md AS (SELECT root, node, min(dist) AS dist
+                 FROM bfs GROUP BY root, node)
+          SELECT root,
+                 CAST(count(*) FILTER (WHERE dist > 0) AS BIGINT)
+                   AS n_reached,
+                 CAST(coalesce(sum(dist) FILTER (WHERE dist > 0), 0)
+                      AS BIGINT) AS sum_dist,
+                 CASE WHEN coalesce(sum(dist) FILTER (WHERE dist > 0), 0) > 0
+                      THEN CAST(count(*) FILTER (WHERE dist > 0) AS DOUBLE)
+                             / CAST(sum(dist) FILTER (WHERE dist > 0)
+                                    AS DOUBLE)
+                 END AS closeness
+          FROM md GROUP BY root ORDER BY root
+        """,
+        # brute-force all-pairs haversine — proves the banded bucket
+        # cover is complete at the 1000 km envelope
+        "ripleys_k_events": f"""
+          WITH pts AS (
+            SELECT * FROM ({_EVENT_POINTS_SQL}) WHERE id % 13 = 0),
+          nn AS (SELECT count(*) AS n FROM pts),
+          d AS (
+            SELECT round(2 * 6371008.8 * asin(sqrt(
+                     sin(radians(b.lat - a.lat) / 2)
+                       * sin(radians(b.lat - a.lat) / 2)
+                     + cos(radians(a.lat)) * cos(radians(b.lat))
+                       * sin(radians(b.lon - a.lon) / 2)
+                       * sin(radians(b.lon - a.lon) / 2))), 3) AS dist_m
+            FROM pts a JOIN pts b ON a.id < b.id),
+          rr AS (SELECT CAST(r_m AS DOUBLE) AS r_m
+                 FROM (VALUES (200000.0), (500000.0), (1000000.0))
+                   AS v(r_m)),
+          c AS (
+            SELECT rr.r_m,
+                   CAST(coalesce(sum(CASE WHEN d.dist_m <= rr.r_m
+                                          THEN 2 END), 0) AS BIGINT)
+                     AS n_pairs
+            FROM rr CROSS JOIN d GROUP BY rr.r_m)
+          SELECT c.r_m, c.n_pairs,
+                 510000000000000.0 * CAST(c.n_pairs AS DOUBLE)
+                   / CAST(nn.n * nn.n AS DOUBLE) AS k_hat
+          FROM c CROSS JOIN nn ORDER BY c.r_m
+        """,
         # Engine diffs per-point containing-fence arrays; oracle lags a
         # per-(trip, fence) boolean — independent formulations.
         "geofence_transitions": """

@@ -1,4 +1,5 @@
 from .bfs import shortest_hops
+from .centrality import closeness_centrality, multi_source_hops
 from .cc import cc_labels
 from .pagerank import pagerank_mass
 from .sssp import shortest_paths

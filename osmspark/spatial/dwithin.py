@@ -82,7 +82,8 @@ def dwithin_join(a: DataFrame, b: DataFrame, radius: float,
 
 def dwithin_meters_join(a: DataFrame, b: DataFrame, radius_m: float,
                         a_id: str = "id", b_id: str = "id",
-                        keep_self: bool = True) -> DataFrame:
+                        keep_self: bool = True,
+                        wrap: bool = False) -> DataFrame:
     """Geodesic ST_DWithin: all pairs within ``radius_m`` METERS by the
     haversine metric, as a lat-banded bucket equi-join.
 
@@ -109,7 +110,15 @@ def dwithin_meters_join(a: DataFrame, b: DataFrame, radius_m: float,
     (``hav ≤ sin²(r/2R)`` — no asin/sqrt on the hot path); ``dist_m``
     (full asin) is computed only for surviving pairs, rounded to mm.
 
-    No meridian wrap (same caveat as :func:`dwithin_join`).
+    ``wrap=False`` (default): no meridian wrap (same caveat as
+    :func:`dwithin_join`). ``wrap=True`` adds the antimeridian pairs
+    with a SECOND pass over lon rotated by 180°: a pair straddling
+    ±180 is contiguous in rotated space (and vice versa for lon ≈ 0),
+    so pass 1 keeps pairs whose raw lon difference is ≤ 180 and pass 2
+    keeps exactly the straddling rest (opposite rotated signs and
+    rotated difference < 180 ⇔ raw difference > 180) — a disjoint
+    union, each true pair found exactly once, 2× the join cost. The
+    haversine is periodic, so rotated Δλ yields the same ``dist_m``.
     """
     r = float(radius_m)
     c = 180.0 * r / (math.pi * EARTH_RADIUS_M)
@@ -124,33 +133,52 @@ def dwithin_meters_join(a: DataFrame, b: DataFrame, radius_m: float,
                            / F.cos(F.radians(mb)))
 
     offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
-    aa = (a.select(F.col(a_id).alias("a_id"),
-                   F.col("lat").alias("a_lat"), F.col("lon").alias("a_lon"))
-          .withColumn("_dy", F.explode(offs))
-          .withColumn("cy", (F.floor(F.col("a_lat") / c) + F.col("_dy"))
-                      .cast("long"))
-          .withColumn("_dx", F.explode(offs))
-          .withColumn("cx", (F.floor(F.col("a_lon") / _w(F.col("cy")))
-                             + F.col("_dx")).cast("long"))
-          .drop("_dx", "_dy"))
-    b_cy = F.floor(F.col("b_lat") / c).cast("long")
-    bb = (b.select(F.col(b_id).alias("b_id"),
-                   F.col("lat").alias("b_lat"), F.col("lon").alias("b_lon"))
-          .withColumn("cy", b_cy)
-          .withColumn("cx", F.floor(F.col("b_lon")
-                                    / _w(F.col("cy"))).cast("long")))
-    dphi = F.radians(F.col("b_lat") - F.col("a_lat")) / 2
-    dlam = F.radians(F.col("b_lon") - F.col("a_lon")) / 2
-    hav = (F.sin(dphi) * F.sin(dphi)
-           + F.cos(F.radians(F.col("a_lat")))
-           * F.cos(F.radians(F.col("b_lat")))
-           * F.sin(dlam) * F.sin(dlam))
-    out = (aa.join(bb, ["cx", "cy"], "inner")
-           .withColumn("_hav", hav)
-           .filter(F.col("_hav") <= F.lit(sin2_half))
-           .withColumn("dist_m",
-                       F.round(F.lit(2.0 * EARTH_RADIUS_M)
-                               * F.asin(F.sqrt(F.col("_hav"))), 3))
+
+    def _pairs(af: DataFrame, bf: DataFrame) -> DataFrame:
+        """One grid pass: candidate join + hav refine, lons retained."""
+        aa = (af.select(F.col(a_id).alias("a_id"),
+                        F.col("lat").alias("a_lat"),
+                        F.col("lon").alias("a_lon"))
+              .withColumn("_dy", F.explode(offs))
+              .withColumn("cy", (F.floor(F.col("a_lat") / c) + F.col("_dy"))
+                          .cast("long"))
+              .withColumn("_dx", F.explode(offs))
+              .withColumn("cx", (F.floor(F.col("a_lon") / _w(F.col("cy")))
+                                 + F.col("_dx")).cast("long"))
+              .drop("_dx", "_dy"))
+        bb = (bf.select(F.col(b_id).alias("b_id"),
+                        F.col("lat").alias("b_lat"),
+                        F.col("lon").alias("b_lon"))
+              .withColumn("cy", F.floor(F.col("b_lat") / c).cast("long"))
+              .withColumn("cx", F.floor(F.col("b_lon")
+                                        / _w(F.col("cy"))).cast("long")))
+        dphi = F.radians(F.col("b_lat") - F.col("a_lat")) / 2
+        dlam = F.radians(F.col("b_lon") - F.col("a_lon")) / 2
+        hav = (F.sin(dphi) * F.sin(dphi)
+               + F.cos(F.radians(F.col("a_lat")))
+               * F.cos(F.radians(F.col("b_lat")))
+               * F.sin(dlam) * F.sin(dlam))
+        return (aa.join(bb, ["cx", "cy"], "inner")
+                .withColumn("_hav", hav)
+                .filter(F.col("_hav") <= F.lit(sin2_half)))
+
+    if not wrap:
+        cand = _pairs(a, b)
+    else:
+        rot = F.when(F.col("lon") >= 0, F.col("lon") - 180.0) \
+               .otherwise(F.col("lon") + 180.0)
+        dlon = F.abs(F.col("a_lon") - F.col("b_lon"))
+        p1 = _pairs(a, b).filter(dlon <= 180.0)
+        # pass-2 lons are rotated; straddling-in-raw ⇔ opposite rotated
+        # signs AND rotated |Δλ| < 180 — complementary to pass 1
+        p2 = (_pairs(a.withColumn("lon", rot), b.withColumn("lon", rot))
+              .filter((dlon < 180.0)
+                      & ((F.col("a_lon") >= 0) != (F.col("b_lon") >= 0))))
+        cand = p1.unionByName(p2)
+
+    out = (cand.withColumn("dist_m",
+                           F.round(F.lit(2.0 * EARTH_RADIUS_M)
+                                   * F.asin(F.sqrt(F.col("_hav"))), 3))
            .select("a_id", "b_id", "dist_m"))
     if not keep_self:
         out = out.filter(F.col("a_id") < F.col("b_id"))
