@@ -2855,9 +2855,24 @@ def _q_ripleys_k(spark, sf_dir):
             .orderBy("r_m"))
 
 
+def _q_hausdorff(spark, sf_dir):
+    """Symmetric discrete Hausdorff trip pairs (osmspark/spatial/
+    trajsim.py): quadratic on TRIPS only — per-trip bbox rows drive a
+    bbox-gap prefilter, then point tables equi-join on surviving pair
+    keys; the h² ≤ (8°·1e6)² decision is an exact int64 compare and
+    sqrt is the single float op. The ORACLE is the brute-force
+    all-pairs recomputation with no prefilter, so a hash match proves
+    the bbox gate loses nothing."""
+    from osmspark.spatial.trajsim import hausdorff_pairs
+    pts = _trip_points(spark, sf_dir, 8)
+    return (hausdorff_pairs(pts, 8.0)
+            .orderBy("trip_a", "trip_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "hausdorff_trips_8deg": _q_hausdorff,
         "closeness_sample7": _q_closeness,
         "ripleys_k_events": _q_ripleys_k,
         "geofence_transitions": _q_geofence,
@@ -3078,6 +3093,33 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # brute-force all-pairs Hausdorff — proves the engine's bbox-gap
+        # prefilter is lossless; same int64 µdeg² tree, same final sqrt
+        "hausdorff_trips_8deg": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=8) + """),
+          q AS (
+            SELECT trip, CAST(round(lat * 1e6) AS BIGINT) AS y,
+                   CAST(round(lon * 1e6) AS BIGINT) AS x
+            FROM pts),
+          cr AS (
+            SELECT a.trip AS ta, b.trip AS tb,
+                   a.y AS ay, a.x AS ax, b.y AS "by", b.x AS bx,
+                   (a.y - b.y) * (a.y - b.y)
+                     + (a.x - b.x) * (a.x - b.x) AS d2
+            FROM q a JOIN q b ON a.trip < b.trip),
+          anc AS (
+            SELECT ta, tb, 0 AS dir, ay AS ky, ax AS kx, min(d2) AS md
+            FROM cr GROUP BY 1, 2, 3, 4, 5
+            UNION ALL
+            SELECT ta, tb, 1, "by", bx, min(d2)
+            FROM cr GROUP BY 1, 2, 3, 4, 5),
+          h AS (SELECT ta AS trip_a, tb AS trip_b, max(md) AS h2
+                FROM anc GROUP BY 1, 2)
+          SELECT trip_a, trip_b,
+                 sqrt(CAST(h2 AS DOUBLE)) * 1e-6 AS hausdorff_deg
+          FROM h WHERE h2 <= 64000000000000
+          ORDER BY trip_a, trip_b
+        """,
         # multi-root BFS: recursive (root, node, dist) states, |V|-derived
         # bound, min per pair; closeness = one division of exact ints
         "closeness_sample7": """

@@ -28,6 +28,7 @@ from .layout import (
 from .pip import pip_join, pip_join_bbox, polygon_cover_cells, ray_cast_contains
 from .dwithin import dwithin_join, dwithin_meters_join
 from .ripley import ripleys_k
+from .trajsim import hausdorff_pairs
 from .staypoints import detect_staypoints
 from .geofence import geofence_transitions
 from .interp import idw_grid
