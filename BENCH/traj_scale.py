@@ -23,6 +23,15 @@ synthetic 25M-edge host graph:
                 count near the hop diameter, so per-round driver sync
                 stays a small fraction of the relaxation work)
 - dwithin_m     geodesic 100 m self-join on a 320k-point slice
+- geofence      enter/exit transitions vs 6 literal city fences over the
+                80M-point trajectories — fence-set window + array diff
+- idw           IDW 0.02° grid over a 40M-point slice — 9× scatter +
+                one skewed-cell groupBy (map-side combine is the claim)
+
+(hausdorff_pairs is deliberately absent: its pair stage is quadratic
+per surviving trip pair by definition, and this workload's trips all
+overlap every city so the bbox gate that bounds it at planet scale
+would be defeated by construction.)
 
 Usage: python BENCH/traj_scale.py [--levels 2,8] [--reps 2]
 """
@@ -45,7 +54,19 @@ NODE_MOD = 1 << 22
 SSSP_EDGE_N = 12_000_000
 SSSP_NODE_MOD = 1 << 20
 STAGES = ["staypoints", "speed_filter", "resample", "od_matrix",
-          "pagerank", "sssp", "dwithin_m"]
+          "pagerank", "sssp", "dwithin_m", "geofence", "idw"]
+
+# inner/outer boxes around the three heaviest cities (london/paris/nyc
+# carry ~2/3 of the point mass; σ = 0.02° gaussians)
+FENCES = [
+    {"fence_id": 2 * i + k,
+     "min_lat": lat - d, "max_lat": lat + d,
+     "min_lon": lon - d, "max_lon": lon + d}
+    for i, (lat, lon) in enumerate([(51.5074, -0.1278),
+                                    (48.8566, 2.3522),
+                                    (40.7128, -74.0060)])
+    for k, d in ((0, 0.02), (1, 0.05))
+]
 
 
 def worker(n_threads: int) -> None:
@@ -62,6 +83,8 @@ def worker(n_threads: int) -> None:
     from osmspark.spatial import (detect_staypoints, dwithin_meters_join,
                                   read_points_fixedpoint)
     from osmspark.spatial.flows import od_matrix
+    from osmspark.spatial.geofence import geofence_transitions
+    from osmspark.spatial.interp import idw_grid
     from osmspark.spatial.traj import resample_trips, speed_filter
 
     spark = get_spark(app=f"traj{n_threads}", master=f"local[{n_threads}]",
@@ -108,6 +131,12 @@ def worker(n_threads: int) -> None:
                    source=1).count()
     wsl = slice_pts.limit(1000)
     dwithin_meters_join(wsl, wsl, 100.0, keep_self=False).count()
+    tiny2 = traj.filter(F.col("id") < 100_000)
+    geofence_transitions(tiny2, FENCES, trip_col="trip_id",
+                         ts_col="ts_us", id_col="id").count()
+    idw_grid(tiny2.select("lat", "lon",
+                          (F.col("id") % 1000).alias("value_int")),
+             cell_deg=0.02).count()
 
     # every stage is forced through an aggregate over COMPUTED columns:
     # a bare .count() lets Catalyst prune cardinality-preserving work
@@ -136,6 +165,17 @@ def worker(n_threads: int) -> None:
         "dwithin_m": lambda: _force(
             dwithin_meters_join(slice_pts, slice_pts, 100.0,
                                 keep_self=False), "dist_m"),
+        "geofence": lambda: _force(
+            geofence_transitions(traj, FENCES, trip_col="trip_id",
+                                 ts_col="ts_us", id_col="id"),
+            # ts stays out of the sum: 60M rows x ~8e13 µs wraps int64
+            "fence_id", F.length("kind").cast("long")),
+        "idw": lambda: _force(
+            idw_grid(traj.filter(F.col("id") < TRAJ_N // 2)
+                     .select("lat", "lon",
+                             (F.col("id") % 1000).alias("value_int")),
+                     cell_deg=0.02),
+            "idw", "n_samples"),
     }
     out = {}
     for name, fn in stages.items():

@@ -2869,9 +2869,42 @@ def _q_hausdorff(spark, sf_dir):
             .orderBy("trip_a", "trip_b"))
 
 
+def _q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (osmspark/pipeline/winnow.py, Schleimer
+    et al. 2003 — the MOSS scheme) over the documents table, k=4
+    shingles, w=5 windows: pure-SQL single-Exchange plan (posexplode +
+    3 lead windows + ROWS-frame min + count guard, all on the doc-id
+    partitioning). Selection key = 40-bit salted-md5 · 2²² + pos — a
+    total order, so the leftmost-minimum variant is deterministic and
+    the DuckDB oracle reproduces every fingerprint bit-for-bit."""
+    from osmspark.pipeline.winnow import winnow_fingerprints
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (winnow_fingerprints(docs, k=4, w=5)
+            .orderBy("doc_id", "fp_pos", "fp_hash"))
+
+
+def _q_bearing(spark, sf_dir):
+    """Per-segment forward azimuth + signed turn angle (osmspark/
+    spatial/traj.py:with_bearing) over the synthetic user walks — ONE
+    window pass on the trip key. Bearings are IEEE atan2 expressions
+    rounded to 9 dp BEFORE the turn subtraction (the resample_trips
+    discipline: cross-engine trig ulp sits ~4 orders under the
+    rounding quantum), so the oracle mirrors the expression text and
+    reproduces every value; turns normalize to (−180, 180] with the
+    +180 boundary pinned."""
+    from osmspark.spatial.traj import with_bearing
+    pts = _trip_points(spark, sf_dir, 20)
+    return (with_bearing(pts)
+            .select(F.col("trip_id").alias("user_id"), "id", "ts_us",
+                    "bearing_deg", "turn_deg")
+            .orderBy("user_id", "ts_us", "id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "bearing_turns": _q_bearing,
+        "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
         "closeness_sample7": _q_closeness,
         "ripleys_k_events": _q_ripleys_k,
@@ -3093,6 +3126,73 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # textual mirror of the bearing/turn expression trees; 9 dp
+        # rounding before the turn subtraction on both engines
+        "bearing_turns": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=20) + """),
+          seg AS (
+            SELECT trip, ts, pid, lat, lon,
+                   lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+            FROM pts WINDOW w AS (PARTITION BY trip ORDER BY ts, pid)),
+          b AS (
+            SELECT trip, ts, pid,
+                   round((degrees(atan2(
+                       sin(radians(lon) - radians(plon)) * cos(radians(lat)),
+                       cos(radians(plat)) * sin(radians(lat))
+                         - sin(radians(plat)) * cos(radians(lat))
+                           * cos(radians(lon) - radians(plon))))
+                     + 360.0) % 360.0, 9) AS bearing_deg
+            FROM seg),
+          t AS (
+            SELECT trip, ts, pid, bearing_deg,
+                   lag(bearing_deg) OVER (
+                     PARTITION BY trip ORDER BY ts, pid) AS pb
+            FROM b),
+          raw AS (
+            SELECT trip, ts, pid, bearing_deg,
+                   round((bearing_deg - pb)
+                         - 360.0 * floor(((bearing_deg - pb) + 180.0)
+                                         / 360.0), 9) AS t0deg
+            FROM t)
+          SELECT trip AS user_id, pid AS id, ts AS ts_us, bearing_deg,
+                 CASE WHEN t0deg = -180.0 THEN 180.0 ELSE t0deg END
+                   AS turn_deg
+          FROM raw ORDER BY user_id, ts_us, id
+        """,
+        # same winnowing algebra: 40-bit md5 bridge · 2^22 + pos key,
+        # ROWS-frame min, full-window guard — bit-for-bit
+        "winnow_fp_k4w5": f"""
+          WITH docs AS (
+            SELECT doc_id, {tok} AS arr FROM documents),
+          tk AS (SELECT doc_id, unnest(range(len(arr))) AS pos, arr
+                 FROM docs),
+          toks AS (SELECT doc_id, pos, arr[pos + 1] AS tok FROM tk),
+          g AS (
+            SELECT doc_id, pos,
+                   concat_ws(' ', tok, lead(tok, 1) OVER win,
+                             lead(tok, 2) OVER win,
+                             lead(tok, 3) OVER win) AS gram,
+                   lead(tok, 3) OVER win AS last
+            FROM toks
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+          keys AS (
+            SELECT doc_id, pos,
+                   ('0x' || substr(md5(gram || ':win1'), 1, 10))::BIGINT
+                     * 4194304 + pos AS key
+            FROM g WHERE last IS NOT NULL AND pos < 4194304),
+          sel AS (
+            SELECT doc_id, pos,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 4 FOLLOWING) AS fp,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM keys)
+          SELECT DISTINCT doc_id,
+                 fp // 4194304 AS fp_hash,
+                 CAST(fp % 4194304 AS BIGINT) AS fp_pos
+          FROM sel WHERE pos <= ng - 5
+          ORDER BY doc_id, fp_pos, fp_hash
+        """,
         # brute-force all-pairs Hausdorff — proves the engine's bbox-gap
         # prefilter is lossless; same int64 µdeg² tree, same final sqrt
         "hausdorff_trips_8deg": """

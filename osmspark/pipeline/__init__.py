@@ -1,2 +1,2 @@
 from . import (ann, dedup, lines, lm, membership, multimodal,
-               quality, repetition, semdedup, textstats)
+               quality, repetition, semdedup, textstats, winnow)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .geometry import EARTH_RADIUS_M
 
-__all__ = ["speed_filter", "resample_trips"]
+__all__ = ["speed_filter", "resample_trips", "with_bearing"]
 
 
 def _seg_mm(lat1, lon1, lat2, lon2) -> F.Column:
@@ -122,3 +122,49 @@ def resample_trips(points: DataFrame, step_us: int,
                      * frac).alias("lat"),
                     (F.col("lon1") + (F.col("lon2") - F.col("lon1"))
                      * frac).alias("lon")))
+
+
+def with_bearing(points: DataFrame, trip_col: str = "trip_id",
+                 ts_col: str = "ts_us", id_col: str = "id",
+                 lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Per-segment forward azimuth and turn angle — the heading
+    enrichment map matching and driving-behavior models consume.
+
+    For each point with a predecessor in its trip: ``bearing_deg`` =
+    initial great-circle bearing FROM the previous point TO this one
+    (0° = north, clockwise, [0, 360)), and ``turn_deg`` = signed
+    change versus the previous segment's bearing, normalized to
+    (−180, 180] (NULL for the first segment). ONE window pass on the
+    trip key — the speed_filter/staypoints Exchange discipline; skew
+    bounded by the longest trajectory.
+
+    Determinism: bearings are IEEE atan2 expressions ROUNDED TO 9 dp
+    before both output and the turn subtraction (the resample_trips
+    discipline — last-ulp trig differences across engines sit ~4
+    orders below the rounding quantum, so an oracle mirroring the
+    expression text reproduces every value hash-exactly). The first
+    point of each trip carries NULL bearing (no predecessor), kept —
+    not dropped — so row count matches the input.
+    """
+    w = Window.partitionBy(trip_col).orderBy(ts_col, id_col)
+    plat, plon = F.lag(lat_col).over(w), F.lag(lon_col).over(w)
+    lat1, lon1 = F.radians(plat), F.radians(plon)
+    lat2, lon2 = F.radians(F.col(lat_col)), F.radians(F.col(lon_col))
+    dlon = lon2 - lon1
+    # initial bearing: atan2(sin Δλ·cos φ2, cos φ1·sin φ2 − sin φ1·cos φ2·cos Δλ)
+    theta = F.atan2(
+        F.sin(dlon) * F.cos(lat2),
+        F.cos(lat1) * F.sin(lat2) - F.sin(lat1) * F.cos(lat2) * F.cos(dlon))
+    bearing = F.round(
+        F.pmod(F.degrees(theta) + F.lit(360.0), F.lit(360.0)), 9)
+    out = points.withColumn("bearing_deg", bearing)
+    prev_b = F.lag("bearing_deg").over(w)
+    # normalize Δbearing to (−180, 180]: d − 360·floor((d + 180)/360),
+    # computed on the ROUNDED bearings so both engines subtract
+    # identical operands
+    d = F.col("bearing_deg") - prev_b
+    turn = F.round(d - F.lit(360.0)
+                   * F.floor((d + F.lit(180.0)) / F.lit(360.0)), 9)
+    # the floor maps +180 to −180; flip that single boundary back
+    turn = F.when(turn == F.lit(-180.0), F.lit(180.0)).otherwise(turn)
+    return out.withColumn("turn_deg", turn)
