@@ -1686,6 +1686,23 @@ def _q_morans_i(spark, sf_dir):
     return morans_i(cells)
 
 
+def _q_gearys_c(spark, sf_dir):
+    """Geary's C (osmspark/spatial/autocorr.py:gearys_c) over the same
+    0.5° cell counts as morans_i_halfdeg, rook adjacency. The numerator
+    Σ w (x_i−x_j)² is an exact integer quadratic; the denominator
+    reuses the N-scaled deviation trick, so C = (N−1)·N²·num /
+    (2W·den) is one float division of identical exact operands. The
+    oracle derives adjacency by the brute-force |Δcx|+|Δcy| = 1 cross
+    join vs the engine's exploded 4-offset equi-join."""
+    from osmspark.spatial.autocorr import gearys_c
+    pts = _event_points(spark, sf_dir)
+    cells = (pts.groupBy(
+        F.floor(F.col("lon") / 0.5).cast("long").alias("cell_x"),
+        F.floor(F.col("lat") / 0.5).cast("long").alias("cell_y"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    return gearys_c(cells)
+
+
 def _q_gi_star(spark, sf_dir):
     """Getis-Ord Gi* hot-spot z-scores
     (osmspark/spatial/autocorr.py:getis_ord_gi_star) over the same
@@ -2869,6 +2886,46 @@ def _q_hausdorff(spark, sf_dir):
             .orderBy("trip_a", "trip_b"))
 
 
+def _q_radius_gyration(spark, sf_dir):
+    """Radius of gyration per user (osmspark/spatial/mobility.py:
+    radius_of_gyration) over the synthetic walks: the variance
+    identity n·Σ‖p‖² − ‖Σp‖² on 1e-6° fixed-point integer coordinates
+    keeps the whole reduction exact (decimal(38,0) / hugeint); only
+    the final √num/(n·10⁶) is float, identical operands both engines,
+    rounded 9 dp."""
+    from osmspark.spatial.mobility import radius_of_gyration
+    pts = _trip_points(spark, sf_dir, 20)
+    return (radius_of_gyration(pts)
+            .select(F.col("user").alias("user_id"), "n_points",
+                    "rg_deg")
+            .orderBy("user_id"))
+
+
+def _q_od_matrix(spark, sf_dir):
+    """Origin→destination trip-flow matrix (osmspark/spatial/
+    mobility.py:od_matrix), 0.5° cells: endpoints are min/max of the
+    lexicographic (ts, id, cell) struct — deterministic under
+    timestamp ties — then one integer-only cell-pair census. The
+    oracle re-derives endpoints by asc/desc row_number windows."""
+    from osmspark.spatial.mobility import od_matrix
+    pts = _trip_points(spark, sf_dir, 40)
+    return od_matrix(pts).orderBy("o_cx", "o_cy", "d_cx", "d_cy")
+
+
+def _q_location_diversity(spark, sf_dir):
+    """Per-user visit diversity (osmspark/spatial/mobility.py:
+    location_diversity), 0.5° cells: Gini–Simpson 1 − Σc²/n² instead
+    of Shannon entropy (whose Σ c·ln c float sum is partition-order-
+    dependent, hence not engine-exact) — integer state until the two
+    final divisions, rounded 9 dp."""
+    from osmspark.spatial.mobility import location_diversity
+    pts = _trip_points(spark, sf_dir, 30)
+    return (location_diversity(pts)
+            .select(F.col("user").alias("user_id"), "n_points",
+                    "n_cells", "top_share", "simpson_div")
+            .orderBy("user_id"))
+
+
 def _q_winnow(spark, sf_dir):
     """Winnowing fingerprints (osmspark/pipeline/winnow.py, Schleimer
     et al. 2003 — the MOSS scheme) over the documents table, k=4
@@ -2903,6 +2960,10 @@ def _q_bearing(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "gearys_c_halfdeg": _q_gearys_c,
+        "radius_gyration": _q_radius_gyration,
+        "od_matrix_halfdeg": _q_od_matrix,
+        "location_diversity": _q_location_diversity,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -3126,6 +3187,71 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # variance-identity radius of gyration on µdeg integers:
+        # hugeint moments, one sqrt/division tail
+        "radius_gyration": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=20) + """),
+          u AS (
+            SELECT trip,
+                   CAST(round(lat * 1000000.0, 0) AS BIGINT) AS ux,
+                   CAST(round(lon * 1000000.0, 0) AS BIGINT) AS uy
+            FROM pts),
+          g AS (
+            SELECT trip, count(*) AS n,
+                   sum(ux) AS sx, sum(uy) AS sy,
+                   sum(ux::HUGEINT * ux + uy::HUGEINT * uy) AS q
+            FROM u GROUP BY trip)
+          SELECT trip AS user_id, CAST(n AS BIGINT) AS n_points,
+                 round(sqrt(CAST(n * q - sx::HUGEINT * sx
+                                 - sy::HUGEINT * sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * 1000000.0), 9) AS rg_deg
+          FROM g ORDER BY user_id
+        """,
+        # endpoint re-derivation by asc/desc row_number instead of the
+        # engine's lexicographic min/max struct
+        "od_matrix_halfdeg": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=40) + """),
+          cells AS (
+            SELECT trip, ts, pid,
+                   CAST(floor(lon * 2.0) AS BIGINT) AS cx,
+                   CAST(floor(lat * 2.0) AS BIGINT) AS cy
+            FROM pts),
+          r AS (
+            SELECT trip, cx, cy,
+                   row_number() OVER (PARTITION BY trip
+                                      ORDER BY ts, pid) AS rn_a,
+                   row_number() OVER (PARTITION BY trip
+                                      ORDER BY ts DESC, pid DESC) AS rn_d
+            FROM cells),
+          o AS (SELECT trip, cx AS o_cx, cy AS o_cy FROM r WHERE rn_a = 1),
+          d AS (SELECT trip, cx AS d_cx, cy AS d_cy FROM r WHERE rn_d = 1)
+          SELECT o_cx, o_cy, d_cx, d_cy,
+                 CAST(count(*) AS BIGINT) AS n_trips
+          FROM o JOIN d USING (trip)
+          GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+        """,
+        # Gini-Simpson diversity: integer censuses, two divisions
+        "location_diversity": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=30) + """),
+          per_cell AS (
+            SELECT trip,
+                   CAST(floor(lon * 2.0) AS BIGINT) AS cx,
+                   CAST(floor(lat * 2.0) AS BIGINT) AS cy,
+                   count(*) AS c
+            FROM pts GROUP BY 1, 2, 3),
+          g AS (
+            SELECT trip, sum(c) AS n, count(*) AS n_cells,
+                   max(c) AS cmax, sum(c * c) AS q
+            FROM per_cell GROUP BY trip)
+          SELECT trip AS user_id, CAST(n AS BIGINT) AS n_points,
+                 CAST(n_cells AS BIGINT) AS n_cells,
+                 round(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                   AS top_share,
+                 round(1.0 - CAST(q AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)
+                   AS simpson_div
+          FROM g ORDER BY user_id
+        """,
         # textual mirror of the bearing/turn expression trees; 9 dp
         # rounding before the turn subtraction on both engines
         "bearing_turns": """
@@ -4360,6 +4486,36 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(n - 1 AS DOUBLE))), 9)
                  END AS gi_z
           FROM calc ORDER BY cell_x, cell_y
+        """,
+        # Geary's C: integer neighbor-difference quadratic + N-scaled
+        # deviation denominator — same hugeint algebra, one division
+        "gearys_c_halfdeg": """
+          WITH pts AS (""" + _EVENT_POINTS_SQL + """),
+          cells AS (
+            SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+                   CAST(floor(lat / 0.5) AS BIGINT) AS cy,
+                   count(*) AS x
+            FROM pts GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, sum(x) AS s FROM cells),
+          dev AS (SELECT cx, cy, (n * x - s) AS dev FROM cells, tot),
+          pairs AS (
+            SELECT a.x AS xi, b.x AS xj
+            FROM cells a, cells b
+            WHERE abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1),
+          agg AS (
+            SELECT (SELECT n FROM tot) AS n_cells,
+                   count(*) AS w_pairs,
+                   coalesce(sum((xi - xj) * (xi - xj)), 0) AS num,
+                   (SELECT sum(dev * dev) FROM dev) AS den
+            FROM pairs)
+          SELECT CAST(n_cells AS BIGINT) AS n_cells,
+                 CAST(w_pairs AS BIGINT) AS w_pairs,
+                 CAST(num AS BIGINT) AS num,
+                 CAST(den AS BIGINT) AS den,
+                 round(CAST((n_cells - 1) * n_cells * n_cells * num
+                            AS DOUBLE)
+                       / CAST(2 * w_pairs * den AS DOUBLE), 9) AS geary_c
+          FROM agg
         """,
         "morans_i_halfdeg": """
           WITH pts AS (""" + _EVENT_POINTS_SQL + """),

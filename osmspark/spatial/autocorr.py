@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["morans_i", "getis_ord_gi_star"]
+__all__ = ["morans_i", "gearys_c", "getis_ord_gi_star"]
 
 
 def morans_i(cells: DataFrame, x_col: str = "n",
@@ -86,6 +86,80 @@ def morans_i(cells: DataFrame, x_col: str = "n",
         F.col("num_d").cast("long").alias("num"),
         F.col("den_d").cast("long").alias("den"),
         F.round(moran, 9).alias("moran_i"))
+
+
+def gearys_c(cells: DataFrame, x_col: str = "n",
+             cx_col: str = "cell_x", cy_col: str = "cell_y") -> DataFrame:
+    """Geary's C over the same rook lattice — the local-difference
+    companion to ``morans_i`` (C weights squared NEIGHBOR differences,
+    so it detects local discontinuity where I detects global trend;
+    C < 1 clustered, C ≈ 1 random, C > 1 dispersed):
+
+        C = (N−1) · Σ_ij w_ij (x_i − x_j)² / (2W · Σ_i (x_i − x̄)²)
+
+    Exactness: the numerator Σ w (x_i − x_j)² is already an exact
+    integer quadratic — no scaling needed; the denominator reuses the
+    N-scaled deviation trick (Σ dev² = N²·Σ(x−x̄)², dev = N·x − S), so
+
+        C = (N−1)·N² · num / (2W · den)
+
+    with num/den decimal(38,0)-exact sums (overflow → NULL, never a
+    wrap) and one final float division of identical exact operands.
+
+    Same scale shape as morans_i: one exploded-4-offset equi-join (one
+    shuffle, no range/cross join) and two combinable aggregations;
+    absent tiles are not zero observations.
+
+    One-row result: (n_cells, w_pairs, num, den, geary_c); NULL C when
+    den = 0 (constant field), W = 0 (no adjacency) or N < 2.
+    """
+    base = cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(x_col).cast("long").alias("x"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("s"))
+    dev = (base.crossJoin(F.broadcast(tot))
+           .select("cx", "cy", "n",
+                   F.col("x"),
+                   (F.col("n") * F.col("x") - F.col("s")).alias("dev")))
+
+    offs = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy")))
+    left = (dev.select(F.col("x").alias("x_i"),
+                       F.explode(offs).alias("o"),
+                       F.col("cx"), F.col("cy"))
+            .select("x_i",
+                    (F.col("cx") + F.col("o.dx")).alias("cx"),
+                    (F.col("cy") + F.col("o.dy")).alias("cy")))
+    right = dev.select(F.col("cx"), F.col("cy"),
+                       F.col("x").alias("x_j"))
+    pairs = left.join(right, ["cx", "cy"], "inner")
+
+    d = (F.col("x_i") - F.col("x_j")).cast("decimal(38,0)")
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.coalesce(F.sum(d * d),
+                   F.lit(0).cast("decimal(38,0)")).alias("num_d"))
+    den = dev.agg(F.sum(F.col("dev").cast("decimal(38,0)")
+                        * F.col("dev").cast("decimal(38,0)")).alias("den_d"))
+    out = (tot.select(F.col("n").alias("n_cells"))
+           .crossJoin(num).crossJoin(den))
+    n_dec = F.col("n_cells").cast("decimal(38,0)")
+    geary = F.when(
+        (F.col("den_d") != 0) & (F.col("w_pairs") > 0)
+        & (F.col("n_cells") > 1),
+        ((n_dec - 1) * n_dec * n_dec * F.col("num_d")).cast("double")
+        / (F.lit(2).cast("decimal(38,0)")
+           * F.col("w_pairs").cast("decimal(38,0)")
+           * F.col("den_d")).cast("double"))
+    return out.select(
+        "n_cells", "w_pairs",
+        F.col("num_d").cast("long").alias("num"),
+        F.col("den_d").cast("long").alias("den"),
+        F.round(geary, 9).alias("geary_c"))
 
 
 def getis_ord_gi_star(cells: DataFrame, x_col: str = "n",

@@ -137,3 +137,74 @@ def test_gi_star_plan_no_cartesian_on_cells(spark):
     # one-row global moments; the neighbor join must be an equi-join
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+# ---- Geary's C ------------------------------------------------------
+
+from osmspark.spatial.autocorr import gearys_c
+
+
+def _geary_np(cells):
+    xs = np.array([c[2] for c in cells], dtype=float)
+    n = len(cells)
+    xbar = xs.mean()
+    pos = {(c[0], c[1]): i for i, c in enumerate(cells)}
+    num = 0.0
+    w = 0
+    for (cx, cy), i in pos.items():
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            j = pos.get((cx + dx, cy + dy))
+            if j is not None:
+                num += (xs[i] - xs[j]) ** 2
+                w += 1
+    den = ((xs - xbar) ** 2).sum()
+    return (n - 1) * num / (2 * w * den)
+
+
+def _run_geary(spark, cells):
+    df = spark.createDataFrame(cells, "cell_x long, cell_y long, n long")
+    return gearys_c(df).collect()[0]
+
+
+def test_geary_checkerboard_dispersed(spark):
+    # alternating extremes: every neighbor difference is maximal -> C > 1
+    cells = [(x, y, 10 if (x + y) % 2 == 0 else 1)
+             for x in range(4) for y in range(4)]
+    r = _run_geary(spark, cells)
+    assert r["geary_c"] > 1.5
+    assert abs(r["geary_c"] - _geary_np(cells)) < 1e-9
+    assert r["w_pairs"] == 48
+
+
+def test_geary_two_halves_clustered(spark):
+    # homogeneous halves: only the 4 boundary edges differ -> C < 1
+    cells = [(x, y, 100 if x < 2 else 1)
+             for x in range(4) for y in range(4)]
+    r = _run_geary(spark, cells)
+    assert r["geary_c"] < 0.5
+    assert abs(r["geary_c"] - _geary_np(cells)) < 1e-9
+
+
+def test_geary_exact_integer_moments(spark):
+    cells = [(0, 0, 3), (1, 0, 7), (2, 0, 2)]
+    r = _run_geary(spark, cells)
+    # ordered pairs: (3,7)x2, (7,2)x2 -> num = 2*16 + 2*25 = 82
+    assert r["num"] == 82
+    # dev = 3x - 12 -> (-3, 9, -6); den = 9 + 81 + 36 = 126
+    assert r["den"] == 126
+    assert abs(r["geary_c"] - _geary_np(cells)) < 1e-9
+
+
+def test_geary_constant_field_null(spark):
+    cells = [(x, 0, 7) for x in range(5)]
+    r = _run_geary(spark, cells)
+    assert r["geary_c"] is None
+    assert r["den"] == 0
+    assert r["num"] == 0       # all differences zero too
+
+
+def test_geary_no_adjacency_null(spark):
+    cells = [(0, 0, 1), (5, 5, 9)]
+    r = _run_geary(spark, cells)
+    assert r["geary_c"] is None
+    assert r["w_pairs"] == 0
