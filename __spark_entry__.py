@@ -1585,7 +1585,7 @@ def _q_staypoints(spark, sf_dir):
             .orderBy("user_id", "ts_start"))
 
 
-def _q_od_matrix(spark, sf_dir):
+def _q_od_matrix_user(spark, sf_dir):
     """Origin–destination flow matrix (osmspark/spatial/flows.py) over
     the same synthesized user trajectories as staypoints_user: each
     user-trip collapses to (first cell, last cell) via min/max(struct)
@@ -2901,7 +2901,7 @@ def _q_radius_gyration(spark, sf_dir):
             .orderBy("user_id"))
 
 
-def _q_od_matrix(spark, sf_dir):
+def _q_od_matrix_cells(spark, sf_dir):
     """Origin→destination trip-flow matrix (osmspark/spatial/
     mobility.py:od_matrix), 0.5° cells: endpoints are min/max of the
     lexicographic (ts, id, cell) struct — deterministic under
@@ -2924,6 +2924,21 @@ def _q_location_diversity(spark, sf_dir):
             .select(F.col("user").alias("user_id"), "n_points",
                     "n_cells", "top_share", "simpson_div")
             .orderBy("user_id"))
+
+
+def _q_activity_trend(spark, sf_dir):
+    """Per-cell OLS activity trend (osmspark/spatial/trend.py:
+    activity_trend), 0.5° cells, daily event counts from the synthetic
+    user walks: both OLS closed forms are ratios of exact integer
+    moments (decimal(38,0) in Spark, hugeint in DuckDB), so slope and
+    intercept are each ONE float division of identical exact operands,
+    rounded 9 dp; NULL when a cell has a single active day (D = 0).
+    Day index = ts_us // 86.4e9 — Spark's double-division-then-cast is
+    floor-exact for nonnegative epoch µs (< 2⁵³, remainder ≥ 1/b which
+    exceeds the half-ulp at q ≈ 2e4), matching DuckDB's integer //."""
+    from osmspark.spatial.trend import activity_trend
+    pts = _trip_points(spark, sf_dir, 40).select("ts_us", "lat", "lon")
+    return activity_trend(pts).orderBy("cell_x", "cell_y")
 
 
 def _q_winnow(spark, sf_dir):
@@ -2962,8 +2977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 additions (never driver-validated) first.
         "gearys_c_halfdeg": _q_gearys_c,
         "radius_gyration": _q_radius_gyration,
-        "od_matrix_halfdeg": _q_od_matrix,
+        "od_matrix_halfdeg": _q_od_matrix_cells,
         "location_diversity": _q_location_diversity,
+        "activity_trend_halfdeg": _q_activity_trend,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -3086,7 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_days": _q_interval_join,
         "line_dedup_docs": _q_line_dedup,
         "staypoints_user": _q_staypoints,
-        "od_matrix_user": _q_od_matrix,
+        "od_matrix_user": _q_od_matrix_user,
         "pagerank_hosts": _q_pagerank_hosts,
         "dwithin_meters_30km": _q_dwithin_meters,
     }
@@ -3251,6 +3267,32 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)
                    AS simpson_div
           FROM g ORDER BY user_id
+        """,
+        # OLS trend: hugeint moment sums, one division per coefficient
+        "activity_trend_halfdeg": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=40) + """),
+          daily AS (
+            SELECT CAST(floor(lon * 2.0) AS BIGINT) AS cell_x,
+                   CAST(floor(lat * 2.0) AS BIGINT) AS cell_y,
+                   ts // 86400000000 AS day,
+                   count(*) AS y
+            FROM pts GROUP BY 1, 2, 3),
+          g AS (
+            SELECT cell_x, cell_y, count(*) AS n, sum(y) AS n_events,
+                   sum(day) AS sx, sum(y) AS sy,
+                   sum(day * day) AS sxx, sum(day * y) AS sxy
+            FROM daily GROUP BY 1, 2)
+          SELECT cell_x, cell_y, CAST(n AS BIGINT) AS n_days,
+                 CAST(n_events AS BIGINT) AS n_events,
+                 CASE WHEN n * sxx - sx * sx != 0 THEN
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 9)
+                 END AS slope,
+                 CASE WHEN n * sxx - sx * sx != 0 THEN
+                   round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 9)
+                 END AS intercept
+          FROM g ORDER BY cell_x, cell_y
         """,
         # textual mirror of the bearing/turn expression trees; 9 dp
         # rounding before the turn subtraction on both engines

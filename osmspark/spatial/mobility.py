@@ -20,9 +20,12 @@ standard mobility-table shape AQE handles). No windows, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["radius_of_gyration", "od_matrix", "location_diversity"]
+__all__ = ["radius_of_gyration", "od_matrix", "location_diversity",
+           "cell_transitions", "home_location", "jump_lengths"]
+
+_US_PER_HOUR = 3_600_000_000
 
 
 def _udeg(c: F.Column) -> F.Column:
@@ -142,3 +145,122 @@ def location_diversity(points: DataFrame, cell_deg: float = 0.5,
                     F.round(F.col("cmax").cast("double") / n_d, 9)
                     .alias("top_share"),
                     F.round(simpson, 9).alias("simpson_div"))
+
+
+def cell_transitions(points: DataFrame, cell_deg: float = 0.5,
+                     user_col: str = "trip_id", ts_col: str = "ts_us",
+                     id_col: str = "id", lat_col: str = "lat",
+                     lon_col: str = "lon") -> DataFrame:
+    """First-order Markov cell-transition matrix: every consecutive fix
+    pair (ordered by timestamp, point-id tiebreak — a total order, so
+    the successor relation is deterministic) contributes one transition
+    from its cell to the next fix's cell, self-loops included (the
+    "stay" probability is part of the chain).
+
+    The transition probability is kept as an exact RATIO of two
+    integer censuses — n_trans per (origin, destination) over n_out
+    per origin — with ONE final float division, rounded to 9 dp, so
+    rows reproduce bit-for-bit on any engine and Σ prob per origin is
+    1 up to representation.
+
+    Scale shape: one window (lag over the per-user partitioning — the
+    same key every trajectory op in this module shuffles on, so AQE
+    reuses the exchange) followed by two combinable censuses; the
+    per-origin normalizer joins back broadcast-small (cells ≪ fixes).
+    Output: (o_cx, o_cy, d_cx, d_cy, n_trans, n_out, prob).
+    """
+    inv = F.lit(1.0 / cell_deg)
+    pt = points.select(
+        F.col(user_col).alias("user"), F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("pid"),
+        F.floor(F.col(lon_col) * inv).cast("long").alias("cx"),
+        F.floor(F.col(lat_col) * inv).cast("long").alias("cy"))
+    w = Window.partitionBy("user").orderBy("ts", "pid")
+    seg = (pt.select(F.lag("cx").over(w).alias("o_cx"),
+                     F.lag("cy").over(w).alias("o_cy"),
+                     F.col("cx").alias("d_cx"),
+                     F.col("cy").alias("d_cy"))
+           .filter(F.col("o_cx").isNotNull()))
+    trans = (seg.groupBy("o_cx", "o_cy", "d_cx", "d_cy")
+             .agg(F.count(F.lit(1)).alias("n_trans")))
+    out_tot = (trans.groupBy("o_cx", "o_cy")
+               .agg(F.sum("n_trans").alias("n_out")))
+    return (trans.join(F.broadcast(out_tot), ["o_cx", "o_cy"])
+            .select("o_cx", "o_cy", "d_cx", "d_cy", "n_trans",
+                    F.col("n_out").cast("long").alias("n_out"),
+                    F.round(F.col("n_trans").cast("double")
+                            / F.col("n_out").cast("double"), 9)
+                    .alias("prob")))
+
+
+def home_location(points: DataFrame, cell_deg: float = 0.5,
+                  night_start_h: int = 22, night_end_h: int = 6,
+                  user_col: str = "trip_id", ts_col: str = "ts_us",
+                  lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Home-location detection: per user, the MODAL grid cell among
+    night-time fixes (hour-of-day in the wrap-around window
+    [night_start_h, 24) ∪ [0, night_end_h) — the standard CDR
+    heuristic: where a device sleeps is where it lives).
+
+    hour = (ts_us // 3.6e9) % 24 on nonnegative epoch µs — integer on
+    both engines. The argmax is min over the lexicographic struct
+    (−count, cx, cy): deterministic under count ties (southwest-most
+    of the tied cells), combinable, no window. Users with zero night
+    fixes simply have no row (absence of evidence, not a zero).
+
+    Output: (user, n_night, home_cx, home_cy, n_home).
+    """
+    inv = F.lit(1.0 / cell_deg)
+    hour = (F.col(ts_col) / F.lit(_US_PER_HOUR)).cast("long") % 24
+    is_night = ((hour >= night_start_h) | (hour < night_end_h)) \
+        if night_start_h > night_end_h else \
+        ((hour >= night_start_h) & (hour < night_end_h))
+    per_cell = (points.filter(is_night)
+                .groupBy(F.col(user_col).alias("user"),
+                         F.floor(F.col(lon_col) * inv).cast("long")
+                         .alias("cx"),
+                         F.floor(F.col(lat_col) * inv).cast("long")
+                         .alias("cy"))
+                .agg(F.count(F.lit(1)).alias("c")))
+    best = F.min(F.struct((-F.col("c")).alias("neg"),
+                          F.col("cx"), F.col("cy"))).alias("b")
+    return (per_cell.groupBy("user")
+            .agg(F.sum("c").alias("n_night"), best)
+            .select("user",
+                    F.col("n_night").cast("long").alias("n_night"),
+                    F.col("b.cx").alias("home_cx"),
+                    F.col("b.cy").alias("home_cy"),
+                    (-F.col("b.neg")).alias("n_home")))
+
+
+def jump_lengths(points: DataFrame, bucket_mm: int = 1_000_000_000,
+                 user_col: str = "trip_id", ts_col: str = "ts_us",
+                 id_col: str = "id", lat_col: str = "lat",
+                 lon_col: str = "lon") -> DataFrame:
+    """Jump-length (displacement) histogram over consecutive fixes —
+    the Δr distribution behind the truncated-power-law result of
+    González et al. 2008, binned on fixed-width integer buckets.
+
+    Each consecutive pair (same deterministic ordering as
+    ``cell_transitions``) contributes one jump of haversine length
+    floored to whole millimeters (int64, the repo-wide exact-distance
+    quantum shared with ``traj.speed_filter``); the bucket index is
+    the integer division ``seg_mm // bucket_mm`` (the 1e9 mm default
+    is 1,000 km bins — continent scale; pass 1_000_000 for km bins).
+    Zero-length jumps land in bucket 0.
+
+    One window + one census — integer-only state end to end.
+    Output: (bucket, lo_mm, n_jumps) sorted-friendly integer bins.
+    """
+    from .traj import _seg_mm
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seg = _seg_mm(F.lag(lat_col).over(w), F.lag(lon_col).over(w),
+                  F.col(lat_col), F.col(lon_col))
+    jumps = (points.select(seg.alias("seg_mm"))
+             .filter(F.col("seg_mm").isNotNull()))
+    b = F.lit(int(bucket_mm))
+    return (jumps.groupBy((F.col("seg_mm") / b).cast("long")
+                          .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_jumps"))
+            .select("bucket", (F.col("bucket") * b).alias("lo_mm"),
+                    "n_jumps"))
