@@ -2941,6 +2941,48 @@ def _q_activity_trend(spark, sf_dir):
     return activity_trend(pts).orderBy("cell_x", "cell_y")
 
 
+def _q_markov_transitions(spark, sf_dir):
+    """First-order Markov cell-transition matrix (osmspark/spatial/
+    mobility.py:cell_transitions), 0.5° cells over the synthetic user
+    walks, self-loops included: the lag window chains consecutive
+    fixes (ts, id total order), two integer censuses, and the
+    transition probability is ONE division of exact counts, rounded
+    9 dp. Oracle mirrors the lag window textually."""
+    from osmspark.spatial.mobility import cell_transitions
+    pts = _trip_points(spark, sf_dir, 30)
+    return (cell_transitions(pts)
+            .orderBy("o_cx", "o_cy", "d_cx", "d_cy"))
+
+
+def _q_home_location(spark, sf_dir):
+    """Home-location detection (osmspark/spatial/mobility.py:
+    home_location): modal 0.5° cell among night fixes (wrap-around
+    hour window [22,24)∪[0,6), hour = ts_us // 3.6e9 % 24 — integer on
+    both engines), argmax by min(struct(−c, cx, cy)) so count ties
+    break to the southwest-most cell deterministically. Oracle uses
+    the row_number-ordered-by-(c DESC, cx, cy) formulation — a
+    different algorithm, same cell."""
+    from osmspark.spatial.mobility import home_location
+    pts = _trip_points(spark, sf_dir, 30)
+    return (home_location(pts)
+            .select(F.col("user").alias("user_id"), "n_night",
+                    "home_cx", "home_cy", "n_home")
+            .orderBy("user_id"))
+
+
+def _q_jump_hist(spark, sf_dir):
+    """Jump-length histogram (osmspark/spatial/mobility.py:
+    jump_lengths), km bins over consecutive-fix displacements: the
+    same mm-floored haversine as speed_filter_3mps (exact int64),
+    bucket = seg_mm // 1e6 — integer-only state end to end, so the
+    histogram reproduces bit-for-bit. Oracle reuses the textual
+    haversine mirror plus DuckDB integer division."""
+    from osmspark.spatial.mobility import jump_lengths
+    pts = _trip_points(spark, sf_dir, 30)
+    return (jump_lengths(pts, bucket_mm=1_000_000)
+            .orderBy("bucket"))
+
+
 def _q_winnow(spark, sf_dir):
     """Winnowing fingerprints (osmspark/pipeline/winnow.py, Schleimer
     et al. 2003 — the MOSS scheme) over the documents table, k=4
@@ -2980,6 +3022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix_halfdeg": _q_od_matrix_cells,
         "location_diversity": _q_location_diversity,
         "activity_trend_halfdeg": _q_activity_trend,
+        "markov_transitions": _q_markov_transitions,
+        "home_location_night": _q_home_location,
+        "jump_hist_km": _q_jump_hist,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -3293,6 +3338,78 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n * sxx - sx * sx AS DOUBLE), 9)
                  END AS intercept
           FROM g ORDER BY cell_x, cell_y
+        """,
+        # Markov transitions: lag window -> two censuses, one division
+        "markov_transitions": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=30) + """),
+          q AS (
+            SELECT trip, ts, pid,
+                   CAST(floor(lon * 2.0) AS BIGINT) AS cx,
+                   CAST(floor(lat * 2.0) AS BIGINT) AS cy
+            FROM pts),
+          seg AS (
+            SELECT lag(cx) OVER w AS o_cx, lag(cy) OVER w AS o_cy,
+                   cx AS d_cx, cy AS d_cy
+            FROM q WINDOW w AS (PARTITION BY trip ORDER BY ts, pid)),
+          trans AS (
+            SELECT o_cx, o_cy, d_cx, d_cy, count(*) AS n_trans
+            FROM seg WHERE o_cx IS NOT NULL
+            GROUP BY 1, 2, 3, 4),
+          tot AS (
+            SELECT o_cx, o_cy, sum(n_trans) AS n_out
+            FROM trans GROUP BY 1, 2)
+          SELECT t.o_cx, t.o_cy, t.d_cx, t.d_cy,
+                 CAST(t.n_trans AS BIGINT) AS n_trans,
+                 CAST(o.n_out AS BIGINT) AS n_out,
+                 round(CAST(t.n_trans AS DOUBLE)
+                       / CAST(o.n_out AS DOUBLE), 9) AS prob
+          FROM trans t JOIN tot o USING (o_cx, o_cy)
+          ORDER BY t.o_cx, t.o_cy, t.d_cx, t.d_cy
+        """,
+        # home detection: modal night cell via the rank-1 formulation
+        "home_location_night": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=30) + """),
+          night AS (
+            SELECT trip,
+                   CAST(floor(lon * 2.0) AS BIGINT) AS cx,
+                   CAST(floor(lat * 2.0) AS BIGINT) AS cy
+            FROM pts
+            WHERE (ts // 3600000000) % 24 >= 22
+               OR (ts // 3600000000) % 24 < 6),
+          per_cell AS (
+            SELECT trip, cx, cy, count(*) AS c
+            FROM night GROUP BY 1, 2, 3),
+          r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY trip
+                                      ORDER BY c DESC, cx, cy) AS rn,
+                   sum(c) OVER (PARTITION BY trip) AS n_night
+            FROM per_cell)
+          SELECT trip AS user_id, CAST(n_night AS BIGINT) AS n_night,
+                 cx AS home_cx, cy AS home_cy,
+                 CAST(c AS BIGINT) AS n_home
+          FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+        # jump histogram: the speed_filter haversine mirror + int div
+        "jump_hist_km": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=30) + """),
+          l AS (
+            SELECT trip, ts, pid, lat, lon,
+                   lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+            FROM pts WINDOW w AS (PARTITION BY trip ORDER BY ts, pid)),
+          s AS (
+            SELECT CAST(floor(2000.0 * 6371008.8 * asin(sqrt(
+                        sin(radians(lat - plat) / 2)
+                          * sin(radians(lat - plat) / 2)
+                        + cos(radians(plat)) * cos(radians(lat))
+                          * sin(radians(lon - plon) / 2)
+                          * sin(radians(lon - plon) / 2))))
+                        AS BIGINT) AS seg
+            FROM l WHERE plat IS NOT NULL)
+          SELECT seg // 1000000 AS bucket,
+                 (seg // 1000000) * 1000000 AS lo_mm,
+                 CAST(count(*) AS BIGINT) AS n_jumps
+          FROM s GROUP BY 1, 2 ORDER BY bucket
         """,
         # textual mirror of the bearing/turn expression trees; 9 dp
         # rounding before the turn subtraction on both engines

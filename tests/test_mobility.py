@@ -105,3 +105,126 @@ def test_partitioning_invariance(spark):
         a = sorted(map(tuple, fn(df1).collect()))
         b = sorted(map(tuple, fn(df13).collect()))
         assert a == b, fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# cell_transitions
+# ---------------------------------------------------------------------------
+
+from osmspark.spatial.mobility import (cell_transitions, home_location,
+                                       jump_lengths)
+
+
+def test_transitions_counts_and_probs(spark):
+    # user 1 walk: A A B A  (cells at 0.5 deg: A=(0,0) lat/lon ~0.1,
+    # B=(2,2) ~1.1) -> transitions A->A, A->B, B->A
+    pts = [(1, 0, 0, 0.1, 0.1), (1, 1, 1, 0.2, 0.2),
+           (1, 2, 2, 1.1, 1.1), (1, 3, 3, 0.1, 0.1)]
+    rows = {((r["o_cx"], r["o_cy"]), (r["d_cx"], r["d_cy"])): r
+            for r in cell_transitions(
+                spark.createDataFrame(pts, SCHEMA)).collect()}
+    a, b = (0, 0), (2, 2)
+    assert rows[(a, a)]["n_trans"] == 1 and rows[(a, a)]["n_out"] == 2
+    assert rows[(a, b)]["n_trans"] == 1
+    assert rows[(a, b)]["prob"] == 0.5
+    assert rows[(b, a)]["prob"] == 1.0
+
+
+def test_transitions_probs_sum_to_one_per_origin(spark):
+    pts = [(u, t, u * 1000 + t,
+            0.1 * ((u * 7 + t * 3) % 11), 0.1 * ((u * 5 + t) % 13))
+           for u in range(6) for t in range(30)]
+    df = cell_transitions(spark.createDataFrame(pts, SCHEMA))
+    sums = (df.groupBy("o_cx", "o_cy")
+            .agg({"prob": "sum", "n_trans": "sum", "n_out": "max"})
+            .collect())
+    for r in sums:
+        assert abs(r["sum(prob)"] - 1.0) < 1e-6
+        assert r["sum(n_trans)"] == r["max(n_out)"]
+
+
+def test_transitions_tiebreak_on_id(spark):
+    # identical timestamps: order by point id decides the chain
+    pts = [(1, 5, 10, 0.1, 0.1), (1, 5, 11, 1.1, 1.1),
+           (1, 5, 12, 2.6, 2.6)]
+    rows = {((r["o_cx"], r["o_cy"]), (r["d_cx"], r["d_cy"]))
+            for r in cell_transitions(
+                spark.createDataFrame(pts, SCHEMA)).collect()}
+    assert rows == {((0, 0), (2, 2)), ((2, 2), (5, 5))}
+
+
+def test_transitions_partitioning_invariance(spark):
+    pts = [(u, t * 7, u * 100 + t, 0.3 * ((t * u) % 9),
+            -0.3 * ((t + u) % 8)) for u in range(4) for t in range(25)]
+    a = sorted(map(tuple, cell_transitions(
+        spark.createDataFrame(pts, SCHEMA).repartition(1)).collect()))
+    b = sorted(map(tuple, cell_transitions(
+        spark.createDataFrame(pts, SCHEMA).repartition(13)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# home_location
+# ---------------------------------------------------------------------------
+
+US_HOUR = 3_600_000_000
+
+
+def test_home_modal_night_cell(spark):
+    # user 1: 3 night fixes in cell (0,0), 2 night in (2,2), day fixes
+    # in (4,4) must not count (hour 12)
+    pts = ([(1, (23 * US_HOUR) + i, i, 0.1, 0.1) for i in range(3)]
+           + [(1, (2 * US_HOUR) + i, 10 + i, 1.1, 1.1) for i in range(2)]
+           + [(1, (12 * US_HOUR) + i, 20 + i, 2.1, 2.1) for i in range(5)])
+    got = home_location(spark.createDataFrame(pts, SCHEMA)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["home_cx"], r["home_cy"]) == (0, 0)
+    assert r["n_night"] == 5 and r["n_home"] == 3
+
+
+def test_home_tie_breaks_southwest(spark):
+    # two cells tie on count -> lexicographically smallest (cx, cy)
+    pts = [(1, 1 * US_HOUR, 0, 3.1, 3.1), (1, 2 * US_HOUR, 1, 3.2, 3.2),
+           (1, 3 * US_HOUR, 2, 0.1, 0.1), (1, 4 * US_HOUR, 3, 0.2, 0.2)]
+    r = home_location(spark.createDataFrame(pts, SCHEMA)).collect()[0]
+    assert (r["home_cx"], r["home_cy"]) == (0, 0)
+
+
+def test_home_no_night_fixes_no_row(spark):
+    pts = [(1, 12 * US_HOUR, 0, 0.1, 0.1)]
+    assert home_location(spark.createDataFrame(pts, SCHEMA)).count() == 0
+
+
+def test_home_non_wrapping_window(spark):
+    # night_start < night_end -> plain interval [9, 17)
+    pts = [(1, 10 * US_HOUR, 0, 0.1, 0.1),
+           (1, 20 * US_HOUR, 1, 5.1, 5.1)]
+    r = home_location(spark.createDataFrame(pts, SCHEMA),
+                      night_start_h=9, night_end_h=17).collect()[0]
+    assert (r["home_cx"], r["home_cy"]) == (0, 0) and r["n_night"] == 1
+
+
+# ---------------------------------------------------------------------------
+# jump_lengths
+# ---------------------------------------------------------------------------
+
+
+def test_jump_lengths_buckets(spark):
+    # 1 deg lat ~ 111.2 km; with km buckets that lands in bucket 111
+    pts = [(1, 0, 0, 0.0, 0.0), (1, 1, 1, 1.0, 0.0), (1, 2, 2, 1.0, 0.0)]
+    rows = {r["bucket"]: r for r in jump_lengths(
+        spark.createDataFrame(pts, SCHEMA),
+        bucket_mm=1_000_000).collect()}
+    assert rows[0]["n_jumps"] == 1          # zero-length jump
+    big = [b for b in rows if b > 0]
+    assert len(big) == 1 and 110 <= big[0] <= 112
+    assert rows[big[0]]["lo_mm"] == big[0] * 1_000_000
+
+
+def test_jump_lengths_first_fix_excluded(spark):
+    pts = [(u, t, u * 10 + t, 0.01 * t, 0.0)
+           for u in range(3) for t in range(5)]
+    total = (jump_lengths(spark.createDataFrame(pts, SCHEMA))
+             .agg({"n_jumps": "sum"}).collect()[0][0])
+    assert total == 3 * 4  # n-1 jumps per user
