@@ -1703,6 +1703,52 @@ def _q_gearys_c(spark, sf_dir):
     return gearys_c(cells)
 
 
+def _q_lisa(spark, sf_dir):
+    """Local Moran's I (Anselin LISA, osmspark/spatial/autocorr.py:
+    local_morans_i) over the 0.5° event-cell counts, rook adjacency:
+    I_i = N·dev_i·lsum_i / Σdev² with dev = N·x − S — exact integers
+    up to ONE division per cell, 9 dp. Oracle derives lsum by the
+    brute |Δcx|+|Δcy| = 1 left join vs the engine's exploded-offset
+    equi-join; Σ dev·lsum reproduces the global Moran numerator."""
+    from osmspark.spatial.autocorr import local_morans_i
+    pts = _event_points(spark, sf_dir)
+    cells = (pts.groupBy(
+        F.floor(F.col("lon") / 0.5).cast("long").alias("cell_x"),
+        F.floor(F.col("lat") / 0.5).cast("long").alias("cell_y"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    return local_morans_i(cells).orderBy("cell_x", "cell_y")
+
+
+def _q_join_counts(spark, sf_dir):
+    """Join-count statistics (osmspark/spatial/autocorr.py:
+    join_counts) for the binary above-global-mean field on the 0.5°
+    lattice: black ⇔ N·x > S (exact integer compare, no float mean),
+    BB/BW/WW unordered rook joins — the whole result is integer-only,
+    hash-exact by construction."""
+    from osmspark.spatial.autocorr import join_counts
+    pts = _event_points(spark, sf_dir)
+    cells = (pts.groupBy(
+        F.floor(F.col("lon") / 0.5).cast("long").alias("cell_x"),
+        F.floor(F.col("lat") / 0.5).cast("long").alias("cell_y"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    return join_counts(cells)
+
+
+def _q_general_g(spark, sf_dir):
+    """Getis-Ord General G (osmspark/spatial/autocorr.py:
+    getis_general_g), queen ring-1 weights self-excluded, over the
+    0.5° cells: num = Σ within-ring x_i·x_j, den = (Σx)² − Σx², both
+    exact decimal integers, ONE division 9 dp. The global companion
+    to gi_star_hotspots."""
+    from osmspark.spatial.autocorr import getis_general_g
+    pts = _event_points(spark, sf_dir)
+    cells = (pts.groupBy(
+        F.floor(F.col("lon") / 0.5).cast("long").alias("cell_x"),
+        F.floor(F.col("lat") / 0.5).cast("long").alias("cell_y"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    return getis_general_g(cells)
+
+
 def _q_gi_star(spark, sf_dir):
     """Getis-Ord Gi* hot-spot z-scores
     (osmspark/spatial/autocorr.py:getis_ord_gi_star) over the same
@@ -3025,6 +3071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": _q_markov_transitions,
         "home_location_night": _q_home_location,
         "jump_hist_km": _q_jump_hist,
+        "lisa_halfdeg": _q_lisa,
+        "join_counts_mean": _q_join_counts,
+        "general_g_ring1": _q_general_g,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -4645,6 +4694,88 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(n - 1 AS DOUBLE))), 9)
                  END AS gi_z
           FROM calc ORDER BY cell_x, cell_y
+        """,
+        # LISA: brute adjacency left join; integer witnesses + 1 div
+        "lisa_halfdeg": """
+          WITH pts AS (""" + _EVENT_POINTS_SQL + """),
+          cells AS (
+            SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+                   CAST(floor(lat / 0.5) AS BIGINT) AS cy,
+                   count(*) AS x
+            FROM pts GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, sum(x) AS s FROM cells),
+          dev AS (SELECT cx, cy, x, (n * x - s) AS dev, n
+                  FROM cells, tot),
+          nbr AS (
+            SELECT a.cx, a.cy, a.x, a.dev, a.n,
+                   count(b.cx) AS w_i,
+                   coalesce(sum(b.dev), 0) AS lsum
+            FROM dev a LEFT JOIN dev b
+              ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+            GROUP BY 1, 2, 3, 4, 5),
+          den AS (SELECT sum(dev * dev) AS den_d FROM dev)
+          SELECT cx AS cell_x, cy AS cell_y, CAST(x AS BIGINT) AS x,
+                 CAST(w_i AS BIGINT) AS w_i,
+                 CAST(dev AS BIGINT) AS dev,
+                 CAST(lsum AS BIGINT) AS lsum,
+                 CASE WHEN den_d != 0 THEN
+                   round(CAST(n * dev * lsum AS DOUBLE)
+                         / CAST(den_d AS DOUBLE), 9)
+                 END AS lisa_i
+          FROM nbr, den ORDER BY cell_x, cell_y
+        """,
+        # join counts: integer-only — black = above exact integer mean
+        "join_counts_mean": """
+          WITH pts AS (""" + _EVENT_POINTS_SQL + """),
+          cells AS (
+            SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+                   CAST(floor(lat / 0.5) AS BIGINT) AS cy,
+                   count(*) AS x
+            FROM pts GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, sum(x) AS s FROM cells),
+          b AS (SELECT cx, cy,
+                       CASE WHEN n * x > s THEN 1 ELSE 0 END AS black
+                FROM cells, tot),
+          pairs AS (
+            SELECT a.black AS bi, c.black AS bj
+            FROM b a JOIN b c
+              ON abs(a.cx - c.cx) + abs(a.cy - c.cy) = 1)
+          SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_cells,
+                 (SELECT CAST(sum(black) AS BIGINT) FROM b) AS n_black,
+                 CAST(count(*) AS BIGINT) AS w_pairs,
+                 CAST(sum(bi * bj) / 2 AS BIGINT) AS bb,
+                 CAST(sum((bi + bj) % 2) / 2 AS BIGINT) AS bw,
+                 CAST(sum((1 - bi) * (1 - bj)) / 2 AS BIGINT) AS ww
+          FROM pairs
+        """,
+        # General G: ring-1 self-excluded products over (s^2 - q)
+        "general_g_ring1": """
+          WITH pts AS (""" + _EVENT_POINTS_SQL + """),
+          cells AS (
+            SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+                   CAST(floor(lat / 0.5) AS BIGINT) AS cy,
+                   count(*) AS x
+            FROM pts GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS q
+                  FROM cells),
+          pairs AS (
+            SELECT a.x AS xi, b.x AS xj
+            FROM cells a JOIN cells b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+                 AND NOT (a.cx = b.cx AND a.cy = b.cy)),
+          agg AS (
+            SELECT count(*) AS w_pairs,
+                   coalesce(sum(xi * xj), 0) AS num
+            FROM pairs)
+          SELECT CAST(n AS BIGINT) AS n_cells,
+                 CAST(w_pairs AS BIGINT) AS w_pairs,
+                 CAST(num AS BIGINT) AS num,
+                 CAST(s * s - q AS BIGINT) AS den,
+                 CASE WHEN s * s - q != 0 AND w_pairs > 0 THEN
+                   round(CAST(num AS DOUBLE)
+                         / CAST(s * s - q AS DOUBLE), 9)
+                 END AS general_g
+          FROM tot, agg
         """,
         # Geary's C: integer neighbor-difference quadratic + N-scaled
         # deviation denominator — same hugeint algebra, one division

@@ -29,7 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["morans_i", "gearys_c", "getis_ord_gi_star"]
+__all__ = ["morans_i", "gearys_c", "getis_ord_gi_star",
+           "local_morans_i", "join_counts", "getis_general_g"]
 
 
 def morans_i(cells: DataFrame, x_col: str = "n",
@@ -239,3 +240,189 @@ def getis_ord_gi_star(cells: DataFrame, x_col: str = "n",
         F.col("x"), F.col("w_i"), F.col("l_sum"),
         a_d.cast("long").alias("a_num"),
         F.round(z, 9).alias("gi_z")))
+
+
+def local_morans_i(cells: DataFrame, x_col: str = "n",
+                   cx_col: str = "cell_x",
+                   cy_col: str = "cell_y") -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA) per cell over the rook
+    lattice — decomposes the global ``morans_i`` into per-cell
+    cluster/outlier scores (I_i > 0 with a hot x_i: High-High core;
+    I_i < 0: spatial outlier):
+
+        I_i = z_i · Σ_j w_ij z_j / m2        m2 = Σ z² / N
+
+    With the N-scaled deviation dev = N·x − S (= N·z) the whole
+    statistic collapses to exact integers:
+
+        I_i = N · dev_i · lsum_i / Σ dev²    lsum_i = Σ_{j∈nbr} dev_j
+
+    (the N⁴ factors cancel: numerator z_i·Σw z_j = dev_i·lsum/N²,
+    denominator m2 = Σdev²/N³). Products run in decimal(38,0) — a
+    deviation product overflows to NULL, never wraps — and I_i is ONE
+    float division of exact operands, rounded 9 dp. The sum of
+    ``num_i`` over all cells equals the global morans_i numerator·N,
+    pinning the decomposition.
+
+    Same plan shape as morans_i: one exploded-4-offset equi-join, one
+    per-cell aggregation, global moments broadcast. Isolated cells
+    (w_i = 0) keep a row with lsum = 0 and I_i = 0 — the convention
+    that makes ΣI_i reproduce the global numerator exactly.
+    Output: (cell_x, cell_y, x, w_i, dev, lsum, lisa_i).
+    """
+    base = cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(x_col).cast("long").alias("x"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    dev = (base.crossJoin(F.broadcast(tot))
+           .select("cx", "cy", "n", "x",
+                   (F.col("n") * F.col("x") - F.col("s")).alias("dev")))
+
+    offs = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy")))
+    left = (dev.select(F.col("cx").alias("ox"), F.col("cy").alias("oy"),
+                       F.explode(offs).alias("o"))
+            .select("ox", "oy",
+                    (F.col("ox") + F.col("o.dx")).alias("cx"),
+                    (F.col("oy") + F.col("o.dy")).alias("cy")))
+    nbr = (left.join(dev.select("cx", "cy",
+                                F.col("dev").alias("dev_j")),
+                     ["cx", "cy"], "inner")
+           .groupBy("ox", "oy")
+           .agg(F.count(F.lit(1)).alias("w_i"),
+                F.sum("dev_j").alias("lsum")))
+
+    den = dev.agg(F.sum(F.col("dev").cast("decimal(38,0)")
+                        * F.col("dev").cast("decimal(38,0)"))
+                  .alias("den_d"))
+    j = (dev.join(nbr, (F.col("cx") == F.col("ox"))
+                  & (F.col("cy") == F.col("oy")), "left")
+         .crossJoin(F.broadcast(den)))
+    w_i = F.coalesce(F.col("w_i"), F.lit(0)).cast("long")
+    lsum = F.coalesce(F.col("lsum"), F.lit(0)).cast("long")
+    num = (F.col("n").cast("decimal(38,0)")
+           * F.col("dev").cast("decimal(38,0)")
+           * lsum.cast("decimal(38,0)"))
+    lisa = F.when(F.col("den_d") != 0,
+                  F.round(num.cast("double")
+                          / F.col("den_d").cast("double"), 9))
+    return j.select(F.col("cx").alias("cell_x"),
+                    F.col("cy").alias("cell_y"),
+                    "x", w_i.alias("w_i"), F.col("dev").alias("dev"),
+                    lsum.alias("lsum"), lisa.alias("lisa_i"))
+
+
+def join_counts(cells: DataFrame, x_col: str = "n",
+                cx_col: str = "cell_x",
+                cy_col: str = "cell_y") -> DataFrame:
+    """Join-count statistics (Cliff & Ord) over the rook lattice for
+    the binary field "cell above the global mean" — the categorical
+    autocorrelation test (BB joins ≫ expected ⇒ hot cells clump):
+
+        black_i  ⇔  N·x_i > S        (exact integer mean compare)
+
+    then BB / BW / WW = unordered adjacent pairs by the endpoint
+    colors. Every ordered rook pair appears twice, so the halves are
+    exact integers; the whole result is integer-only (trivially
+    engine-exact — no float anywhere).
+
+    One exploded-4-offset equi-join + one global census.
+    Output: (n_cells, n_black, w_pairs, bb, bw, ww) — w_pairs is the
+    ORDERED pair count (= 2W), bb+bw+ww = w_pairs/2.
+    """
+    base = cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(x_col).cast("long").alias("x"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    b = (base.crossJoin(F.broadcast(tot))
+         .select("cx", "cy",
+                 (F.col("n") * F.col("x") > F.col("s"))
+                 .cast("int").alias("black"),
+                 "n"))
+
+    offs = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy")))
+    left = (b.select(F.col("black").alias("b_i"),
+                     F.explode(offs).alias("o"),
+                     F.col("cx"), F.col("cy"))
+            .select("b_i",
+                    (F.col("cx") + F.col("o.dx")).alias("cx"),
+                    (F.col("cy") + F.col("o.dy")).alias("cy")))
+    pairs = left.join(b.select("cx", "cy",
+                               F.col("black").alias("b_j")),
+                      ["cx", "cy"], "inner")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        (F.sum(F.col("b_i") * F.col("b_j")) / 2).cast("long").alias("bb"),
+        (F.sum((F.col("b_i") + F.col("b_j")) % 2) / 2).cast("long")
+        .alias("bw"),
+        (F.sum((1 - F.col("b_i")) * (1 - F.col("b_j"))) / 2)
+        .cast("long").alias("ww"))
+    blacks = b.agg(F.sum("black").alias("n_black"),
+                   F.max("n").alias("n_cells"))
+    return (blacks.crossJoin(agg)
+            .select(F.col("n_cells").cast("long").alias("n_cells"),
+                    F.col("n_black").cast("long").alias("n_black"),
+                    F.col("w_pairs").cast("long").alias("w_pairs"),
+                    "bb", "bw", "ww"))
+
+
+def getis_general_g(cells: DataFrame, x_col: str = "n",
+                    cx_col: str = "cell_x", cy_col: str = "cell_y",
+                    ring: int = 1) -> DataFrame:
+    """Getis-Ord General G — the GLOBAL companion to the per-cell
+    ``getis_ord_gi_star``: do HIGH values cluster (G above its
+    expectation W/(N(N−1))), as opposed to Moran's I which clusters
+    deviations of either sign. Binary queen weights over the Chebyshev
+    ``ring``, self EXCLUDED (the non-star convention):
+
+        G = Σ_{i≠j} w_ij x_i x_j / Σ_{i≠j} x_i x_j
+
+    Numerator: within-ring ordered products (the exploded (2r+1)²−1
+    offset equi-join); denominator: (Σx)² − Σx² — both exact
+    decimal(38,0) integers, ONE final division rounded 9 dp.
+    Output one row: (n_cells, w_pairs, num, den, general_g); NULL G
+    when the denominator is 0 (≤1 nonzero cell) or no adjacency.
+    """
+    base = cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(x_col).cast("long").alias("x"))
+    xd = F.col("x").cast("decimal(38,0)")
+    tot = base.agg(F.count(F.lit(1)).alias("n_cells"),
+                   F.sum(xd).alias("s_d"),
+                   F.sum(xd * xd).alias("q_d"))
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1) if not (dx == 0 and dy == 0)])
+    left = (base.select(F.col("x").alias("x_i"),
+                        F.explode(offs).alias("o"),
+                        F.col("cx"), F.col("cy"))
+            .select("x_i",
+                    (F.col("cx") + F.col("o.dx")).alias("cx"),
+                    (F.col("cy") + F.col("o.dy")).alias("cy")))
+    pairs = left.join(base.select("cx", "cy", F.col("x").alias("x_j")),
+                      ["cx", "cy"], "inner")
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.coalesce(F.sum(F.col("x_i").cast("decimal(38,0)")
+                         * F.col("x_j").cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)")).alias("num_d"))
+    out = tot.crossJoin(num)
+    den_d = F.col("s_d") * F.col("s_d") - F.col("q_d")
+    g = F.when((den_d != 0) & (F.col("w_pairs") > 0),
+               F.round(F.col("num_d").cast("double")
+                       / den_d.cast("double"), 9))
+    return out.select(
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("w_pairs").cast("long").alias("w_pairs"),
+        F.col("num_d").cast("long").alias("num"),
+        den_d.cast("long").alias("den"),
+        g.alias("general_g"))

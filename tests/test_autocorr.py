@@ -208,3 +208,168 @@ def test_geary_no_adjacency_null(spark):
     r = _run_geary(spark, cells)
     assert r["geary_c"] is None
     assert r["w_pairs"] == 0
+
+
+# ---------------------------------------------------------------------------
+# local_morans_i (LISA)
+# ---------------------------------------------------------------------------
+
+from osmspark.spatial.autocorr import (getis_general_g, join_counts,
+                                       local_morans_i)
+
+
+def _lisa_np(cells):
+    xs = np.array([c[2] for c in cells], dtype=float)
+    n = len(cells)
+    z = xs - xs.mean()
+    m2 = (z ** 2).sum() / n
+    pos = {(c[0], c[1]): i for i, c in enumerate(cells)}
+    out = {}
+    for (cx, cy), i in pos.items():
+        lsum = sum(z[pos[(cx + dx, cy + dy)]]
+                   for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+                   if (cx + dx, cy + dy) in pos)
+        out[(cx, cy)] = z[i] * lsum / m2
+    return out
+
+
+def test_lisa_matches_numpy(spark):
+    cells = [(x, y, (x * 3 + y * 7) % 11 + 1)
+             for x in range(5) for y in range(4)]
+    df = spark.createDataFrame(cells, "cell_x long, cell_y long, n long")
+    ref = _lisa_np(cells)
+    for r in local_morans_i(df).collect():
+        assert abs(r["lisa_i"] - ref[(r["cell_x"], r["cell_y"])]) < 1e-6
+
+
+def test_lisa_sums_to_global_numerator(spark):
+    # sum over i of dev_i*lsum_i equals the global Moran numerator,
+    # so sum(lisa_i) == N * global num/den == W/1 * moran_i... pin
+    # the exact integer identity instead: sum(dev*lsum)*N == num*N
+    cells = [(x, y, (x * x + 2 * y) % 7 + 1)
+             for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(cells, "cell_x long, cell_y long, n long")
+    rows = local_morans_i(df).collect()
+    g = morans_i(df).collect()[0]
+    assert sum(r["dev"] * r["lsum"] for r in rows) == g["num"]
+
+
+def test_lisa_isolated_cell_zero(spark):
+    cells = [(0, 0, 5), (10, 10, 9), (10, 11, 1)]
+    rows = {(r["cell_x"], r["cell_y"]): r
+            for r in local_morans_i(spark.createDataFrame(
+                cells, "cell_x long, cell_y long, n long")).collect()}
+    r = rows[(0, 0)]
+    assert r["w_i"] == 0 and r["lsum"] == 0 and r["lisa_i"] == 0.0
+
+
+def test_lisa_constant_field_null(spark):
+    cells = [(x, y, 4) for x in range(3) for y in range(3)]
+    rows = local_morans_i(spark.createDataFrame(
+        cells, "cell_x long, cell_y long, n long")).collect()
+    assert all(r["lisa_i"] is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# join_counts
+# ---------------------------------------------------------------------------
+
+
+def _jc_np(cells):
+    xs = [c[2] for c in cells]
+    n, s = len(cells), sum(xs)
+    black = {(c[0], c[1]): (n * c[2] > s) for c in cells}
+    bb = bw = ww = 0
+    seen = set()
+    for (cx, cy), bi in black.items():
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            other = (cx + dx, cy + dy)
+            if other in black and ((cx, cy), other) not in seen:
+                seen.add(((cx, cy), other))
+                seen.add((other, (cx, cy)))
+                bj = black[other]
+                if bi and bj:
+                    bb += 1
+                elif bi != bj:
+                    bw += 1
+                else:
+                    ww += 1
+    return bb, bw, ww
+
+
+def test_join_counts_brute_force(spark):
+    cells = [(x, y, (x * 5 + y * 3) % 9)
+             for x in range(5) for y in range(5)]
+    r = join_counts(spark.createDataFrame(
+        cells, "cell_x long, cell_y long, n long")).collect()[0]
+    bb, bw, ww = _jc_np(cells)
+    assert (r["bb"], r["bw"], r["ww"]) == (bb, bw, ww)
+    assert r["bb"] + r["bw"] + r["ww"] == r["w_pairs"] // 2
+
+
+def test_join_counts_checkerboard_all_bw(spark):
+    cells = [(x, y, 10 if (x + y) % 2 == 0 else 0)
+             for x in range(4) for y in range(4)]
+    r = join_counts(spark.createDataFrame(
+        cells, "cell_x long, cell_y long, n long")).collect()[0]
+    assert r["bb"] == 0 and r["ww"] == 0 and r["bw"] == 24
+    assert r["n_black"] == 8
+
+
+def test_join_counts_two_halves(spark):
+    # left half black, right half white: exactly one BW column
+    cells = [(x, y, 9 if x < 2 else 1)
+             for x in range(4) for y in range(3)]
+    r = join_counts(spark.createDataFrame(
+        cells, "cell_x long, cell_y long, n long")).collect()[0]
+    assert r["bw"] == 3
+    assert r["bb"] == 7 and r["ww"] == 7
+
+
+# ---------------------------------------------------------------------------
+# getis_general_g
+# ---------------------------------------------------------------------------
+
+
+def _gg_np(cells, ring=1):
+    xs = {(c[0], c[1]): c[2] for c in cells}
+    num = 0
+    w = 0
+    for (cx, cy), xi in xs.items():
+        for dx in range(-ring, ring + 1):
+            for dy in range(-ring, ring + 1):
+                if dx == 0 and dy == 0:
+                    continue
+                xj = xs.get((cx + dx, cy + dy))
+                if xj is not None:
+                    num += xi * xj
+                    w += 1
+    s = sum(xs.values())
+    den = s * s - sum(v * v for v in xs.values())
+    return num, den, w
+
+
+def test_general_g_brute_force(spark):
+    cells = [(x, y, (x * 7 + y) % 6 + 1)
+             for x in range(4) for y in range(5)]
+    r = getis_general_g(spark.createDataFrame(
+        cells, "cell_x long, cell_y long, n long")).collect()[0]
+    num, den, w = _gg_np(cells)
+    assert (r["num"], r["den"], r["w_pairs"]) == (num, den, w)
+    assert abs(r["general_g"] - num / den) < 1e-9
+
+
+def test_general_g_hot_cluster_above_expectation(spark):
+    # all mass adjacent -> G far above E[G] = W / (N(N-1))
+    cells = [(0, 0, 50), (0, 1, 50)] + \
+            [(x, y, 1) for x in range(5, 9) for y in range(5, 9)]
+    r = getis_general_g(spark.createDataFrame(
+        cells, "cell_x long, cell_y long, n long")).collect()[0]
+    n, w = r["n_cells"], r["w_pairs"]
+    assert r["general_g"] > w / (n * (n - 1)) * 2
+
+
+def test_general_g_single_cell_null(spark):
+    r = getis_general_g(spark.createDataFrame(
+        [(0, 0, 5)], "cell_x long, cell_y long, n long")).collect()[0]
+    assert r["general_g"] is None
