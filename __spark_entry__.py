@@ -1984,6 +1984,21 @@ def _q_bfs_hops(spark, sf_dir):
     return shortest_hops(edges, 1).orderBy("node")
 
 
+def _q_assortativity(spark, sf_dir):
+    """Degree assortativity (osmspark/graph/assortativity.py) over the
+    same 101-node undirected graph as bfs_hops_from1: Newman's r as
+    the cleared-fraction ratio (4M·Sjk − S1²)/(2M·S2 − S1²) of exact
+    decimal moment sums — ONE division, 9 dp. Oracle recomputes the
+    canonical edge list, degree census and moments in plain SQL."""
+    from osmspark.graph import degree_assortativity
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.col("doc_id") % 101
+    d = (F.col("doc_id") * 31 + 7) % 101
+    edges = (docs.select(s.alias("src"), d.alias("dst"))
+             .filter((s % 10 != 0) & (s != d)).distinct())
+    return degree_assortativity(edges)
+
+
 def _q_hll_distinct(spark, sf_dir):
     """Mergeable HyperLogLog distinct sketch (osmspark/pipeline/
     cardinality.py): distinct customers per order priority, m=64
@@ -3074,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lisa_halfdeg": _q_lisa,
         "join_counts_mean": _q_join_counts,
         "general_g_ring1": _q_general_g,
+        "degree_assortativity": _q_assortativity,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -4414,6 +4430,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE sp.dist + e.w < 19 * 101)
           SELECT node, CAST(min(dist) AS BIGINT) AS dist
           FROM sp GROUP BY node ORDER BY node
+        """,
+        # assortativity: canonical edges -> degree census -> moments
+        "degree_assortativity": """
+          WITH e0 AS (
+            SELECT doc_id % 101 AS s, (doc_id * 31 + 7) % 101 AS d
+            FROM documents),
+          canon AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM e0 WHERE s % 10 != 0 AND s != d),
+          deg AS (
+            SELECT node, count(*) AS dg FROM (
+              SELECT a AS node FROM canon
+              UNION ALL SELECT b FROM canon) GROUP BY node),
+          e AS (
+            SELECT da.dg AS j, db.dg AS k
+            FROM canon c
+            JOIN deg da ON da.node = c.a
+            JOIN deg db ON db.node = c.b),
+          g AS (
+            SELECT count(*) AS m, sum(j * k) AS s_jk,
+                   sum(j + k) AS s_1, sum(j * j + k * k) AS s_2
+            FROM e)
+          SELECT CAST(m AS BIGINT) AS m_edges,
+                 CAST(s_jk AS BIGINT) AS s_jk,
+                 CAST(s_1 AS BIGINT) AS s_1,
+                 CAST(s_2 AS BIGINT) AS s_2,
+                 CASE WHEN 2 * m * s_2 - s_1 * s_1 != 0 THEN
+                   round(CAST(4 * m * s_jk - s_1 * s_1 AS DOUBLE)
+                         / CAST(2 * m * s_2 - s_1 * s_1 AS DOUBLE), 9)
+                 END AS assortativity
+          FROM g
         """,
         "bfs_hops_from1": """
           WITH RECURSIVE e0 AS (
