@@ -1749,6 +1749,28 @@ def _q_general_g(spark, sf_dir):
     return getis_general_g(cells)
 
 
+def _q_knox(spark, sf_dir):
+    """Knox space-time interaction statistic (osmspark/spatial/
+    spacetime.py:knox_statistic) over every 4th event point, δ = 2°
+    (2e6 µdeg equirectangular), τ = 24 h: the engine never goes
+    all-pairs (3×3 δ-cell + 3-offset τ-bin bucket self-joins, both
+    pairs-once by construction); the oracle IS the O(n²) brute force
+    on the same subsample — two algorithms, identical exact counts,
+    and the two ratios are single divisions of exact integers."""
+    from osmspark.spatial.spacetime import knox_statistic
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat = (F.lit(-90.0) + (F.col("event_id") * 7919 % 18000) / F.lit(100.0))
+    lon = (F.lit(-180.0) + (F.col("event_id") * 104729 % 36000)
+           / F.lit(100.0))
+    pts = (ev.filter(F.col("event_id") % 4 == 0)
+           .select(F.col("event_id").alias("id"),
+                   F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("ts_us"),
+                   lat.alias("lat"), lon.alias("lon")))
+    return knox_statistic(pts, radius_udeg=2_000_000,
+                          tau_us=86_400_000_000)
+
+
 def _q_gi_star(spark, sf_dir):
     """Getis-Ord Gi* hot-spot z-scores
     (osmspark/spatial/autocorr.py:getis_ord_gi_star) over the same
@@ -3090,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_counts_mean": _q_join_counts,
         "general_g_ring1": _q_general_g,
         "degree_assortativity": _q_assortativity,
+        "knox_spacetime": _q_knox,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -4741,6 +4764,43 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(n - 1 AS DOUBLE))), 9)
                  END AS gi_z
           FROM calc ORDER BY cell_x, cell_y
+        """,
+        # Knox: the O(n^2) brute force vs the engine's bucket joins
+        "knox_spacetime": """
+          WITH pts AS (
+            SELECT event_id AS id, epoch_us(ts) AS t,
+                   CAST(round((-90.0 + (event_id * 7919 % 18000)
+                               / 100.0) * 1000000.0, 0) AS BIGINT) AS ux,
+                   CAST(round((-180.0 + (event_id * 104729 % 36000)
+                               / 100.0) * 1000000.0, 0) AS BIGINT) AS uy
+            FROM events WHERE event_id % 4 = 0),
+          p AS (
+            SELECT (a.ux - b.ux) AS dx, (a.uy - b.uy) AS dy,
+                   abs(a.t - b.t) AS dt
+            FROM pts a JOIN pts b ON a.id < b.id),
+          f AS (
+            SELECT CASE WHEN dx * dx + dy * dy
+                             <= 4000000000000 THEN 1 ELSE 0 END AS cs,
+                   CASE WHEN dt <= 86400000000 THEN 1 ELSE 0 END AS ct
+            FROM p),
+          agg AS (
+            SELECT count(*) AS n_pairs, sum(cs) AS ns, sum(ct) AS nt,
+                   sum(cs * ct) AS nb
+            FROM f)
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_events,
+                 CAST(n_pairs AS BIGINT) AS n_pairs,
+                 CAST(ns AS BIGINT) AS n_space,
+                 CAST(nt AS BIGINT) AS n_time,
+                 CAST(nb AS BIGINT) AS n_both,
+                 CASE WHEN n_pairs != 0 THEN
+                   round(CAST(ns * nt AS DOUBLE)
+                         / CAST(n_pairs AS DOUBLE), 9)
+                 END AS expected,
+                 CASE WHEN ns * nt != 0 THEN
+                   round(CAST(nb * n_pairs AS DOUBLE)
+                         / CAST(ns * nt AS DOUBLE), 9)
+                 END AS knox_ratio
+          FROM agg
         """,
         # LISA: brute adjacency left join; integer witnesses + 1 div
         "lisa_halfdeg": """

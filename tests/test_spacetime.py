@@ -1,0 +1,84 @@
+"""Knox space-time statistic — osmspark/spatial/spacetime.py.
+
+Brute-force O(n^2) reference over irregular point sets, exact pair
+counts, and the bucket-join pair-dedup invariants (each unordered
+pair surfaces exactly once regardless of cell/bin straddling).
+"""
+
+import itertools
+
+from osmspark.spatial.spacetime import knox_statistic
+
+SCHEMA = "id long, ts_us long, lat double, lon double"
+
+
+def _brute(pts, r_udeg, tau_us):
+    def u(v):
+        # round-half-away-from-zero, like Spark/DuckDB round()
+        import decimal
+        return int(decimal.Decimal(v * 1e6).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+    ns = nt = nb = 0
+    for a, b in itertools.combinations(pts, 2):
+        close_s = ((u(a[2]) - u(b[2])) ** 2
+                   + (u(a[3]) - u(b[3])) ** 2) <= r_udeg ** 2
+        close_t = abs(a[1] - b[1]) <= tau_us
+        ns += close_s
+        nt += close_t
+        nb += close_s and close_t
+    return ns, nt, nb
+
+
+def test_matches_brute_force(spark):
+    pts = [(i, (i * 37) % 101 * 3600_000_000,
+            0.01 * ((i * 7) % 50), 0.01 * ((i * 13) % 60))
+           for i in range(80)]
+    r = knox_statistic(spark.createDataFrame(pts, SCHEMA),
+                       radius_udeg=200_000,
+                       tau_us=10 * 3600_000_000).collect()[0]
+    ns, nt, nb = _brute(pts, 200_000, 10 * 3600_000_000)
+    assert (r["n_space"], r["n_time"], r["n_both"]) == (ns, nt, nb)
+    assert r["n_pairs"] == 80 * 79 // 2
+    assert abs(r["expected"] - ns * nt / r["n_pairs"]) < 1e-9
+    assert abs(r["knox_ratio"] - nb * r["n_pairs"] / (ns * nt)) < 1e-9
+
+
+def test_cell_straddling_pair_counted_once(spark):
+    # two points in adjacent cells but within radius; identical again
+    # across the time-bin boundary
+    pts = [(1, 86_400_000_000 - 1, 0.199, 0.0),
+           (2, 86_400_000_000 + 1, 0.201, 0.0)]
+    r = knox_statistic(spark.createDataFrame(pts, SCHEMA),
+                       radius_udeg=200_000,
+                       tau_us=86_400_000_000).collect()[0]
+    assert r["n_space"] == 1 and r["n_time"] == 1 and r["n_both"] == 1
+
+
+def test_negative_coords_and_exact_radius(spark):
+    # distance exactly == radius is INSIDE (<=)
+    pts = [(1, 0, -0.1, -0.1), (2, 0, -0.1, -0.3)]
+    r = knox_statistic(spark.createDataFrame(pts, SCHEMA),
+                       radius_udeg=200_000, tau_us=1).collect()[0]
+    assert r["n_space"] == 1 and r["n_both"] == 1
+
+
+def test_no_interaction_null_ratio(spark):
+    # space-close pairs exist, time-close none -> ratio NULL
+    pts = [(1, 0, 0.0, 0.0), (2, 10 ** 15, 0.01, 0.0)]
+    r = knox_statistic(spark.createDataFrame(pts, SCHEMA),
+                       radius_udeg=200_000, tau_us=1000).collect()[0]
+    assert r["n_space"] == 1 and r["n_time"] == 0
+    assert r["knox_ratio"] is None and r["expected"] == 0.0
+
+
+def test_partitioning_invariance(spark):
+    pts = [(i, (i * 1337) % 73 * 1_000_000_000,
+            0.05 * ((i * 3) % 17), 0.05 * ((i * 11) % 19))
+           for i in range(120)]
+    a = knox_statistic(spark.createDataFrame(pts, SCHEMA).repartition(1),
+                       radius_udeg=150_000, tau_us=30_000_000_000
+                       ).collect()[0]
+    b = knox_statistic(spark.createDataFrame(pts, SCHEMA).repartition(17),
+                       radius_udeg=150_000, tau_us=30_000_000_000
+                       ).collect()[0]
+    assert tuple(a) == tuple(b)
