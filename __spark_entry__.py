@@ -2021,6 +2021,50 @@ def _q_assortativity(spark, sf_dir):
     return degree_assortativity(edges)
 
 
+def _q_contact_pairs(spark, sf_dir):
+    """Co-location contacts (osmspark/spatial/spacetime.py:
+    contact_pairs) over the synthetic user walks: fix pairs from
+    different users within 8° equirectangular AND 48 h, rolled up per
+    unordered user pair — the contact-tracing primitive. Engine uses
+    the 3×3 δ-cell bucket join; the oracle is the brute-force cross
+    join on the same 30-user subset. Integer-only — hash-exact."""
+    from osmspark.spatial.spacetime import contact_pairs
+    pts = _trip_points(spark, sf_dir, 30)
+    return (contact_pairs(pts, radius_udeg=8_000_000,
+                          tau_us=172_800_000_000)
+            .orderBy("user_a", "user_b"))
+
+
+def _q_reciprocity(spark, sf_dir):
+    """Directed link reciprocity (osmspark/graph/structure.py:
+    reciprocity) over the directed 101-node synthetic graph (the
+    bfs_hops edge synthesis WITHOUT canonicalization): count directed
+    edges whose reverse exists — a mutual pair contributes 2 — over
+    the distinct edge set; ONE division, 9 dp."""
+    from osmspark.graph import reciprocity
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.col("doc_id") % 101
+    d = (F.col("doc_id") * 31 + 7) % 101
+    edges = (docs.select(s.alias("src"), d.alias("dst"))
+             .filter((s % 10 != 0) & (s != d)).distinct())
+    return reciprocity(edges)
+
+
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficients φ(k) for k ∈ {1,2,3,5,8} (osmspark/
+    graph/structure.py:rich_club) over the canonical undirected
+    101-node graph: N_k / E_k censuses from ONE explode over the
+    threshold list (no per-k rescan), φ = 2·E_k/(N_k(N_k−1)) — one
+    division per row, 9 dp, NULL when N_k < 2."""
+    from osmspark.graph import rich_club
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.col("doc_id") % 101
+    d = (F.col("doc_id") * 31 + 7) % 101
+    edges = (docs.select(s.alias("src"), d.alias("dst"))
+             .filter((s % 10 != 0) & (s != d)).distinct())
+    return rich_club(edges, ks=[1, 2, 3, 5, 8]).orderBy("k")
+
+
 def _q_hll_distinct(spark, sf_dir):
     """Mergeable HyperLogLog distinct sketch (osmspark/pipeline/
     cardinality.py): distinct customers per order priority, m=64
@@ -3113,6 +3157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "general_g_ring1": _q_general_g,
         "degree_assortativity": _q_assortativity,
         "knox_spacetime": _q_knox,
+        "contact_pairs_8deg": _q_contact_pairs,
+        "reciprocity_g101": _q_reciprocity,
+        "rich_club_k5": _q_rich_club,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -4453,6 +4500,77 @@ def oracle_sql() -> dict[str, str]:
             WHERE sp.dist + e.w < 19 * 101)
           SELECT node, CAST(min(dist) AS BIGINT) AS dist
           FROM sp GROUP BY node ORDER BY node
+        """,
+        # contacts: brute cross join on fixes vs bucketed engine
+        "contact_pairs_8deg": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=30) + """),
+          u AS (
+            SELECT trip, pid, ts,
+                   CAST(round(lat * 1000000.0, 0) AS BIGINT) AS ux,
+                   CAST(round(lon * 1000000.0, 0) AS BIGINT) AS uy
+            FROM pts),
+          hits AS (
+            SELECT least(a.trip, b.trip) AS user_a,
+                   greatest(a.trip, b.trip) AS user_b
+            FROM u a JOIN u b ON a.pid < b.pid AND a.trip != b.trip
+            WHERE (a.ux - b.ux) * (a.ux - b.ux)
+                    + (a.uy - b.uy) * (a.uy - b.uy)
+                  <= 64000000000000
+              AND abs(a.ts - b.ts) <= 172800000000)
+          SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_contacts
+          FROM hits GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # reciprocity: distinct directed edges, reverse semi-join
+        "reciprocity_g101": """
+          WITH e AS (
+            SELECT DISTINCT doc_id % 101 AS a,
+                            (doc_id * 31 + 7) % 101 AS b
+            FROM documents
+            WHERE doc_id % 101 % 10 != 0
+              AND doc_id % 101 != (doc_id * 31 + 7) % 101),
+          m AS (
+            SELECT count(*) AS n_rec
+            FROM e WHERE EXISTS (SELECT 1 FROM e r
+                                 WHERE r.a = e.b AND r.b = e.a))
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                 CAST(n_rec AS BIGINT) AS n_reciprocal,
+                 round(CAST(n_rec AS DOUBLE)
+                       / CAST((SELECT count(*) FROM e) AS DOUBLE), 9)
+                   AS reciprocity
+          FROM m
+        """,
+        # rich club: per-k census over the canonical undirected graph
+        "rich_club_k5": """
+          WITH e0 AS (
+            SELECT doc_id % 101 AS s, (doc_id * 31 + 7) % 101 AS d
+            FROM documents),
+          canon AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM e0 WHERE s % 10 != 0 AND s != d),
+          deg AS (
+            SELECT node, count(*) AS dg FROM (
+              SELECT a AS node FROM canon
+              UNION ALL SELECT b FROM canon) GROUP BY node),
+          ks AS (SELECT unnest([1, 2, 3, 5, 8]) AS k),
+          nk AS (
+            SELECT k, sum(CASE WHEN dg > k THEN 1 ELSE 0 END) AS n_nodes
+            FROM ks, deg GROUP BY k),
+          ek AS (
+            SELECT k, sum(CASE WHEN least(da.dg, db.dg) > k
+                               THEN 1 ELSE 0 END) AS n_edges
+            FROM ks, canon c
+            JOIN deg da ON da.node = c.a
+            JOIN deg db ON db.node = c.b
+            GROUP BY k)
+          SELECT nk.k, CAST(nk.n_nodes AS BIGINT) AS n_nodes,
+                 CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+                 CASE WHEN nk.n_nodes > 1 THEN
+                   round(2.0 * coalesce(ek.n_edges, 0)
+                         / CAST(nk.n_nodes * (nk.n_nodes - 1)
+                                AS DOUBLE), 9)
+                 END AS phi
+          FROM nk LEFT JOIN ek ON nk.k = ek.k
+          ORDER BY nk.k
         """,
         # assortativity: canonical edges -> degree census -> moments
         "degree_assortativity": """

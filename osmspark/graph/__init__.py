@@ -4,8 +4,9 @@ from .centrality import closeness_centrality, multi_source_hops
 from .cc import cc_labels
 from .pagerank import pagerank_mass
 from .sssp import shortest_paths
+from .structure import reciprocity, rich_club
 from .triangles import clustering_coefficients, triangle_counts
 
 __all__ = ["cc_labels", "clustering_coefficients", "degree_assortativity",
-           "pagerank_mass", "shortest_hops", "shortest_paths",
-           "triangle_counts"]
+           "pagerank_mass", "reciprocity", "rich_club",
+           "shortest_hops", "shortest_paths", "triangle_counts"]

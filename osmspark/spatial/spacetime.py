@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["knox_statistic"]
+__all__ = ["knox_statistic", "contact_pairs"]
 
 
 def _udeg(c: F.Column) -> F.Column:
@@ -117,3 +117,62 @@ def knox_statistic(points: DataFrame, radius_udeg: int, tau_us: int,
         F.col("n_both").cast("long").alias("n_both"),
         expected.alias("expected"),
         ratio.alias("knox_ratio"))
+
+
+def contact_pairs(points: DataFrame, radius_udeg: int, tau_us: int,
+                  user_col: str = "trip_id", id_col: str = "id",
+                  ts_col: str = "ts_us", lat_col: str = "lat",
+                  lon_col: str = "lon") -> DataFrame:
+    """Co-location contact detection — the per-pair companion to the
+    global ``knox_statistic``: WHICH users were within δ of each other
+    within τ, and how often. The contact-tracing / flock-mining
+    primitive over raw fixes.
+
+    A contact is an unordered pair of fixes from two DIFFERENT users
+    with (Δux)² + (Δuy)² ≤ δ² and |Δts| ≤ τ; contacts roll up per
+    unordered user pair. Fix pairs dedup by fix id (i < j surfaces
+    each candidate exactly once through the 3×3 δ-cell bucket join —
+    the cell offset is determined by the pair); users order by
+    least/greatest afterwards, so (a, b) rows are canonical.
+
+    Spatial candidates come from the same δ-cell bucket self-join as
+    knox_statistic (never all-pairs); the τ window is a FILTER on the
+    carried timestamps. Integer-only end to end — trivially
+    engine-exact. Output: (user_a, user_b, n_contacts).
+    """
+    r = int(radius_udeg)
+    t = int(tau_us)
+    pt = points.select(F.col(user_col).alias("u"),
+                       F.col(id_col).alias("pid"),
+                       F.col(ts_col).alias("ts"),
+                       _udeg(F.col(lat_col)).alias("ux"),
+                       _udeg(F.col(lon_col)).alias("uy"))
+    cell = pt.select(
+        "u", "pid", "ts", "ux", "uy",
+        F.floor(F.col("ux") / F.lit(float(r))).cast("long").alias("cx"),
+        F.floor(F.col("uy") / F.lit(float(r))).cast("long").alias("cy"))
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    left = (cell.select(F.col("u").alias("u_i"),
+                        F.col("pid").alias("pid_i"),
+                        F.col("ts").alias("ts_i"),
+                        F.col("ux").alias("ux_i"),
+                        F.col("uy").alias("uy_i"),
+                        F.explode(offs).alias("o"), "cx", "cy")
+            .select("u_i", "pid_i", "ts_i", "ux_i", "uy_i",
+                    (F.col("cx") + F.col("o.dx")).alias("cx"),
+                    (F.col("cy") + F.col("o.dy")).alias("cy")))
+    dx = F.col("ux_i") - F.col("ux")
+    dy = F.col("uy_i") - F.col("uy")
+    hits = (left.join(cell.select("u", "pid", "ts", "ux", "uy",
+                                  "cx", "cy"), ["cx", "cy"], "inner")
+            .filter((F.col("pid_i") < F.col("pid"))
+                    & (F.col("u_i") != F.col("u"))
+                    & (dx * dx + dy * dy <= F.lit(r * r))
+                    & (F.abs(F.col("ts_i") - F.col("ts")) <= t)))
+    return (hits.groupBy(
+        F.least(F.col("u_i"), F.col("u")).alias("user_a"),
+        F.greatest(F.col("u_i"), F.col("u")).alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("n_contacts")))

@@ -82,3 +82,43 @@ def test_partitioning_invariance(spark):
                        radius_udeg=150_000, tau_us=30_000_000_000
                        ).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+# ---------------------------------------------------------------------------
+# contact_pairs
+# ---------------------------------------------------------------------------
+
+from osmspark.spatial.spacetime import contact_pairs
+
+USCHEMA = "trip_id long, id long, ts_us long, lat double, lon double"
+
+
+def test_contacts_brute_force(spark):
+    pts = [(i % 5, i, (i * 41) % 67 * 1_000_000_000,
+            0.03 * ((i * 7) % 13), 0.03 * ((i * 11) % 17))
+           for i in range(100)]
+    got = {(r["user_a"], r["user_b"]): r["n_contacts"]
+           for r in contact_pairs(
+               spark.createDataFrame(pts, USCHEMA),
+               radius_udeg=100_000, tau_us=20_000_000_000).collect()}
+    import itertools
+    ref = {}
+    for a, b in itertools.combinations(pts, 2):
+        if a[0] == b[0]:
+            continue
+        du = round(a[3] * 1e6) - round(b[3] * 1e6)
+        dv = round(a[4] * 1e6) - round(b[4] * 1e6)
+        if du * du + dv * dv <= 100_000 ** 2 and \
+           abs(a[2] - b[2]) <= 20_000_000_000:
+            key = tuple(sorted((a[0], b[0])))
+            ref[key] = ref.get(key, 0) + 1
+    assert got == ref
+
+
+def test_contacts_same_user_excluded(spark):
+    pts = [(1, 0, 0, 0.0, 0.0), (1, 1, 0, 0.0, 0.0),
+           (2, 2, 0, 0.0, 0.0)]
+    rows = contact_pairs(spark.createDataFrame(pts, USCHEMA),
+                         radius_udeg=1000, tau_us=1000).collect()
+    assert {(r["user_a"], r["user_b"], r["n_contacts"])
+            for r in rows} == {(1, 2, 2)}
