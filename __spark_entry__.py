@@ -1771,6 +1771,51 @@ def _q_knox(spark, sf_dir):
                           tau_us=86_400_000_000)
 
 
+def _q_gi_star_st(spark, sf_dir):
+    """Space-time Getis-Ord Gi* (osmspark/spatial/spacetime.py:
+    gi_star_spacetime) over 2° cells × 7-day bins of the event
+    points — the hot-spot half of emerging-hot-spot analysis; the
+    27-offset (3×3×3) equi-join vs the oracle's brute Chebyshev
+    self-join with a time axis; identical exact A/B/C algebra to
+    gi_star_hotspots."""
+    from osmspark.spatial.spacetime import gi_star_spacetime
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat = (F.lit(-90.0) + (F.col("event_id") * 7919 % 18000) / F.lit(100.0))
+    lon = (F.lit(-180.0) + (F.col("event_id") * 104729 % 36000)
+           / F.lit(100.0))
+    week = (F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(604_800_000_000)).cast("long")
+    bins = (ev.select(F.floor(lon / 2.0).cast("long").alias("cell_x"),
+                      F.floor(lat / 2.0).cast("long").alias("cell_y"),
+                      week.alias("tbin"))
+            .groupBy("cell_x", "cell_y", "tbin")
+            .agg(F.count(F.lit(1)).alias("n")))
+    return (gi_star_spacetime(bins)
+            .orderBy("cell_x", "cell_y", "tbin"))
+
+
+def _q_mann_kendall(spark, sf_dir):
+    """Per-cell Mann-Kendall trend test (osmspark/spatial/trend.py:
+    mann_kendall) over daily event counts on 2° cells — the trend
+    half of emerging-hot-spot analysis: S and the tie-corrected V18
+    are exact integers (sign compares + censuses), z is the only
+    float (÷18.0, sqrt, one division — identical IEEE ops both
+    engines), 9 dp. Oracle mirrors the pair join and tie census."""
+    from osmspark.spatial.trend import mann_kendall
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat = (F.lit(-90.0) + (F.col("event_id") * 7919 % 18000) / F.lit(100.0))
+    lon = (F.lit(-180.0) + (F.col("event_id") * 104729 % 36000)
+           / F.lit(100.0))
+    day = (F.unix_micros(F.col("ts").cast("timestamp"))
+           / F.lit(86_400_000_000)).cast("long")
+    daily = (ev.select(F.floor(lon / 2.0).cast("long").alias("cell_x"),
+                       F.floor(lat / 2.0).cast("long").alias("cell_y"),
+                       day.alias("day"))
+             .groupBy("cell_x", "cell_y", "day")
+             .agg(F.count(F.lit(1)).alias("y")))
+    return mann_kendall(daily).orderBy("cell_x", "cell_y")
+
+
 def _q_gi_star(spark, sf_dir):
     """Getis-Ord Gi* hot-spot z-scores
     (osmspark/spatial/autocorr.py:getis_ord_gi_star) over the same
@@ -3160,6 +3205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contact_pairs_8deg": _q_contact_pairs,
         "reciprocity_g101": _q_reciprocity,
         "rich_club_k5": _q_rich_club,
+        "gi_star_spacetime": _q_gi_star_st,
+        "mann_kendall_2deg": _q_mann_kendall,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -4882,6 +4929,89 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(n - 1 AS DOUBLE))), 9)
                  END AS gi_z
           FROM calc ORDER BY cell_x, cell_y
+        """,
+        # space-time Gi*: brute 3-axis Chebyshev self-join
+        "gi_star_spacetime": """
+          WITH bins AS (
+            SELECT CAST(floor((-180.0 + (event_id * 104729 % 36000)
+                               / 100.0) / 2.0) AS BIGINT) AS cx,
+                   CAST(floor((-90.0 + (event_id * 7919 % 18000)
+                               / 100.0) / 2.0) AS BIGINT) AS cy,
+                   epoch_us(ts) // 604800000000 AS tb,
+                   count(*) AS x
+            FROM events GROUP BY 1, 2, 3),
+          tot AS (SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS q
+                  FROM bins),
+          nbr AS (
+            SELECT a.cx, a.cy, a.tb, count(*) AS w_i,
+                   sum(b.x) AS l_sum
+            FROM bins a JOIN bins b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+                 AND abs(a.tb - b.tb) <= 1
+            GROUP BY 1, 2, 3),
+          calc AS (
+            SELECT c.cx, c.cy, c.tb, c.x, nbr.w_i, nbr.l_sum,
+                   (n * nbr.l_sum - s * nbr.w_i) AS a_num,
+                   (n * q - s * s) AS b_d,
+                   (n * nbr.w_i - nbr.w_i * nbr.w_i) AS c_i, n
+            FROM bins c
+            JOIN nbr ON c.cx = nbr.cx AND c.cy = nbr.cy
+                        AND c.tb = nbr.tb, tot)
+          SELECT cx AS cell_x, cy AS cell_y, tb AS tbin,
+                 CAST(x AS BIGINT) AS x,
+                 CAST(w_i AS BIGINT) AS w_i,
+                 CAST(l_sum AS BIGINT) AS l_sum,
+                 CAST(a_num AS BIGINT) AS a_num,
+                 CASE WHEN n > 1 AND c_i > 0 AND b_d > 0 THEN
+                   round(CAST(a_num AS DOUBLE)
+                         / (sqrt(CAST(b_d AS DOUBLE))
+                            * sqrt(CAST(c_i AS DOUBLE)
+                                   / CAST(n - 1 AS DOUBLE))), 9)
+                 END AS gi_z
+          FROM calc ORDER BY cell_x, cell_y, tbin
+        """,
+        # Mann-Kendall: pair sign join + tie census, one float tail
+        "mann_kendall_2deg": """
+          WITH daily AS (
+            SELECT CAST(floor((-180.0 + (event_id * 104729 % 36000)
+                               / 100.0) / 2.0) AS BIGINT) AS cx,
+                   CAST(floor((-90.0 + (event_id * 7919 % 18000)
+                               / 100.0) / 2.0) AS BIGINT) AS cy,
+                   epoch_us(ts) // 86400000000 AS d,
+                   count(*) AS y
+            FROM events GROUP BY 1, 2, 3),
+          s AS (
+            SELECT a.cx, a.cy,
+                   sum(CASE WHEN b.y > a.y THEN 1
+                            WHEN b.y < a.y THEN -1 ELSE 0 END) AS s_stat
+            FROM daily a JOIN daily b
+              ON a.cx = b.cx AND a.cy = b.cy AND a.d < b.d
+            GROUP BY 1, 2),
+          n AS (SELECT cx, cy, count(*) AS np FROM daily GROUP BY 1, 2),
+          ties AS (
+            SELECT cx, cy,
+                   sum(t_g * (t_g - 1) * (2 * t_g + 5)) AS tie_sum
+            FROM (SELECT cx, cy, y, count(*) AS t_g
+                  FROM daily GROUP BY 1, 2, 3)
+            GROUP BY 1, 2),
+          g AS (
+            SELECT n.cx, n.cy, n.np,
+                   coalesce(s.s_stat, 0) AS s_stat,
+                   (n.np * (n.np - 1) * (2 * n.np + 5)
+                    - ties.tie_sum) AS v18
+            FROM n JOIN ties ON n.cx = ties.cx AND n.cy = ties.cy
+            LEFT JOIN s ON n.cx = s.cx AND n.cy = s.cy)
+          SELECT cx AS cell_x, cy AS cell_y,
+                 CAST(np AS BIGINT) AS n_periods,
+                 CAST(s_stat AS BIGINT) AS s_stat,
+                 CAST(v18 AS BIGINT) AS v18,
+                 CASE WHEN v18 > 0 THEN
+                   round((CASE WHEN s_stat > 0 THEN s_stat - 1
+                               WHEN s_stat < 0 THEN s_stat + 1
+                               ELSE 0 END)
+                         / sqrt(CAST(v18 AS DOUBLE) / 18.0), 9)
+                 END AS mk_z
+          FROM g ORDER BY cell_x, cell_y
         """,
         # Knox: the O(n^2) brute force vs the engine's bucket joins
         "knox_spacetime": """

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["knox_statistic", "contact_pairs"]
+__all__ = ["knox_statistic", "contact_pairs", "gi_star_spacetime"]
 
 
 def _udeg(c: F.Column) -> F.Column:
@@ -176,3 +176,80 @@ def contact_pairs(points: DataFrame, radius_udeg: int, tau_us: int,
         F.least(F.col("u_i"), F.col("u")).alias("user_a"),
         F.greatest(F.col("u_i"), F.col("u")).alias("user_b"))
         .agg(F.count(F.lit(1)).alias("n_contacts")))
+
+
+def gi_star_spacetime(bins: DataFrame, x_col: str = "n",
+                      cx_col: str = "cell_x", cy_col: str = "cell_y",
+                      t_col: str = "tbin") -> DataFrame:
+    """Space-time Getis-Ord Gi* — the hot-spot statistic over the
+    space-TIME cube (the first half of "emerging hot spot analysis";
+    ``trend.mann_kendall`` over the per-cell series is the second):
+    each (cell, time-bin) gets a z-score against its 3×3×3
+    neighborhood (queen ring 1 in space × ±1 time step, self
+    included — the * variant).
+
+    Identical exact algebra to ``autocorr.getis_ord_gi_star`` — the
+    neighborhood just gains a third axis:
+
+        A_i = N·L_i − S·W_i   B = N·Q − S²   C_i = N·W_i − W_i²
+        Gi* = A_i / (sqrt(B) · sqrt(C_i / (N−1)))
+
+    with every input decimal(38,0)-exact over the OBSERVED bins
+    (absent space-time voxels are not zero observations — same
+    convention as the 2-D statistic) and a float tail of identical
+    exact operands, rounded 9 dp.
+
+    One exploded-27-offset equi-join on (cx, cy, tb) + one combinable
+    aggregation + broadcast global moments — the 2-D plan with a
+    wider key. NULL z when N = 1 or C_i = 0.
+    Output: (cell_x, cell_y, tbin, x, w_i, l_sum, a_num, gi_z).
+    """
+    base = bins.select(F.col(cx_col).alias("cx"),
+                       F.col(cy_col).alias("cy"),
+                       F.col(t_col).alias("tb"),
+                       F.col(x_col).cast("long").alias("x"))
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)")
+              * F.col("x").cast("decimal(38,0)")).alias("q_d"))
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(dt).alias("dt"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dt in (-1, 0, 1)])
+    left = (base.select(F.col("cx").alias("ox"), F.col("cy").alias("oy"),
+                        F.col("tb").alias("ot"),
+                        F.explode(offs).alias("o"))
+            .select("ox", "oy", "ot",
+                    (F.col("ox") + F.col("o.dx")).alias("cx"),
+                    (F.col("oy") + F.col("o.dy")).alias("cy"),
+                    (F.col("ot") + F.col("o.dt")).alias("tb")))
+    nbr = (left.join(base, ["cx", "cy", "tb"], "inner")
+           .groupBy("ox", "oy", "ot")
+           .agg(F.count(F.lit(1)).alias("w_i"),
+                F.sum("x").alias("l_sum")))
+
+    joined = (base.join(nbr, (F.col("cx") == F.col("ox"))
+                        & (F.col("cy") == F.col("oy"))
+                        & (F.col("tb") == F.col("ot")), "inner")
+              .crossJoin(F.broadcast(tot)))
+    a_d = (F.col("n").cast("decimal(38,0)")
+           * F.col("l_sum").cast("decimal(38,0)")
+           - F.col("s").cast("decimal(38,0)")
+           * F.col("w_i").cast("decimal(38,0)"))
+    b_d = (F.col("n").cast("decimal(38,0)") * F.col("q_d")
+           - F.col("s").cast("decimal(38,0)")
+           * F.col("s").cast("decimal(38,0)"))
+    c_i = F.col("n") * F.col("w_i") - F.col("w_i") * F.col("w_i")
+    z = F.when(
+        (F.col("n") > 1) & (c_i > 0) & (b_d > 0),
+        a_d.cast("double")
+        / (F.sqrt(b_d.cast("double"))
+           * F.sqrt(c_i.cast("double")
+                    / (F.col("n") - F.lit(1)).cast("double"))))
+    return (joined.select(
+        F.col("cx").alias("cell_x"), F.col("cy").alias("cell_y"),
+        F.col("tb").alias("tbin"), F.col("x"), F.col("w_i"),
+        F.col("l_sum"), a_d.cast("long").alias("a_num"),
+        F.round(z, 9).alias("gi_z")))

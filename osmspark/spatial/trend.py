@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["activity_trend"]
+__all__ = ["activity_trend", "mann_kendall"]
 
 _US_PER_DAY = 86_400_000_000
 
@@ -74,3 +74,70 @@ def activity_trend(points: DataFrame, cell_deg: float = 0.5,
                     F.col("n_events").cast("long").alias("n_events"),
                     F.round(slope, 9).alias("slope"),
                     F.round(intercept, 9).alias("intercept"))
+
+
+def mann_kendall(daily: DataFrame, y_col: str = "y",
+                 cx_col: str = "cell_x", cy_col: str = "cell_y",
+                 t_col: str = "day") -> DataFrame:
+    """Per-cell Mann-Kendall monotonic-trend test over a (cell, time,
+    value) series — the nonparametric half of "emerging hot spot
+    analysis" (``spacetime.gi_star_spacetime`` supplies the other):
+    unlike the OLS slope above, M-K only looks at SIGNS, so it is
+    robust to outliers and needs no distributional assumption.
+
+        S   = Σ_{i<j} sgn(y_j − y_i)                (time-ordered)
+        V18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) (tie-corrected
+                                                     18·Var[S])
+        z   = (S − sgn(S)) / sqrt(V18 / 18)          (continuity corr.)
+
+    S, n and V18 are exact integers (sgn compares integers; the tie
+    census groups by the exact value); z is the only float — two IEEE
+    ops (divide by 18.0, sqrt) on identical exact operands then one
+    division, rounded 9 dp, engine-portable. NULL z when V18 = 0
+    (n < 2 or a completely tied series).
+
+    Scale shape: the pair generation is a per-cell self-equi-join on
+    the cell key with t_i < t_j — O(T²) pairs per cell where T is the
+    series length (bounded by the calendar: 365 daily bins/year —
+    NOT by data volume; a cell with 10^9 events still contributes
+    T ≤ 365 rows here because the input is the (cell, day) census).
+    Output: (cell_x, cell_y, n_periods, s_stat, v18, mk_z).
+    """
+    base = daily.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(t_col).alias("t"),
+                        F.col(y_col).cast("long").alias("y"))
+    a = base.select("cx", "cy", F.col("t").alias("ti"),
+                    F.col("y").alias("yi"))
+    b = base.select("cx", "cy", F.col("t").alias("tj"),
+                    F.col("y").alias("yj"))
+    pairs = (a.join(b, ["cx", "cy"], "inner")
+             .filter(F.col("ti") < F.col("tj")))
+    sgn = (F.when(F.col("yj") > F.col("yi"), 1)
+           .when(F.col("yj") < F.col("yi"), -1)
+           .otherwise(0))
+    s = (pairs.groupBy("cx", "cy")
+         .agg(F.sum(sgn).alias("s_stat")))
+
+    n = base.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    tg = (base.groupBy("cx", "cy", "y")
+          .agg(F.count(F.lit(1)).alias("t_g")))
+    ties = (tg.groupBy("cx", "cy")
+            .agg(F.sum(F.col("t_g") * (F.col("t_g") - 1)
+                       * (2 * F.col("t_g") + 5)).alias("tie_sum")))
+
+    g = (n.join(ties, ["cx", "cy"])
+         .join(s, ["cx", "cy"], "left"))
+    s_stat = F.coalesce(F.col("s_stat"), F.lit(0)).cast("long")
+    v18 = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+           - F.col("tie_sum")).cast("long")
+    corr = F.when(s_stat > 0, s_stat - 1) \
+        .when(s_stat < 0, s_stat + 1).otherwise(F.lit(0))
+    z = F.when(v18 > 0,
+               F.round(corr.cast("double")
+                       / F.sqrt(v18.cast("double") / F.lit(18.0)), 9))
+    return g.select(F.col("cx").alias("cell_x"),
+                    F.col("cy").alias("cell_y"),
+                    F.col("n").alias("n_periods"),
+                    s_stat.alias("s_stat"), v18.alias("v18"),
+                    z.alias("mk_z"))

@@ -122,3 +122,67 @@ def test_contacts_same_user_excluded(spark):
                          radius_udeg=1000, tau_us=1000).collect()
     assert {(r["user_a"], r["user_b"], r["n_contacts"])
             for r in rows} == {(1, 2, 2)}
+
+
+# ---------------------------------------------------------------------------
+# gi_star_spacetime
+# ---------------------------------------------------------------------------
+
+import math
+
+from osmspark.spatial.spacetime import gi_star_spacetime
+
+BSCHEMA = "cell_x long, cell_y long, tbin long, n long"
+
+
+def _gi_st_np(bins):
+    xs = {(b[0], b[1], b[2]): b[3] for b in bins}
+    n = len(xs)
+    s = sum(xs.values())
+    q = sum(v * v for v in xs.values())
+    xbar = s / n
+    s2 = q / n - xbar ** 2
+    out = {}
+    for (cx, cy, tb) in xs:
+        nb = [xs[(cx + dx, cy + dy, tb + dt)]
+              for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+              for dt in (-1, 0, 1)
+              if (cx + dx, cy + dy, tb + dt) in xs]
+        w, l = len(nb), sum(nb)
+        c = n * w - w * w
+        if n > 1 and c > 0 and s2 > 0:
+            out[(cx, cy, tb)] = (l - xbar * w) / (
+                math.sqrt(s2) * math.sqrt(c / (n - 1)))
+        else:
+            out[(cx, cy, tb)] = None
+    return out
+
+
+def test_gi_st_matches_numpy(spark):
+    bins = [(x, y, t, (x * 5 + y * 3 + t * 7) % 13 + 1)
+            for x in range(3) for y in range(3) for t in range(4)]
+    ref = _gi_st_np(bins)
+    for r in gi_star_spacetime(
+            spark.createDataFrame(bins, BSCHEMA)).collect():
+        key = (r["cell_x"], r["cell_y"], r["tbin"])
+        assert abs(r["gi_z"] - ref[key]) < 1e-6, key
+
+
+def test_gi_st_temporal_neighborhood(spark):
+    # one cell over 3 time bins: the middle bin sees all 3, edges 2
+    bins = [(0, 0, t, 5 + t) for t in range(3)]
+    rows = {r["tbin"]: r for r in gi_star_spacetime(
+        spark.createDataFrame(bins, BSCHEMA)).collect()}
+    assert rows[1]["w_i"] == 3 and rows[0]["w_i"] == 2
+    assert rows[1]["l_sum"] == 18
+
+
+def test_gi_st_hot_voxel_positive(spark):
+    bins = [(x, y, t, 1) for x in range(4) for y in range(4)
+            for t in range(3)]
+    bins[0] = (0, 0, 0, 500)  # hot corner voxel
+    rows = {(r["cell_x"], r["cell_y"], r["tbin"]): r["gi_z"]
+            for r in gi_star_spacetime(
+                spark.createDataFrame(bins, BSCHEMA)).collect()}
+    assert rows[(0, 0, 0)] > 1.0
+    assert rows[(3, 3, 2)] < 0.1

@@ -62,3 +62,69 @@ def test_partitioning_invariance(spark):
     a = sorted(map(tuple, activity_trend(df1).collect()))
     b = sorted(map(tuple, activity_trend(df11).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+from osmspark.spatial.trend import mann_kendall
+
+MSCHEMA = "cell_x long, cell_y long, day long, y long"
+
+
+def _mk_np(series):
+    ys = [y for _, y in sorted(series)]
+    n = len(ys)
+    s = sum((yj > yi) - (yj < yi)
+            for i, yi in enumerate(ys) for yj in ys[i + 1:])
+    from collections import Counter
+    ties = Counter(ys)
+    v18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values())
+    if v18 <= 0:
+        return s, v18, None
+    corr = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+    return s, v18, corr / _math.sqrt(v18 / 18.0)
+
+
+def test_mk_matches_reference(spark):
+    series = [(d, (d * 37) % 11 + d // 3) for d in range(15)]
+    rows = mann_kendall(spark.createDataFrame(
+        [(0, 0, d, y) for d, y in series], MSCHEMA)).collect()
+    s, v18, z = _mk_np(series)
+    r = rows[0]
+    assert (r["s_stat"], r["v18"]) == (s, v18)
+    assert abs(r["mk_z"] - z) < 1e-9
+
+
+def test_mk_monotone_series_max_s(spark):
+    rows = mann_kendall(spark.createDataFrame(
+        [(0, 0, d, d * 2) for d in range(10)], MSCHEMA)).collect()
+    r = rows[0]
+    assert r["s_stat"] == 45  # all 45 pairs increasing
+    assert r["mk_z"] > 3.0
+
+
+def test_mk_constant_series_null(spark):
+    rows = mann_kendall(spark.createDataFrame(
+        [(0, 0, d, 7) for d in range(8)], MSCHEMA)).collect()
+    r = rows[0]
+    assert r["s_stat"] == 0 and r["v18"] == 0 and r["mk_z"] is None
+
+
+def test_mk_decreasing_negative(spark):
+    rows = mann_kendall(spark.createDataFrame(
+        [(0, 0, d, 100 - d) for d in range(12)], MSCHEMA)).collect()
+    assert rows[0]["s_stat"] == -66 and rows[0]["mk_z"] < -3.0
+
+
+def test_mk_cells_independent(spark):
+    data = [(0, 0, d, d) for d in range(6)] + \
+           [(5, 5, d, 10 - d) for d in range(6)]
+    rows = {(r["cell_x"], r["cell_y"]): r for r in mann_kendall(
+        spark.createDataFrame(data, MSCHEMA)).collect()}
+    assert rows[(0, 0)]["s_stat"] == 15
+    assert rows[(5, 5)]["s_stat"] == -15
