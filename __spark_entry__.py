@@ -3155,6 +3155,33 @@ def _q_jump_hist(spark, sf_dir):
             .orderBy("bucket"))
 
 
+def _q_k_anon(spark, sf_dir):
+    """k-anonymity cell census (osmspark/spatial/mobility.py:
+    k_anonymous_cells), k=2, 2° cells over the globally-scattered
+    event points with user = event_id % 50: per cell the distinct-
+    user and fix counts plus the release flag — integer-only, the
+    location-privacy suppression audit. Two stacked combinable
+    censuses (map-side collapse before the user rollup)."""
+    from osmspark.spatial.mobility import k_anonymous_cells
+    pts = (_event_points(spark, sf_dir)
+           .select((F.col("id") % 50).alias("trip_id"), "lat", "lon"))
+    return (k_anonymous_cells(pts, k=2, cell_deg=2.0)
+            .orderBy("cell_x", "cell_y"))
+
+
+def _q_od_gravity(spark, sf_dir):
+    """Gravity-model OD residuals (osmspark/spatial/mobility.py:
+    od_gravity) over the same trip flows as od_matrix_halfdeg:
+    E[T_od] = O_o·D_d/T from exact integer marginals, expected one
+    IEEE division and residual one subsequent subtraction — both
+    deterministic on identical operands, 9 dp; the corridor-detection
+    null model."""
+    from osmspark.spatial.mobility import od_gravity
+    pts = _trip_points(spark, sf_dir, 40)
+    return (od_gravity(pts)
+            .orderBy("o_cx", "o_cy", "d_cx", "d_cy"))
+
+
 def _q_winnow(spark, sf_dir):
     """Winnowing fingerprints (osmspark/pipeline/winnow.py, Schleimer
     et al. 2003 — the MOSS scheme) over the documents table, k=4
@@ -3207,6 +3234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club_k5": _q_rich_club,
         "gi_star_spacetime": _q_gi_star_st,
         "mann_kendall_2deg": _q_mann_kendall,
+        "k_anon_cells_2deg": _q_k_anon,
+        "od_gravity_halfdeg": _q_od_gravity,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -3520,6 +3549,66 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n * sxx - sx * sx AS DOUBLE), 9)
                  END AS intercept
           FROM g ORDER BY cell_x, cell_y
+        """,
+        # k-anonymity: two-level census, integer-only
+        "k_anon_cells_2deg": """
+          WITH pts AS (""" + _EVENT_POINTS_SQL + """),
+          per_user AS (
+            SELECT CAST(floor(lon / 2.0) AS BIGINT) AS cell_x,
+                   CAST(floor(lat / 2.0) AS BIGINT) AS cell_y,
+                   id % 50 AS u, count(*) AS c
+            FROM pts GROUP BY 1, 2, 3)
+          SELECT cell_x, cell_y,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(c) AS BIGINT) AS n_fixes,
+                 count(*) >= 2 AS released
+          FROM per_user GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # gravity residuals: integer marginals over the rn-window OD
+        "od_gravity_halfdeg": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=40) + """),
+          q AS (
+            SELECT trip, ts, pid,
+                   CAST(floor(lon * 2.0) AS BIGINT) AS cx,
+                   CAST(floor(lat * 2.0) AS BIGINT) AS cy
+            FROM pts),
+          r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY trip
+                                      ORDER BY ts, pid) AS rn_a,
+                   row_number() OVER (PARTITION BY trip
+                                      ORDER BY ts DESC, pid DESC) AS rn_d
+            FROM q),
+          t AS (
+            SELECT trip,
+                   max(CASE WHEN rn_a = 1 THEN cx END) AS o_cx,
+                   max(CASE WHEN rn_a = 1 THEN cy END) AS o_cy,
+                   max(CASE WHEN rn_d = 1 THEN cx END) AS d_cx,
+                   max(CASE WHEN rn_d = 1 THEN cy END) AS d_cy
+            FROM r GROUP BY trip),
+          flows AS (
+            SELECT o_cx, o_cy, d_cx, d_cy, count(*) AS n_trips
+            FROM t GROUP BY 1, 2, 3, 4),
+          o_m AS (SELECT o_cx, o_cy, sum(n_trips) AS o_out
+                  FROM flows GROUP BY 1, 2),
+          d_m AS (SELECT d_cx, d_cy, sum(n_trips) AS d_in
+                  FROM flows GROUP BY 1, 2),
+          tot AS (SELECT sum(n_trips) AS t_all FROM flows)
+          SELECT f.o_cx, f.o_cy, f.d_cx, f.d_cy,
+                 CAST(f.n_trips AS BIGINT) AS n_trips,
+                 CAST(o_m.o_out AS BIGINT) AS o_out,
+                 CAST(d_m.d_in AS BIGINT) AS d_in,
+                 round(CAST(o_m.o_out AS DOUBLE)
+                       * CAST(d_m.d_in AS DOUBLE)
+                       / CAST(t_all AS DOUBLE), 9) AS expected,
+                 round(CAST(f.n_trips AS DOUBLE)
+                       - CAST(o_m.o_out AS DOUBLE)
+                         * CAST(d_m.d_in AS DOUBLE)
+                         / CAST(t_all AS DOUBLE), 9) AS residual
+          FROM flows f
+          JOIN o_m ON f.o_cx = o_m.o_cx AND f.o_cy = o_m.o_cy
+          JOIN d_m ON f.d_cx = d_m.d_cx AND f.d_cy = d_m.d_cy, tot
+          ORDER BY f.o_cx, f.o_cy, f.d_cx, f.d_cy
         """,
         # Markov transitions: lag window -> two censuses, one division
         "markov_transitions": """

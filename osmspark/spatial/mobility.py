@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["radius_of_gyration", "od_matrix", "location_diversity",
-           "cell_transitions", "home_location", "jump_lengths"]
+           "cell_transitions", "home_location", "jump_lengths",
+           "k_anonymous_cells", "od_gravity"]
 
 _US_PER_HOUR = 3_600_000_000
 
@@ -264,3 +265,81 @@ def jump_lengths(points: DataFrame, bucket_mm: int = 1_000_000_000,
             .agg(F.count(F.lit(1)).alias("n_jumps"))
             .select("bucket", (F.col("bucket") * b).alias("lo_mm"),
                     "n_jumps"))
+
+
+def k_anonymous_cells(points: DataFrame, k: int, cell_deg: float = 0.5,
+                      user_col: str = "trip_id", lat_col: str = "lat",
+                      lon_col: str = "lon") -> DataFrame:
+    """k-anonymity cell census — the suppression rule every location-
+    data release applies (a cell whose fixes come from fewer than k
+    DISTINCT users re-identifies them; Sweeney 2002 adapted to grid
+    aggregates): per cell, the distinct-user and fix counts plus the
+    release flag n_users ≥ k. Suppressed cells stay in the output
+    with ``released = false`` so the privacy audit can count what the
+    rule withheld (the release pipeline filters on the flag).
+
+    Integer-only (trivially engine-exact). One combinable two-level
+    census: (cell, user) partial counts collapse map-side before the
+    per-cell rollup, so a 10^9-fix celebrity cell still reduces to
+    one row per user before the second shuffle.
+    Output: (cell_x, cell_y, n_users, n_fixes, released).
+    """
+    inv = F.lit(1.0 / cell_deg)
+    per_user = (points
+                .groupBy(F.floor(F.col(lon_col) * inv).cast("long")
+                         .alias("cell_x"),
+                         F.floor(F.col(lat_col) * inv).cast("long")
+                         .alias("cell_y"),
+                         F.col(user_col).alias("u"))
+                .agg(F.count(F.lit(1)).alias("c")))
+    return (per_user.groupBy("cell_x", "cell_y")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("c").alias("n_fixes"))
+            .select("cell_x", "cell_y",
+                    F.col("n_users").cast("long").alias("n_users"),
+                    F.col("n_fixes").cast("long").alias("n_fixes"),
+                    (F.col("n_users") >= int(k)).alias("released")))
+
+
+def od_gravity(points: DataFrame, cell_deg: float = 0.5,
+               user_col: str = "trip_id", ts_col: str = "ts_us",
+               id_col: str = "id", lat_col: str = "lat",
+               lon_col: str = "lon") -> DataFrame:
+    """Gravity-model residuals over the OD flow matrix: which
+    origin→destination links carry MORE trips than their marginals
+    predict? The doubly-constrained-free null model
+
+        E[T_od] = O_o · D_d / T
+
+    (O = trips out of the origin cell, D = trips into the destination
+    cell, T = total trips) against the observed ``od_matrix`` counts.
+    Over-expectation links (residual ≫ 0) are the corridors.
+
+    All marginals are exact integer censuses on top of the SAME
+    min/max(struct) trip collapse as ``od_matrix``; expected is one
+    float division of exact operands and the residual one subsequent
+    IEEE subtraction — both deterministic on identical inputs, 9 dp.
+    Output: (o_cx, o_cy, d_cx, d_cy, n_trips, o_out, d_in, expected,
+    residual).
+    """
+    flows = od_matrix(points, cell_deg=cell_deg, user_col=user_col,
+                      ts_col=ts_col, id_col=id_col, lat_col=lat_col,
+                      lon_col=lon_col)
+    o_marg = (flows.groupBy("o_cx", "o_cy")
+              .agg(F.sum("n_trips").alias("o_out")))
+    d_marg = (flows.groupBy("d_cx", "d_cy")
+              .agg(F.sum("n_trips").alias("d_in")))
+    tot = flows.agg(F.sum("n_trips").alias("t_all"))
+    j = (flows.join(F.broadcast(o_marg), ["o_cx", "o_cy"])
+         .join(F.broadcast(d_marg), ["d_cx", "d_cy"])
+         .crossJoin(F.broadcast(tot)))
+    expected = (F.col("o_out").cast("double")
+                * F.col("d_in").cast("double")
+                / F.col("t_all").cast("double"))
+    return j.select(
+        "o_cx", "o_cy", "d_cx", "d_cy", "n_trips",
+        F.col("o_out").cast("long").alias("o_out"),
+        F.col("d_in").cast("long").alias("d_in"),
+        F.round(expected, 9).alias("expected"),
+        F.round(F.col("n_trips").cast("double") - expected, 9)
+        .alias("residual"))

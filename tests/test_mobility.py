@@ -228,3 +228,56 @@ def test_jump_lengths_first_fix_excluded(spark):
     total = (jump_lengths(spark.createDataFrame(pts, SCHEMA))
              .agg({"n_jumps": "sum"}).collect()[0][0])
     assert total == 3 * 4  # n-1 jumps per user
+
+
+# ---------------------------------------------------------------------------
+# k_anonymous_cells / od_gravity
+# ---------------------------------------------------------------------------
+
+from osmspark.spatial.mobility import k_anonymous_cells, od_gravity
+
+
+def test_k_anon_counts_and_flag(spark):
+    # cell (0,0): users 1,2,3; cell (2,2): user 1 only
+    pts = [(u, t, u * 10 + t, 0.1, 0.1)
+           for u in (1, 2, 3) for t in range(2)] + \
+          [(1, 9, 99, 1.1, 1.1)]
+    rows = {(r["cell_x"], r["cell_y"]): r for r in k_anonymous_cells(
+        spark.createDataFrame(pts, SCHEMA), k=2).collect()}
+    a, b = rows[(0, 0)], rows[(2, 2)]
+    assert a["n_users"] == 3 and a["n_fixes"] == 6 and a["released"]
+    assert b["n_users"] == 1 and b["n_fixes"] == 1 and not b["released"]
+
+
+def test_k_anon_threshold_boundary(spark):
+    pts = [(u, 0, u, 0.1, 0.1) for u in (1, 2)]
+    r = k_anonymous_cells(
+        spark.createDataFrame(pts, SCHEMA), k=2).collect()[0]
+    assert r["released"]  # n_users == k is released (>=)
+
+
+def test_gravity_identity_single_origin(spark):
+    # all trips share one origin: expected == observed on every link
+    pts = []
+    for u in range(6):
+        pts.append((u, 0, u * 10, 0.1, 0.1))            # origin (0,0)
+        pts.append((u, 1, u * 10 + 1, 0.1 + (u % 2), 0.1 + (u % 2)))
+    rows = od_gravity(spark.createDataFrame(pts, SCHEMA)).collect()
+    for r in rows:
+        assert abs(r["residual"]) < 1e-9
+        assert abs(r["expected"] - r["n_trips"]) < 1e-9
+
+
+def test_gravity_marginals_and_residual(spark):
+    # flows: A->X 2 trips, A->Y 1, B->X 1  (A=(0,0), B=(2,2), ...)
+    def trip(u, o_lat, o_lon, d_lat, d_lon):
+        return [(u, 0, u * 10, o_lat, o_lon), (u, 1, u * 10 + 1, d_lat, d_lon)]
+    pts = (trip(1, 0.1, 0.1, 5.1, 5.1) + trip(2, 0.1, 0.1, 5.1, 5.1)
+           + trip(3, 0.1, 0.1, 7.1, 7.1) + trip(4, 1.1, 1.1, 5.1, 5.1))
+    rows = {((r["o_cx"], r["o_cy"]), (r["d_cx"], r["d_cy"])): r
+            for r in od_gravity(
+                spark.createDataFrame(pts, SCHEMA)).collect()}
+    ax = rows[((0, 0), (10, 10))]
+    assert ax["n_trips"] == 2 and ax["o_out"] == 3 and ax["d_in"] == 3
+    assert abs(ax["expected"] - 3 * 3 / 4) < 1e-9
+    assert abs(ax["residual"] - (2 - 2.25)) < 1e-9
