@@ -27,6 +27,10 @@ synthetic 25M-edge host graph:
                 80M-point trajectories — fence-set window + array diff
 - idw           IDW 0.02° grid over a 40M-point slice — 9× scatter +
                 one skewed-cell groupBy (map-side combine is the claim)
+- gi_star_st    space-time Getis-Ord Gi* over the (0.02° cell × day)
+                census of the 80M-point trajectories — the r5
+                emerging-hot-spot cube: one combinable 3-key census,
+                a 27-offset explode equi-join, broadcast moments
 
 (hausdorff_pairs is deliberately absent: its pair stage is quadratic
 per surviving trip pair by definition, and this workload's trips all
@@ -54,7 +58,8 @@ NODE_MOD = 1 << 22
 SSSP_EDGE_N = 12_000_000
 SSSP_NODE_MOD = 1 << 20
 STAGES = ["staypoints", "speed_filter", "resample", "od_matrix",
-          "pagerank", "sssp", "dwithin_m", "geofence", "idw"]
+          "pagerank", "sssp", "dwithin_m", "geofence", "idw",
+          "gi_star_st"]
 
 # inner/outer boxes around the three heaviest cities (london/paris/nyc
 # carry ~2/3 of the point mass; σ = 0.02° gaussians)
@@ -85,6 +90,7 @@ def worker(n_threads: int) -> None:
     from osmspark.spatial.flows import od_matrix
     from osmspark.spatial.geofence import geofence_transitions
     from osmspark.spatial.interp import idw_grid
+    from osmspark.spatial.spacetime import gi_star_spacetime
     from osmspark.spatial.traj import resample_trips, speed_filter
 
     spark = get_spark(app=f"traj{n_threads}", master=f"local[{n_threads}]",
@@ -137,6 +143,9 @@ def worker(n_threads: int) -> None:
     idw_grid(tiny2.select("lat", "lon",
                           (F.col("id") % 1000).alias("value_int")),
              cell_deg=0.02).count()
+    gi_star_spacetime(spark.createDataFrame(
+        [(0, 0, 0, 3), (0, 1, 0, 5), (1, 0, 1, 2)],
+        "cell_x long, cell_y long, tbin long, n long")).count()
 
     # every stage is forced through an aggregate over COMPUTED columns:
     # a bare .count() lets Catalyst prune cardinality-preserving work
@@ -176,6 +185,17 @@ def worker(n_threads: int) -> None:
                              (F.col("id") % 1000).alias("value_int")),
                      cell_deg=0.02),
             "idw", "n_samples"),
+        "gi_star_st": lambda: _force(
+            gi_star_spacetime(
+                traj.groupBy(
+                    F.floor(F.col("lon") / 0.02).cast("long")
+                    .alias("cell_x"),
+                    F.floor(F.col("lat") / 0.02).cast("long")
+                    .alias("cell_y"),
+                    (F.col("ts_us") / F.lit(86_400_000_000))
+                    .cast("long").alias("tbin"))
+                .agg(F.count(F.lit(1)).alias("n"))),
+            "l_sum", "w_i"),
     }
     out = {}
     for name, fn in stages.items():
