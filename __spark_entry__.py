@@ -1266,6 +1266,19 @@ _TRIP_HULLS_SQL = f"""
 """
 
 
+def _q_hull_metrics(spark, sf_dir):
+    """Activity-space metrics (osmspark/spatial/hull.py:hull_metrics)
+    over the same 97 event-point trip hulls as trip_hulls: shoelace
+    2·area as an exact int64 census over the CCW edges, per-edge-
+    floored integer perimeter, and ONE division for area_deg2. The
+    oracle composes the same sums over its closed-form edge
+    characterization — it still never runs a hull algorithm."""
+    from osmspark.spatial.hull import hull_metrics
+    pts = _event_points(spark, sf_dir)
+    return (hull_metrics(pts.withColumn("group_id", F.col("id") % 97))
+            .orderBy("group_id"))
+
+
 def _q_ring_metrics(spark, sf_dir):
     """Integer-exact ring metrics (signed area, winding, area-weighted
     centroid, quantum-grid perimeter) over the 97 assembled trip rings.
@@ -3236,6 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall_2deg": _q_mann_kendall,
         "k_anon_cells_2deg": _q_k_anon,
         "od_gravity_halfdeg": _q_od_gravity,
+        "hull_area_metrics": _q_hull_metrics,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -5743,6 +5757,24 @@ def oracle_sql() -> dict[str, str]:
           FROM documents ORDER BY doc_id
         """,
         "trip_hulls": _TRIP_HULLS_SQL,
+        # hull metrics: shoelace + floored-edge sums over the same
+        # closed-form edge set
+        "hull_area_metrics": """
+          WITH edges AS (""" + _TRIP_HULLS_SQL + """)
+          SELECT group_id,
+                 CAST(count(*) AS BIGINT) AS n_edges,
+                 CAST(sum(ax_q * by_q - bx_q * ay_q) AS BIGINT)
+                   AS area2_q,
+                 CAST(sum(CAST(floor(sqrt(
+                      CAST((bx_q - ax_q) AS DOUBLE)
+                        * CAST((bx_q - ax_q) AS DOUBLE)
+                      + CAST((by_q - ay_q) AS DOUBLE)
+                        * CAST((by_q - ay_q) AS DOUBLE)))
+                      AS BIGINT)) AS BIGINT) AS perim_q,
+                 round(CAST(sum(ax_q * by_q - bx_q * ay_q) AS DOUBLE)
+                       / 2000000000000.0, 9) AS area_deg2
+          FROM edges GROUP BY group_id ORDER BY group_id
+        """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL + " ORDER BY a, b",
         # transitive closure over the same (oracle-exact) pair set:
         # min-reachable-id per doc == the engine's min-label propagation

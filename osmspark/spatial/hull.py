@@ -40,7 +40,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["convex_hull_edges"]
+__all__ = ["convex_hull_edges", "hull_metrics"]
 
 _OUT_SCHEMA = ("group_id long, ax_q long, ay_q long, bx_q long, by_q long")
 
@@ -109,3 +109,48 @@ def convex_hull_edges(points: DataFrame, group_col: str = "group_id",
             "bx_q": b[:, 0], "by_q": b[:, 1]})
 
     return q.groupBy("group_id").applyInPandas(hull, _OUT_SCHEMA)
+
+
+def hull_metrics(points: DataFrame, group_col: str = "group_id",
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 scale: float = 1e6) -> DataFrame:
+    """Activity-space metrics per group: convex-hull area + perimeter
+    (the standard mobility "activity space" statistic — the areal
+    companion to ``mobility.radius_of_gyration``), composed on the
+    CCW edge set of ``convex_hull_edges``.
+
+    - ``area2_q`` — the shoelace sum Σ (ax·by − bx·ay) over the
+      directed CCW edges = 2·area in ticks² — an EXACT int64
+      (order-insensitive; bound 2·(2M)² < 2^63 as per the module
+      docstring), ≥ 0 by the CCW orientation, 0 for collinear groups.
+    - ``perim_q`` — Σ floor(√(Δx² + Δy²)) ticks, floored PER EDGE so
+      the sum is an integer census (order-insensitive). Δ² can exceed
+      2^53, so the √ argument is the nearest-double of the exact
+      integer — the same IEEE conversion+sqrt on any engine, hence
+      still deterministic cross-engine (and ≤ 1 tick absolute error
+      per edge vs exact).
+    - ``area_deg2`` — area2_q / (2·scale²), ONE float division of
+      exact operands, 9 dp.
+
+    Groups with < 2 distinct points emit no row (no edges — same
+    convention as the edge set). A 2-point collinear group closes
+    degenerately: area 0, perimeter = 2·segment.
+    Output: (group_id, n_edges, area2_q, perim_q, area_deg2).
+    """
+    e = convex_hull_edges(points, group_col=group_col, lat_col=lat_col,
+                          lon_col=lon_col, scale=scale)
+    cross = (F.col("ax_q") * F.col("by_q")
+             - F.col("bx_q") * F.col("ay_q"))
+    dx = (F.col("bx_q") - F.col("ax_q")).cast("double")
+    dy = (F.col("by_q") - F.col("ay_q")).cast("double")
+    seg = F.floor(F.sqrt(dx * dx + dy * dy)).cast("long")
+    g = (e.groupBy("group_id")
+         .agg(F.count(F.lit(1)).alias("n_edges"),
+              F.sum(cross).alias("area2_q"),
+              F.sum(seg).alias("perim_q")))
+    return g.select(
+        "group_id", "n_edges",
+        F.col("area2_q").cast("long").alias("area2_q"),
+        F.col("perim_q").cast("long").alias("perim_q"),
+        F.round(F.col("area2_q").cast("double")
+                / F.lit(2.0 * scale * scale), 9).alias("area_deg2"))

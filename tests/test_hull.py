@@ -102,3 +102,48 @@ def test_edges_form_ccw_cycle(spark):
     area2 = sum(x1 * y2 - x2 * y1
                 for (x1, y1), (x2, y2) in zip(cyc, cyc[1:] + cyc[:1]))
     assert area2 > 0
+
+
+# ---------------------------------------------------------------------------
+# hull_metrics
+# ---------------------------------------------------------------------------
+
+import math
+
+from osmspark.spatial.hull import hull_metrics
+
+MSCHEMA = "group_id long, lat double, lon double"
+
+
+def test_square_area_perimeter(spark):
+    # unit square in degrees at scale 1e6: area2 = 2e12, perim = 4e6
+    pts = [(1, 0.0, 0.0), (1, 0.0, 1.0), (1, 1.0, 0.0), (1, 1.0, 1.0),
+           (1, 0.5, 0.5)]  # interior point must not matter
+    r = hull_metrics(spark.createDataFrame(pts, MSCHEMA)).collect()[0]
+    assert r["n_edges"] == 4
+    assert r["area2_q"] == 2 * 10 ** 12
+    assert r["perim_q"] == 4 * 10 ** 6
+    assert r["area_deg2"] == 1.0
+
+
+def test_triangle_shoelace(spark):
+    # right triangle legs 1 x 2 deg -> area 1.0 deg^2
+    pts = [(1, 0.0, 0.0), (1, 0.0, 1.0), (1, 2.0, 0.0)]
+    r = hull_metrics(spark.createDataFrame(pts, MSCHEMA)).collect()[0]
+    assert r["area_deg2"] == 1.0
+    hyp = math.floor(math.sqrt((10 ** 6) ** 2 + (2 * 10 ** 6) ** 2))
+    assert r["perim_q"] == 10 ** 6 + 2 * 10 ** 6 + hyp
+
+
+def test_collinear_degenerate(spark):
+    pts = [(1, 0.0, 0.0), (1, 1.0, 1.0), (1, 2.0, 2.0)]
+    r = hull_metrics(spark.createDataFrame(pts, MSCHEMA)).collect()[0]
+    assert r["area2_q"] == 0 and r["n_edges"] == 2
+    assert r["perim_q"] == 2 * math.floor(math.sqrt(8) * 10 ** 6)
+
+
+def test_single_point_no_row(spark):
+    pts = [(1, 5.0, 5.0), (2, 0.0, 0.0), (2, 0.0, 1.0), (2, 1.0, 0.5)]
+    rows = {r["group_id"] for r in hull_metrics(
+        spark.createDataFrame(pts, MSCHEMA)).collect()}
+    assert rows == {2}
