@@ -2729,6 +2729,23 @@ def _q_dbscan(spark, sf_dir):
     return dbscan(pts, 0.3, 5).orderBy("id")
 
 
+def _q_st_dbscan(spark, sf_dir):
+    """ST-DBSCAN (osmspark/spatial/cluster.py:st_dbscan, Birant & Kut
+    2007): eps=0.3°, eps_t=0.9 s, min_pts=5 over the same blob point
+    set as dbscan_labels with 4 deterministic time epochs 1 s apart —
+    the 0.9 s gate means only same-epoch pairs connect, so every
+    spatial blob splits into per-epoch clusters (strictly more
+    clusters than dbscan_labels; time axis proven load-bearing).
+    3-D colocate_join neighborhoods + the shared contraction/CC/
+    border tail; oracle = the dbscan recursive-CTE with the |Δt|
+    predicate added."""
+    from osmspark.spatial.cluster import st_dbscan
+    pts = (_dbscan_points(spark, sf_dir)
+           .withColumn("ts_us",
+                       ((F.col("id") * 31) % 4) * 1_000_000_000))
+    return st_dbscan(pts, 0.3, 900_000_000, 5).orderBy("id")
+
+
 # deterministic URL synthesis over documents — the driver tables carry
 # no url column, so the Common-Crawl url ops get a synthesized one that
 # exercises every normalization rule (mixed-case scheme/host, default +
@@ -3250,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anon_cells_2deg": _q_k_anon,
         "od_gravity_halfdeg": _q_od_gravity,
         "hull_area_metrics": _q_hull_metrics,
+        "st_dbscan_labels": _q_st_dbscan,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -5906,6 +5924,41 @@ def oracle_sql() -> dict[str, str]:
             FROM pts a JOIN pts b
               ON (a.lat-b.lat)*(a.lat-b.lat)
                + (a.lon-b.lon)*(a.lon-b.lon) <= 0.3*0.3),
+          deg AS (SELECT ai, count(*) AS nd FROM pairs GROUP BY ai),
+          core AS (SELECT ai AS id FROM deg WHERE nd >= 5),
+          cedges AS (
+            SELECT p.ai AS u, p.bi AS v FROM pairs p
+            JOIN core c1 ON p.ai = c1.id JOIN core c2 ON p.bi = c2.id
+            WHERE p.ai <> p.bi),
+          reach(id, r) AS (
+            SELECT id, id FROM core
+            UNION
+            SELECT e.u, reach.r FROM cedges e JOIN reach ON reach.id = e.v),
+          clab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          blab AS (
+            SELECT p.ai AS id, min(c.cluster_id) AS bl
+            FROM pairs p JOIN clab c ON p.bi = c.id
+            WHERE p.ai <> p.bi GROUP BY p.ai)
+          SELECT pts.id AS id,
+                 (clab.id IS NOT NULL) AS is_core,
+                 COALESCE(clab.cluster_id, blab.bl) AS cluster_id
+          FROM pts LEFT JOIN clab ON pts.id = clab.id
+                   LEFT JOIN blab ON pts.id = blab.id
+          ORDER BY id
+        """,
+        # ST-DBSCAN: same CTE with the time gate on the pair join
+        "st_dbscan_labels": f"""
+          WITH RECURSIVE base AS ({_DBSCAN_POINTS_SQL}),
+          pts AS (
+            SELECT id, lat, lon,
+                   ((id * 31) % 4) * 1000000000 AS ts
+            FROM base),
+          pairs AS (
+            SELECT a.id AS ai, b.id AS bi
+            FROM pts a JOIN pts b
+              ON (a.lat-b.lat)*(a.lat-b.lat)
+               + (a.lon-b.lon)*(a.lon-b.lon) <= 0.3*0.3
+             AND abs(a.ts - b.ts) <= 900000000),
           deg AS (SELECT ai, count(*) AS nd FROM pairs GROUP BY ai),
           core AS (SELECT ai AS id FROM deg WHERE nd >= 5),
           cedges AS (

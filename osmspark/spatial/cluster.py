@@ -46,9 +46,9 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from osmspark.graph.cc import cc_labels
-from osmspark.spatial.dwithin import dwithin_join
+from osmspark.spatial.dwithin import colocate_join, dwithin_join
 
-__all__ = ["dbscan"]
+__all__ = ["dbscan", "st_dbscan"]
 
 
 def dbscan(points: DataFrame, eps: float, min_pts: int,
@@ -81,25 +81,36 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     if materialize:
         pairs = pairs.localCheckpoint(eager=False)
 
+    c = float(eps) / math.sqrt(2.0)
+    cell = [(F.floor(F.col("lon") / c)).cast("long").alias("_cx"),
+            (F.floor(F.col("lat") / c)).cast("long").alias("_cy")]
+    return _labels_from_pairs(pts, pairs, cell, ["_cx", "_cy"],
+                              min_pts, max_iters)
+
+
+def _labels_from_pairs(pts, pairs, cell, cell_keys, min_pts, max_iters):
+    """Shared DBSCAN labeling tail: degree census → core filter →
+    supernode cell contraction → CC → border assignment. ``cell`` is
+    the list of contraction-cell column expressions over ``pts``
+    (sized so same-cell cores are PAIRWISE connected — eps/√2 spatial
+    cells; plus an eps_t-width time bin for the ST variant)."""
     deg = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("_n_nb"))
     core = (deg.filter(F.col("_n_nb") >= min_pts)
             .select(F.col("a_id").alias("id")))
 
-    # cell contraction (grid-DBSCAN reduction): with cell = eps/√2 the
-    # cell diagonal is exactly eps, so cores sharing a cell are pairwise
-    # eps-connected and collapse to ONE supernode (id = the cell's min
-    # core id) before CC — the component graph shrinks from points to
-    # occupied cells (dense areas by their occupancy factor), identical
-    # labels by construction (component min is preserved through the
-    # per-cell min). A neighborless supernode still seeds its own
-    # singleton cluster (a core point ALWAYS forms a cluster).
-    c = float(eps) / math.sqrt(2.0)
-    cell = [(F.floor(F.col("lon") / c)).cast("long").alias("_cx"),
-            (F.floor(F.col("lat") / c)).cast("long").alias("_cy")]
+    # cell contraction (grid-DBSCAN reduction): the cell diagonal is
+    # exactly the connectivity radius, so cores sharing a cell are
+    # pairwise connected and collapse to ONE supernode (id = the
+    # cell's min core id) before CC — the component graph shrinks from
+    # points to occupied cells (dense areas by their occupancy
+    # factor), identical labels by construction (component min is
+    # preserved through the per-cell min). A neighborless supernode
+    # still seeds its own singleton cluster (a core point ALWAYS
+    # forms a cluster).
     core_cells = (pts.join(core, "id").select("id", *cell))
-    cell_min = (core_cells.groupBy("_cx", "_cy")
+    cell_min = (core_cells.groupBy(*cell_keys)
                 .agg(F.min("id").alias("_snode")))
-    core_snode = (core_cells.join(cell_min, ["_cx", "_cy"])
+    core_snode = (core_cells.join(cell_min, cell_keys)
                   .select("id", "_snode")
                   .localCheckpoint(eager=False))
 
@@ -140,3 +151,48 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
         is_core.alias("is_core"),
         F.coalesce(F.col("_core_label"), F.col("_border_label"))
         .alias("cluster_id"))
+
+
+def st_dbscan(points: DataFrame, eps: float, eps_t_us: int,
+              min_pts: int, id_col: str = "id",
+              max_iters: int = 30,
+              materialize: bool = True) -> DataFrame:
+    """ST-DBSCAN (Birant & Kut 2007, public algorithm): DBSCAN whose
+    eps-neighborhood requires BOTH dist² ≤ eps² and |Δt| ≤ eps_t —
+    clusters that are dense in space AND time (an event swarm at one
+    place across a whole month is NOT one cluster here; the same
+    swarm within an evening is).
+
+    Same deterministic semantics and labeling tail as :func:`dbscan`
+    (|N(p)| counts p; cluster id = min core id; border → min core
+    neighbor; noise null) — only two pieces change:
+
+    - pair generation is the 3-D bucket equi-join
+      :func:`osmspark.spatial.dwithin.colocate_join` (27-bucket
+      cover on (cell, cell, time-bin), complete and duplicate-free);
+    - the supernode contraction cell gains a time axis: spatial cell
+      eps/√2 (diagonal = eps) × time bin of width eps_t, so same-cell
+      cores remain PAIRWISE connected (|Δt| < eps_t inside one bin)
+      and the contraction stays label-exact.
+
+    ``points``: (id, lat, lon, ts_us). Output (id, is_core,
+    cluster_id), cluster_id null for noise.
+    """
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1: {min_pts}")
+    pts = points.select(F.col(id_col).alias("id"),
+                        F.col("lat").cast("double"),
+                        F.col("lon").cast("double"),
+                        F.col("ts_us").cast("long"))
+    pairs = (colocate_join(pts, pts, eps, eps_t_us, keep_self=True)
+             .select("a_id", "b_id"))
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=False)
+
+    c = float(eps) / math.sqrt(2.0)
+    cell = [(F.floor(F.col("lon") / c)).cast("long").alias("_cx"),
+            (F.floor(F.col("lat") / c)).cast("long").alias("_cy"),
+            (F.floor(F.col("ts_us") / F.lit(float(int(eps_t_us))))
+             .cast("long").alias("_ct"))]
+    return _labels_from_pairs(pts, pairs, cell, ["_cx", "_cy", "_ct"],
+                              min_pts, max_iters)

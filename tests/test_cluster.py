@@ -117,3 +117,97 @@ def test_dbscan_border_takes_min_cluster(spark):
     assert got.loc[0, "cluster_id"] == 0
     assert got.loc[10, "cluster_id"] == 10
     assert got.loc[99, "cluster_id"] == 0  # min of {0, 10}
+
+
+# ---------------------------------------------------------------------------
+# st_dbscan
+# ---------------------------------------------------------------------------
+
+from osmspark.spatial.cluster import st_dbscan
+
+
+def _ref_st_dbscan(ids, lat, lon, ts, eps, eps_t, min_pts):
+    """Same union-find reference with the added |Δt| <= eps_t gate."""
+    n = len(ids)
+    d2 = (lat[:, None] - lat[None, :]) ** 2 \
+        + (lon[:, None] - lon[None, :]) ** 2
+    dt = np.abs(ts[:, None] - ts[None, :])
+    nb = (d2 <= eps * eps) & (dt <= eps_t)
+    core = nb.sum(axis=1) >= min_pts
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        if core[i]:
+            for j in range(i + 1, n):
+                if core[j] and nb[i, j]:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[rj] = ri
+    comp_min = {}
+    for i in range(n):
+        if core[i]:
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, ids[i]), ids[i])
+    cluster = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        if core[i]:
+            cluster[i] = comp_min[find(i)]
+    for i in range(n):
+        if not core[i]:
+            nbs = [cluster[j] for j in range(n)
+                   if j != i and nb[i, j] and core[j]]
+            if nbs:
+                cluster[i] = min(nbs)
+    return pd.DataFrame({"id": ids, "is_core": core,
+                         "cluster_id": [None if c < 0 else int(c)
+                                        for c in cluster]})
+
+
+def _st_compare(spark, pdf, eps, eps_t, min_pts):
+    got = (st_dbscan(spark.createDataFrame(pdf), eps, eps_t, min_pts)
+           .orderBy("id").toPandas())
+    exp = (_ref_st_dbscan(pdf["id"].to_numpy(), pdf["lat"].to_numpy(),
+                          pdf["lon"].to_numpy(), pdf["ts_us"].to_numpy(),
+                          eps, eps_t, min_pts)
+           .sort_values("id", ignore_index=True))
+    assert got["is_core"].tolist() == exp["is_core"].tolist()
+    g = [None if pd.isna(x) else int(x) for x in got["cluster_id"]]
+    e = [None if pd.isna(x) else int(x) for x in exp["cluster_id"]]
+    assert g == e
+
+
+@pytest.mark.parametrize("eps,eps_t,min_pts",
+                         [(0.8, 50, 4), (1.5, 200, 6), (0.5, 20, 2)])
+def test_st_dbscan_matches_bruteforce(spark, eps, eps_t, min_pts):
+    rng = np.random.RandomState(7)
+    n = 160
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "lat": np.round(rng.uniform(-3, 3, n), 3),
+        "lon": np.round(rng.uniform(-3, 3, n), 3),
+        "ts_us": rng.randint(0, 400, n).astype(np.int64)})
+    _st_compare(spark, pdf, eps, eps_t, min_pts)
+
+
+def test_st_dbscan_time_splits_spatial_cluster(spark):
+    # one tight spatial blob, two well-separated time epochs:
+    # plain dbscan = 1 cluster; st_dbscan = 2
+    pdf = pd.DataFrame({
+        "id": np.arange(10, dtype=np.int64),
+        "lat": np.zeros(10) + np.arange(10) * 0.01,
+        "lon": np.zeros(10),
+        "ts_us": np.array([0] * 5 + [10 ** 9] * 5, dtype=np.int64)})
+    got = (st_dbscan(spark.createDataFrame(pdf), eps=0.2,
+                     eps_t_us=1000, min_pts=3)
+           .orderBy("id").toPandas())
+    labels = set(got["cluster_id"].astype(int))
+    assert labels == {0, 5}
+    plain = dbscan(spark.createDataFrame(pdf[["id", "lat", "lon"]]),
+                   0.2, 3).toPandas()
+    assert set(plain["cluster_id"].astype(int)) == {0}
