@@ -77,6 +77,9 @@ FENCES = [
 def worker(n_threads: int) -> None:
     import time
 
+    only = os.environ.get("TRAJ_STAGES")
+    selected = only.split(",") if only else STAGES
+
     sys.path.insert(0, REPO)
     sys.path.insert(0, HERE)
     import numpy as np
@@ -199,6 +202,8 @@ def worker(n_threads: int) -> None:
     }
     out = {}
     for name, fn in stages.items():
+        if name not in selected:
+            continue
         fn()  # untimed: codegen + broadcast warm
         spark.catalog.clearCache()
         t0 = time.time()
@@ -216,7 +221,12 @@ def main():
     ap.add_argument("--json-out",
                     default=os.path.join(HERE, "traj_scaling.json"))
     ap.add_argument("--worker-threads", type=int, default=None)
+    ap.add_argument("--stages", default=None,
+                    help="comma list to run a subset (fresh-artifact "
+                         "runs for newly added stages)")
     args = ap.parse_args()
+    if args.stages:
+        os.environ["TRAJ_STAGES"] = args.stages
     if args.worker_threads:
         worker(args.worker_threads)
         return
@@ -240,9 +250,10 @@ def main():
             results[level].append(res)
             print(f"rep{rep} level{level}: {res}", flush=True)
 
-    best = {level: {s: min(r[s] for r in runs) for s in STAGES}
+    sel = args.stages.split(",") if args.stages else STAGES
+    best = {level: {s: min(r[s] for r in runs) for s in sel}
             for level, runs in results.items() if runs}
-    counters = {s: results[lo][0][f"n_{s}"] for s in STAGES} \
+    counters = {s: results[lo][0][f"n_{s}"] for s in sel} \
         if results.get(lo) else {}
     report = {
         "levels": [lo, hi],
@@ -253,15 +264,16 @@ def main():
         "counters": counters,
         "all_runs": {str(k): v for k, v in results.items()},
         "stage_sec_min": {str(k): v for k, v in best.items()},
-        "speedup": {s: round(best[lo][s] / best[hi][s], 3) for s in STAGES},
+        "speedup": {s: round(best[lo][s] / best[hi][s], 3) for s in sel},
         "efficiency": {s: round(best[lo][s] / best[hi][s] / (hi / lo), 3)
-                       for s in STAGES},
+                       for s in sel},
         "total_sec": {str(k): round(sum(v.values()), 3)
                       for k, v in best.items()},
         "total_efficiency": round(
             sum(best[lo].values()) / sum(best[hi].values()) / (hi / lo), 3),
         "points_per_sec_staypoints": {
-            str(k): round(TRAJ_N / best[k]["staypoints"], 1) for k in best},
+            str(k): round(TRAJ_N / best[k]["staypoints"], 1)
+            for k in best} if "staypoints" in sel else {},
     }
     with open(args.json_out, "w") as f:
         json.dump(report, f, indent=2)
