@@ -2729,6 +2729,70 @@ def _q_dbscan(spark, sf_dir):
     return dbscan(pts, 0.3, 5).orderBy("id")
 
 
+def _geo_docs(spark, sf_dir):
+    """The _doc_html pages with geo.position meta tags appended:
+    every even doc gets one tag, every 6th a second — coordinate
+    strings are built from INTEGER parts ('-47' || '.25') so both
+    engines synthesize byte-identical text and parse the same
+    doubles."""
+    pages = _doc_html(spark, sf_dir)
+    i = F.col("doc_id")
+    tag1 = F.concat(
+        F.lit('<meta name="geo.position" content="'),
+        (F.lit(-60) + (i * 13 % 120)).cast("string"), F.lit(".25;"),
+        (F.lit(-150) + (i * 29 % 300)).cast("string"), F.lit('.50">'))
+    tag2 = F.concat(
+        F.lit('<meta name="geo.position" content="'),
+        (i * 7 % 100).cast("string"), F.lit(".75;"),
+        (F.lit(-100) + (i * 11 % 200)).cast("string"), F.lit('.125">'))
+    html = F.concat(
+        F.col("html_text"),
+        F.when(i % 2 == 0, tag1).otherwise(F.lit("")),
+        F.when(i % 6 == 0, tag2).otherwise(F.lit("")))
+    return pages.select("doc_id", html.alias("html_text"))
+
+
+_GEO_DOCS_SQL = ("""
+  SELECT doc_id,
+         html_text ||
+         CASE WHEN doc_id % 2 = 0 THEN
+           '<meta name="geo.position" content="'
+             || (-60 + (doc_id * 13 % 120)) || '.25;'
+             || (-150 + (doc_id * 29 % 300)) || '.50">'
+         ELSE '' END ||
+         CASE WHEN doc_id % 6 = 0 THEN
+           '<meta name="geo.position" content="'
+             || (doc_id * 7 % 100) || '.75;'
+             || (-100 + (doc_id * 11 % 200)) || '.125">'
+         ELSE '' END AS html_text
+  FROM ({html}) h
+""")
+
+_GEO_PAT_SQL = ('<meta name="geo\\.position" '
+                'content="(-?\\d+\\.\\d+);(-?\\d+\\.\\d+)">')
+
+
+def _q_geotags(spark, sf_dir):
+    """Geotag extraction (osmspark/pipeline/geoparse.py:
+    extract_geotags) over the synthesized geo.position pages — the
+    webtext→geospatial bridge: one JVM-side regexp_extract_all +
+    posexplode projection, document-order tag positions, grid cells
+    on the parsed doubles (identical shortest-round-trip decimal
+    parse both engines)."""
+    from osmspark.pipeline.geoparse import extract_geotags
+    return (extract_geotags(_geo_docs(spark, sf_dir))
+            .orderBy("doc_id", "tag_pos"))
+
+
+def _q_geotag_tiles(spark, sf_dir):
+    """Per-cell geotagged-document census (osmspark/pipeline/
+    geoparse.py:geotag_tile_counts): tag count + distinct-page count
+    per 0.5° cell — integer-only doc-density raster."""
+    from osmspark.pipeline.geoparse import geotag_tile_counts
+    return (geotag_tile_counts(_geo_docs(spark, sf_dir))
+            .orderBy("cell_x", "cell_y"))
+
+
 def _q_st_dbscan(spark, sf_dir):
     """ST-DBSCAN (osmspark/spatial/cluster.py:st_dbscan, Birant & Kut
     2007): eps=0.3°, eps_t=0.9 s, min_pts=5 over the same blob point
@@ -3268,6 +3332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_gravity_halfdeg": _q_od_gravity,
         "hull_area_metrics": _q_hull_metrics,
         "st_dbscan_labels": _q_st_dbscan,
+        "geotags_extracted": _q_geotags,
+        "geotag_tiles_halfdeg": _q_geotag_tiles,
         "bearing_turns": _q_bearing,
         "winnow_fp_k4w5": _q_winnow,
         "hausdorff_trips_8deg": _q_hausdorff,
@@ -5945,6 +6011,54 @@ def oracle_sql() -> dict[str, str]:
           FROM pts LEFT JOIN clab ON pts.id = clab.id
                    LEFT JOIN blab ON pts.id = blab.id
           ORDER BY id
+        """,
+        # geoparse: RE2 extract_all + subscripts vs Java-regex explode
+        "geotags_extracted": f"""
+          WITH pages AS ({_GEO_DOCS_SQL.format(
+              html=_DOC_HTML_SQL.format(urls=_DOC_URLS_SQL))}),
+          m AS (
+            SELECT doc_id,
+                   generate_subscripts(l, 1) - 1 AS tag_pos,
+                   unnest(l) AS tag
+            FROM (SELECT doc_id,
+                         regexp_extract_all(html_text,
+                             '{_GEO_PAT_SQL}') AS l
+                  FROM pages)),
+          p AS (
+            SELECT doc_id, tag_pos,
+                   CAST(regexp_extract(tag, '{_GEO_PAT_SQL}', 1)
+                        AS DOUBLE) AS lat,
+                   CAST(regexp_extract(tag, '{_GEO_PAT_SQL}', 2)
+                        AS DOUBLE) AS lon
+            FROM m)
+          SELECT doc_id, CAST(tag_pos AS BIGINT) AS tag_pos, lat, lon,
+                 CAST(floor(lon / 0.5) AS BIGINT) AS cell_x,
+                 CAST(floor(lat / 0.5) AS BIGINT) AS cell_y
+          FROM p ORDER BY doc_id, tag_pos
+        """,
+        "geotag_tiles_halfdeg": f"""
+          WITH pages AS ({_GEO_DOCS_SQL.format(
+              html=_DOC_HTML_SQL.format(urls=_DOC_URLS_SQL))}),
+          m AS (
+            SELECT doc_id, unnest(
+                regexp_extract_all(html_text, '{_GEO_PAT_SQL}')) AS tag
+            FROM pages),
+          p AS (
+            SELECT doc_id,
+                   CAST(floor(CAST(regexp_extract(tag,
+                        '{_GEO_PAT_SQL}', 2) AS DOUBLE) / 0.5)
+                        AS BIGINT) AS cell_x,
+                   CAST(floor(CAST(regexp_extract(tag,
+                        '{_GEO_PAT_SQL}', 1) AS DOUBLE) / 0.5)
+                        AS BIGINT) AS cell_y
+            FROM m),
+          per_doc AS (
+            SELECT cell_x, cell_y, doc_id, count(*) AS c
+            FROM p GROUP BY 1, 2, 3)
+          SELECT cell_x, cell_y,
+                 CAST(sum(c) AS BIGINT) AS n_tags,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM per_doc GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # ST-DBSCAN: same CTE with the time gate on the pair join
         "st_dbscan_labels": f"""
