@@ -164,11 +164,14 @@ def cell_transitions(points: DataFrame, cell_deg: float = 0.5,
     rows reproduce bit-for-bit on any engine and Σ prob per origin is
     1 up to representation.
 
-    Scale shape: one window (lag over the per-user partitioning — the
-    same key every trajectory op in this module shuffles on, so AQE
-    reuses the exchange) followed by two combinable censuses; the
-    per-origin normalizer joins back broadcast-small (cells ≪ fixes).
-    Output: (o_cx, o_cy, d_cx, d_cy, n_trans, n_out, prob).
+    Scale shape: ONE pass over the raw fixes (the lag window on the
+    per-user partitioning — the same key every trajectory op in this
+    module shuffles on) into one combinable census; the per-origin
+    normalizer is a sum-window over the already-aggregated cell-pair
+    table (cells ≪ fixes — plan-pinned in tests/test_plans_r5_ops.py:
+    the raw-side window appears exactly once, never recomputed for
+    the marginal). Output: (o_cx, o_cy, d_cx, d_cy, n_trans, n_out,
+    prob).
     """
     inv = F.lit(1.0 / cell_deg)
     pt = points.select(
@@ -184,14 +187,13 @@ def cell_transitions(points: DataFrame, cell_deg: float = 0.5,
            .filter(F.col("o_cx").isNotNull()))
     trans = (seg.groupBy("o_cx", "o_cy", "d_cx", "d_cy")
              .agg(F.count(F.lit(1)).alias("n_trans")))
-    out_tot = (trans.groupBy("o_cx", "o_cy")
-               .agg(F.sum("n_trans").alias("n_out")))
-    return (trans.join(F.broadcast(out_tot), ["o_cx", "o_cy"])
-            .select("o_cx", "o_cy", "d_cx", "d_cy", "n_trans",
-                    F.col("n_out").cast("long").alias("n_out"),
-                    F.round(F.col("n_trans").cast("double")
-                            / F.col("n_out").cast("double"), 9)
-                    .alias("prob")))
+    wo = Window.partitionBy("o_cx", "o_cy")
+    n_out = F.sum("n_trans").over(wo)
+    return trans.select(
+        "o_cx", "o_cy", "d_cx", "d_cy", "n_trans",
+        n_out.cast("long").alias("n_out"),
+        F.round(F.col("n_trans").cast("double")
+                / n_out.cast("double"), 9).alias("prob"))
 
 
 def home_location(points: DataFrame, cell_deg: float = 0.5,
