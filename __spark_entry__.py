@@ -3307,9 +3307,79 @@ def _q_bearing(spark, sf_dir):
             .orderBy("user_id", "ts_us", "id"))
 
 
+def _q_kcore(spark, sf_dir):
+    """k-core decomposition (osmspark/graph/kcore.py) over a 53-node
+    mod/div synthetic graph: the distributed h-index fixpoint
+    (Montresor et al. 2013) — init estimate = degree, iterate
+    c(v) ← H-index of neighbors' estimates; monotone, so the fixed 16
+    rounds land exactly on the core numbers (fixture converges far
+    earlier; overshoot is a no-op, test-pinned). Oracle: DuckDB
+    recursive CTE running the SAME iteration with the count-based
+    H formulation (max h with ≥ h neighbors ≥ h) — different H
+    computation, identical estimates every round."""
+    from osmspark.graph.kcore import kcore_hindex
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.select(
+        (F.col("doc_id") % 53).alias("src"),
+        ((F.col("doc_id") / 53).cast("long") % 53).alias("dst"))
+    return kcore_hindex(edges, n_iter=16).orderBy("node")
+
+
+def _q_hits(spark, sf_dir):
+    """HITS hubs/authorities (osmspark/graph/hits.py) over the
+    101-node pagerank_hosts graph: 4 Gauss-Seidel iterations in exact
+    int64 mass, each half-step renormalized to 10^9 via a decimal
+    integral divide against the broadcast one-row total (never a
+    driver collect). Oracle: the same integer recurrence unrolled as
+    chained DuckDB CTEs with HUGEINT products."""
+    from osmspark.graph.hits import hits_mass
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = (docs.select((F.col("doc_id") % 101).alias("src"),
+                         ((F.col("doc_id") * 31 + 7) % 101).alias("dst"))
+             .filter((F.col("src") % 10 != 0)
+                     & (F.col("src") != F.col("dst")))
+             .distinct())
+    return hits_mass(edges, n_iter=4).orderBy("node")
+
+
+def _q_linkpred(spark, sf_dir):
+    """Common-neighbors + Jaccard link prediction
+    (osmspark/graph/linkpred.py) over the 31-node triangle graph:
+    wedge self-join on the middle node, anti-join against existing
+    edges, exact integer counts, one 9-dp-rounded division. Oracle:
+    the same shape in plain SQL — both sides enumerate candidate
+    pairs independently."""
+    from osmspark.graph.linkpred import link_predictions
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.select(
+        (F.col("doc_id") % 31).alias("src"),
+        ((F.col("doc_id") / 31).cast("long") % 31).alias("dst"))
+    return link_predictions(edges).orderBy("u", "v")
+
+
+def _q_sde_ellipse(spark, sf_dir):
+    """Standard deviational ellipse (osmspark/spatial/ellipse.py) per
+    synthetic user trajectory: five exact fixed-point moment sums →
+    N-scaled central moments (exact decimals) → fixed-shape float tail
+    (eigenvalues, axes, ½·atan2 orientation), each output rounded 9 dp.
+    Oracle mirrors the moment algebra in HUGEINT and the identical
+    IEEE expression tree."""
+    from osmspark.spatial.ellipse import deviational_ellipse
+    pts = _trip_points(spark, sf_dir, 20)
+    return (deviational_ellipse(pts)
+            .select(F.col("user").alias("user_id"), "n_points",
+                    "center_lat", "center_lon", "major_deg",
+                    "minor_deg", "theta_deg")
+            .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "kcore_g53": _q_kcore,
+        "hits_hosts": _q_hits,
+        "linkpred_g31": _q_linkpred,
+        "sde_ellipse_user": _q_sde_ellipse,
         "gearys_c_halfdeg": _q_gearys_c,
         "radius_gyration": _q_radius_gyration,
         "od_matrix_halfdeg": _q_od_matrix_cells,
@@ -3551,12 +3621,149 @@ def _nearest_segment_oracle_sql() -> str:
     """
 
 
+def _hits_oracle_sql(n_iter: int = 4, mass: int = 10 ** 9) -> str:
+    """The hits_mass integer recurrence unrolled as chained CTEs —
+    DuckDB HUGEINT products mirror the engine's decimal(38,0)."""
+    parts = [f"""WITH e AS (
+      SELECT DISTINCT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst
+      FROM documents
+      WHERE (doc_id % 101) % 10 != 0
+        AND doc_id % 101 != (doc_id * 31 + 7) % 101),
+    nodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+    p AS (SELECT count(*) AS n FROM nodes),
+    a0 AS (SELECT node, CAST({mass} // n AS BIGINT) AS s FROM nodes, p),
+    h0 AS (SELECT node, CAST({mass} // n AS BIGINT) AS s FROM nodes, p)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    ar{i} AS (SELECT e.dst AS node, sum(h{i - 1}.s) AS raw
+             FROM e JOIN h{i - 1} ON h{i - 1}.node = e.src GROUP BY 1),
+    at{i} AS (SELECT sum(raw) AS tot FROM ar{i}),
+    a{i} AS (SELECT n.node,
+                  CASE WHEN tot > 0
+                       THEN CAST((CAST(coalesce(raw, 0) AS HUGEINT)
+                                  * {mass}) // tot AS BIGINT)
+                       ELSE 0 END AS s
+             FROM nodes n LEFT JOIN ar{i} ON ar{i}.node = n.node
+             CROSS JOIN at{i}),
+    hr{i} AS (SELECT e.src AS node, sum(a{i}.s) AS raw
+             FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY 1),
+    ht{i} AS (SELECT sum(raw) AS tot FROM hr{i}),
+    h{i} AS (SELECT n.node,
+                  CASE WHEN tot > 0
+                       THEN CAST((CAST(coalesce(raw, 0) AS HUGEINT)
+                                  * {mass}) // tot AS BIGINT)
+                       ELSE 0 END AS s
+             FROM nodes n LEFT JOIN hr{i} ON hr{i}.node = n.node
+             CROSS JOIN ht{i})""")
+    return ",".join(parts) + f"""
+    SELECT a{n_iter}.node, a{n_iter}.s AS auth, h{n_iter}.s AS hub
+    FROM a{n_iter} JOIN h{n_iter} ON h{n_iter}.node = a{n_iter}.node
+    ORDER BY a{n_iter}.node
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok = "string_split_regex(trim(text), ' +')"
     fences_sql = ", ".join(
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # distributed k-core h-index fixpoint: recursive CTE running
+        # the same 16 rounds with the count-based H formulation
+        "kcore_g53": """
+          WITH RECURSIVE e AS (
+            SELECT DISTINCT least(doc_id % 53, (doc_id // 53) % 53) AS a,
+                            greatest(doc_id % 53, (doc_id // 53) % 53) AS b
+            FROM documents
+            WHERE doc_id % 53 != (doc_id // 53) % 53),
+          sym AS (SELECT a AS node, b AS nbr FROM e
+                  UNION ALL SELECT b AS node, a AS nbr FROM e),
+          core AS (
+            SELECT 0 AS it, node, CAST(count(*) AS BIGINT) AS c
+            FROM sym GROUP BY node
+            UNION ALL
+            SELECT it + 1, node, CAST(max(h) AS BIGINT) AS c
+            FROM (
+              SELECT st.it, st.node, g.h,
+                     count(*) FILTER (WHERE st.nc >= g.h) AS cnt
+              FROM (SELECT c.it, s.node, c.c AS nc
+                    FROM sym s JOIN core c ON c.node = s.nbr
+                    WHERE c.it < 16) st
+              CROSS JOIN (SELECT unnest(range(1, 60)) AS h) g
+              GROUP BY 1, 2, 3) q
+            WHERE cnt >= h
+            GROUP BY it, node)
+          SELECT node, c AS core FROM core WHERE it = 16 ORDER BY node
+        """,
+        "hits_hosts": _hits_oracle_sql(),
+        # wedge enumeration + anti-join, independent SQL formulation
+        "linkpred_g31": """
+          WITH e AS (
+            SELECT DISTINCT least(doc_id % 31, (doc_id // 31) % 31) AS a,
+                            greatest(doc_id % 31, (doc_id // 31) % 31) AS b
+            FROM documents
+            WHERE doc_id % 31 != (doc_id // 31) % 31),
+          sym AS (SELECT a AS node, b AS nbr FROM e
+                  UNION ALL SELECT b AS node, a AS nbr FROM e),
+          deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                  FROM sym GROUP BY 1),
+          pairs AS (
+            SELECT l.nbr AS u, r.nbr AS v, CAST(count(*) AS BIGINT) AS cn
+            FROM sym l JOIN sym r ON l.node = r.node AND l.nbr < r.nbr
+            GROUP BY 1, 2),
+          cand AS (
+            SELECT p.u, p.v, p.cn FROM pairs p
+            LEFT JOIN e ON e.a = p.u AND e.b = p.v
+            WHERE e.a IS NULL AND p.cn >= 1)
+          SELECT c.u, c.v, c.cn, du.deg AS deg_u, dv.deg AS deg_v,
+                 round(CAST(c.cn AS DOUBLE)
+                       / CAST(du.deg + dv.deg - c.cn AS DOUBLE), 9)
+                   AS jaccard
+          FROM cand c
+          JOIN deg du ON du.node = c.u
+          JOIN deg dv ON dv.node = c.v
+          ORDER BY u, v
+        """,
+        # SDE: exact HUGEINT central moments, identical IEEE tail
+        "sde_ellipse_user": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=20) + """),
+          u AS (SELECT trip,
+                       CAST(round(lat * 1000000.0, 0) AS BIGINT) AS ux,
+                       CAST(round(lon * 1000000.0, 0) AS BIGINT) AS uy
+                FROM pts),
+          g AS (SELECT trip, count(*) AS n, sum(ux) AS sx, sum(uy) AS sy,
+                       sum(ux::HUGEINT * ux) AS qxx,
+                       sum(uy::HUGEINT * uy) AS qyy,
+                       sum(ux::HUGEINT * uy) AS qxy
+                FROM u GROUP BY trip),
+          m AS (SELECT trip, n, sx, sy,
+                       n::HUGEINT * qxx - sx::HUGEINT * sx AS cxx,
+                       n::HUGEINT * qyy - sy::HUGEINT * sy AS cyy,
+                       n::HUGEINT * qxy - sx::HUGEINT * sy AS cxy
+                FROM g)
+          SELECT trip AS user_id, CAST(n AS BIGINT) AS n_points,
+                 round(sx / (n * 1000000.0), 9) AS center_lat,
+                 round(sy / (n * 1000000.0), 9) AS center_lon,
+                 round(sqrt(greatest(0.0,
+                       (CAST(cxx + cyy AS DOUBLE)
+                        + sqrt(CAST(cxx - cyy AS DOUBLE)
+                               * CAST(cxx - cyy AS DOUBLE)
+                               + 4.0 * CAST(cxy AS DOUBLE)
+                               * CAST(cxy AS DOUBLE)))
+                       / 2.0)) / (n * 1000000.0), 9) AS major_deg,
+                 round(sqrt(greatest(0.0,
+                       (CAST(cxx + cyy AS DOUBLE)
+                        - sqrt(CAST(cxx - cyy AS DOUBLE)
+                               * CAST(cxx - cyy AS DOUBLE)
+                               + 4.0 * CAST(cxy AS DOUBLE)
+                               * CAST(cxy AS DOUBLE)))
+                       / 2.0)) / (n * 1000000.0), 9) AS minor_deg,
+                 round(degrees(atan2(2.0 * CAST(cxy AS DOUBLE),
+                                     CAST(cxx - cyy AS DOUBLE)) / 2.0), 9)
+                   AS theta_deg
+          FROM m ORDER BY user_id
+        """,
         # variance-identity radius of gyration on µdeg integers:
         # hugeint moments, one sqrt/division tail
         "radius_gyration": """
