@@ -3373,9 +3373,97 @@ def _q_sde_ellipse(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def _q_pii_redacted(spark, sf_dir):
+    """PII redaction transform (osmspark/pipeline/textstats.py:
+    redact_pii) — the action the pii_counts audit feeds: every
+    email/IPv4/phone match replaced by its typed token over the same
+    deterministic injection, n_redacted counted pre-replacement.
+    The full redacted text is pinned via md5 so every byte of every
+    replacement (and the fixed chain order) is part of the contract;
+    oracle applies DuckDB's global regexp_replace in the same order."""
+    from osmspark.pipeline.textstats import redact_pii
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(i % 3 == 0, F.lit(" contact bob@example.com now"))
+            .otherwise(F.lit("")),
+            F.when(i % 12 == 0, F.lit(" cc alice.b@sub.example.org"))
+            .otherwise(F.lit("")),
+            F.when(i % 4 == 0, F.lit(" from 192.168.10.1 seen"))
+            .otherwise(F.lit("")),
+            F.when(i % 7 == 0, F.lit(" call +4915112345678"))
+            .otherwise(F.lit(""))).alias("text"))
+    return (redact_pii(injected)
+            .select("doc_id", "n_redacted",
+                    F.md5(F.col("text_redacted")).alias("text_md5"))
+            .orderBy("doc_id"))
+
+
+def _q_bimoran(spark, sf_dir):
+    """Bivariate Moran's I (osmspark/spatial/autocorr.py:
+    bivariate_morans_i) between the 0.5° event-count field and a
+    second per-cell integer field (sum of id % 97): cross-product
+    numerator over rook adjacency in exact N-scaled integers, the
+    √·√ geometric-mean denominator the only floats. Oracle derives
+    adjacency by the brute |Δcx|+|Δcy| = 1 cross join."""
+    from osmspark.spatial.autocorr import bivariate_morans_i
+    pts = _event_points(spark, sf_dir)
+    cells = (pts.groupBy(
+        F.floor(F.col("lon") / 0.5).cast("long").alias("cell_x"),
+        F.floor(F.col("lat") / 0.5).cast("long").alias("cell_y"))
+        .agg(F.count(F.lit(1)).alias("x"),
+             F.sum(F.col("id") % 97).alias("y")))
+    return bivariate_morans_i(cells)
+
+
+def _q_hilbert_keys(spark, sf_dir):
+    """Hilbert-curve layout keys (osmspark/spatial/layout.py:
+    with_hilbert_key) over a 1-in-17 sample of the synthetic event
+    points: the 16-level xy→d state walk, staged one narrow select
+    per level so Catalyst keeps the plan linear (the tiles.py
+    staged-column discipline), pure JVM codegen. Engine stages and
+    the DuckDB oracle's nested-subquery chain are generated from the
+    SAME dialect-neutral hilbert_level_sql text, so the two engines
+    cannot drift."""
+    from osmspark.spatial.layout import with_hilbert_key
+    pts = _event_points(spark, sf_dir).filter(F.col("id") % 17 == 0)
+    return (with_hilbert_key(pts, order=16)
+            .select("id", "hkey").orderBy("id"))
+
+
+def _hilbert_oracle_sql(order: int = 16) -> str:
+    """Nested-subquery chain built from the same level template the
+    engine stages — one subquery per level, linear size."""
+    from osmspark.spatial.layout import hilbert_level_sql
+    cell = 1 << (32 - order)
+    inner = f"""
+      SELECT id,
+             CAST(((CAST(round(lat * 10000000.0, 0) AS BIGINT)
+                    + 2147483648)
+                   - (CAST(round(lat * 10000000.0, 0) AS BIGINT)
+                      + 2147483648) % {cell}) / {cell} AS BIGINT) AS hx,
+             CAST(((CAST(round(lon * 10000000.0, 0) AS BIGINT)
+                    + 2147483648)
+                   - (CAST(round(lon * 10000000.0, 0) AS BIGINT)
+                      + 2147483648) % {cell}) / {cell} AS BIGINT) AS hy,
+             CAST(0 AS BIGINT) AS hd
+      FROM ({_EVENT_POINTS_SQL}) p WHERE id % 17 = 0"""
+    for lvl in range(order - 1, -1, -1):
+        x2, y2, d2 = hilbert_level_sql(1 << lvl, "hx", "hy", "hd")
+        inner = (f"SELECT id, {x2} AS hx, {y2} AS hy, {d2} AS hd "
+                 f"FROM ({inner}) t{lvl}")
+    return f"SELECT id, hd AS hkey FROM ({inner}) f ORDER BY id"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "hilbert_keys": _q_hilbert_keys,
+        "pii_redacted": _q_pii_redacted,
+        "bimoran_halfdeg": _q_bimoran,
         "kcore_g53": _q_kcore,
         "hits_hosts": _q_hits,
         "linkpred_g31": _q_linkpred,
@@ -3669,6 +3757,75 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # generated from the same hilbert_level_sql template the
+        # engine stages — one nested subquery per level
+        "hilbert_keys": _hilbert_oracle_sql(),
+        # same injection as pii_counts; global regexp_replace chain in
+        # the same fixed order, full redacted text pinned via md5
+        "pii_redacted": r"""
+          WITH injected AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 3 = 0
+                        THEN ' contact bob@example.com now' ELSE '' END ||
+                   CASE WHEN doc_id % 12 = 0
+                        THEN ' cc alice.b@sub.example.org' ELSE '' END ||
+                   CASE WHEN doc_id % 4 = 0
+                        THEN ' from 192.168.10.1 seen' ELSE '' END ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' call +4915112345678' ELSE '' END AS text
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text,
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                   + len(regexp_extract_all(text,
+                   '\+[0-9]{7,12}')) AS BIGINT) AS n_redacted,
+                 md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                   '<IPV4>', 'g'),
+                   '\+[0-9]{7,12}', '<PHONE>', 'g')) AS text_md5
+          FROM injected ORDER BY doc_id
+        """,
+        # brute rook adjacency; exact HUGEINT moments, sqrt·sqrt tail
+        "bimoran_halfdeg": """
+          WITH pts AS (""" + _EVENT_POINTS_SQL + """),
+          cells AS (
+            SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+                   CAST(floor(lat / 0.5) AS BIGINT) AS cy,
+                   count(*) AS x, sum(id % 97) AS y
+            FROM pts GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy
+                  FROM cells),
+          dev AS (SELECT cx, cy, (n * x - sx) AS devx,
+                         (n * y - sy) AS devy
+                  FROM cells, tot),
+          pairs AS (
+            SELECT a.devx AS di, b.devy AS dj
+            FROM dev a, dev b
+            WHERE abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1),
+          agg AS (
+            SELECT (SELECT n FROM tot) AS n_cells,
+                   count(*) AS w_pairs,
+                   coalesce(sum(di::HUGEINT * dj), 0) AS num,
+                   (SELECT sum(devx::HUGEINT * devx) FROM dev) AS den_x,
+                   (SELECT sum(devy::HUGEINT * devy) FROM dev) AS den_y
+            FROM pairs)
+          SELECT CAST(n_cells AS BIGINT) AS n_cells,
+                 CAST(w_pairs AS BIGINT) AS w_pairs,
+                 CAST(num AS BIGINT) AS num,
+                 CAST(den_x AS BIGINT) AS den_x,
+                 CAST(den_y AS BIGINT) AS den_y,
+                 round((CAST(n_cells AS DOUBLE) / CAST(w_pairs AS DOUBLE))
+                       * (CAST(num AS DOUBLE)
+                          / (sqrt(CAST(den_x AS DOUBLE))
+                             * sqrt(CAST(den_y AS DOUBLE)))), 9)
+                   AS moran_xy
+          FROM agg
+        """,
         # distributed k-core h-index fixpoint: recursive CTE running
         # the same 16 rounds with the count-based H formulation
         "kcore_g53": """

@@ -306,6 +306,35 @@ PII_PATTERNS = {
 }
 
 
+#: replacement tokens, applied in PII_PATTERNS iteration order —
+#: emails first so an address's host part can't half-match as an IPv4
+PII_TOKENS = {"n_emails": "<EMAIL>", "n_ipv4": "<IPV4>",
+              "n_phones": "<PHONE>"}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """The transform :func:`with_pii_counts` audits: every PII match
+    replaced by its typed token (``<EMAIL>``/``<IPV4>``/``<PHONE>``),
+    plus ``n_redacted`` = the total AUDIT count over the original
+    text (the with_pii_counts sum — counted before replacement, so it
+    can exceed the number of physical substitutions when one
+    pattern's match nests inside an earlier pattern's, e.g. a
+    dotted-quad host inside an email address; test-pinned). Pure
+    ``regexp_replace``/``regexp_count`` codegen — one scan per
+    pattern, no shuffle, no Python; the fixed chain order is part of
+    the contract (both engines apply the same sequence, so the output
+    bytes are identical even when patterns could overlap)."""
+    n_total = None
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        n_total = c if n_total is None else n_total + c
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, PII_TOKENS[name])
+    return df.withColumn("n_redacted", n_total).withColumn(out_col, red)
+
+
 def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document PII-pattern occurrence counts (emails, IPv4s,
     international phone numbers) — the redaction-audit signal a corpus

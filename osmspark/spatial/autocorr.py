@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["morans_i", "gearys_c", "getis_ord_gi_star",
-           "local_morans_i", "join_counts", "getis_general_g"]
+           "local_morans_i", "join_counts", "getis_general_g",
+           "bivariate_morans_i"]
 
 
 def morans_i(cells: DataFrame, x_col: str = "n",
@@ -426,3 +427,72 @@ def getis_general_g(cells: DataFrame, x_col: str = "n",
         F.col("num_d").cast("long").alias("num"),
         den_d.cast("long").alias("den"),
         g.alias("general_g"))
+
+
+def bivariate_morans_i(cells: DataFrame, x_col: str = "x",
+                       y_col: str = "y", cx_col: str = "cell_x",
+                       cy_col: str = "cell_y") -> DataFrame:
+    """Bivariate Moran's I (GeoDa's cross-variable statistic): does
+    variable x at a cell co-vary with variable y at its NEIGHBORS —
+    e.g. does page density predict neighboring-cell user activity:
+
+        I_xy = (N/W) · Σ_ij w_ij devx_i · devy_j
+                     / √(Σ devx²) · √(Σ devy²)
+
+    Same N-scaled exactness as :func:`morans_i` — devx = N·x − Sx,
+    devy = N·y − Sy are exact integers and every N² factor cancels
+    between the cross-product numerator and the geometric-mean
+    denominator; the two sqrt/division ops are the only floats
+    (identical exact operands ⇒ identical IEEE result, the gi_star
+    √B·√C precedent). Same scale shape: one exploded-4-offset rook
+    equi-join + combinable aggregations, broadcast one-row totals.
+
+    One-row result: (n_cells, w_pairs, num, den_x, den_y, moran_xy);
+    NULL when either field is constant or no adjacency exists.
+    """
+    base = cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(x_col).cast("long").alias("x"),
+                        F.col(y_col).cast("long").alias("y"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("sx"), F.sum("y").alias("sy"))
+    dev = (base.crossJoin(F.broadcast(tot))
+           .select("cx", "cy",
+                   (F.col("n") * F.col("x") - F.col("sx")).alias("devx"),
+                   (F.col("n") * F.col("y") - F.col("sy")).alias("devy")))
+    offs = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy")))
+    left = (dev.select("devx", F.explode(offs).alias("o"),
+                       F.col("cx"), F.col("cy"))
+            .select(F.col("devx").alias("dev_i"),
+                    (F.col("cx") + F.col("o.dx")).alias("cx"),
+                    (F.col("cy") + F.col("o.dy")).alias("cy")))
+    right = dev.select("cx", "cy", F.col("devy").alias("dev_j"))
+    pairs = left.join(right, ["cx", "cy"], "inner")
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.coalesce(F.sum(F.col("dev_i").cast("decimal(38,0)")
+                         * F.col("dev_j").cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)")).alias("num_d"))
+    den = dev.agg(
+        F.sum(F.col("devx").cast("decimal(38,0)")
+              * F.col("devx").cast("decimal(38,0)")).alias("dx_d"),
+        F.sum(F.col("devy").cast("decimal(38,0)")
+              * F.col("devy").cast("decimal(38,0)")).alias("dy_d"))
+    out = (tot.select(F.col("n").alias("n_cells"))
+           .crossJoin(num).crossJoin(den))
+    moran = F.when(
+        (F.col("dx_d") != 0) & (F.col("dy_d") != 0) & (F.col("w_pairs") > 0),
+        (F.col("n_cells").cast("double") / F.col("w_pairs").cast("double"))
+        * (F.col("num_d").cast("double")
+           / (F.sqrt(F.col("dx_d").cast("double"))
+              * F.sqrt(F.col("dy_d").cast("double")))))
+    return out.select(
+        "n_cells", "w_pairs",
+        F.col("num_d").cast("long").alias("num"),
+        F.col("dx_d").cast("long").alias("den_x"),
+        F.col("dy_d").cast("long").alias("den_y"),
+        F.round(moran, 9).alias("moran_xy"))
