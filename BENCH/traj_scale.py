@@ -31,6 +31,9 @@ synthetic 25M-edge host graph:
                 census of the 80M-point trajectories — the r5
                 emerging-hot-spot cube: one combinable 3-key census,
                 a 27-offset explode equi-join, broadcast moments
+- kcore         3 h-index rounds over the 25M-edge host graph — per
+                round one estimate join + one node-keyed window/agg
+                (the window and the aggregate share one Exchange)
 
 (hausdorff_pairs is deliberately absent: its pair stage is quadratic
 per surviving trip pair by definition, and this workload's trips all
@@ -59,7 +62,7 @@ SSSP_EDGE_N = 12_000_000
 SSSP_NODE_MOD = 1 << 20
 STAGES = ["staypoints", "speed_filter", "resample", "od_matrix",
           "pagerank", "sssp", "dwithin_m", "geofence", "idw",
-          "gi_star_st"]
+          "gi_star_st", "kcore"]
 
 # inner/outer boxes around the three heaviest cities (london/paris/nyc
 # carry ~2/3 of the point mass; σ = 0.02° gaussians)
@@ -87,6 +90,7 @@ def worker(n_threads: int) -> None:
 
     import scaling  # BENCH/scaling.py — reuse the big-table cache
     from osmspark.graph import pagerank_mass, shortest_paths
+    from osmspark.graph.kcore import kcore_hindex
     from osmspark.session import INFER_FILTERS_RULE, get_spark
     from osmspark.spatial import (detect_staypoints, dwithin_meters_join,
                                   read_points_fixedpoint)
@@ -149,6 +153,9 @@ def worker(n_threads: int) -> None:
     gi_star_spacetime(spark.createDataFrame(
         [(0, 0, 0, 3), (0, 1, 0, 5), (1, 0, 1, 2)],
         "cell_x long, cell_y long, tbin long, n long")).count()
+    kcore_hindex(spark.createDataFrame([(1, 2), (2, 3)],
+                                       "src long, dst long"),
+                 n_iter=1).count()
 
     # every stage is forced through an aggregate over COMPUTED columns:
     # a bare .count() lets Catalyst prune cardinality-preserving work
@@ -199,6 +206,7 @@ def worker(n_threads: int) -> None:
                     .cast("long").alias("tbin"))
                 .agg(F.count(F.lit(1)).alias("n"))),
             "l_sum", "w_i"),
+        "kcore": lambda: _force(kcore_hindex(edges, n_iter=3), "core"),
     }
     out = {}
     for name, fn in stages.items():

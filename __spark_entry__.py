@@ -3458,9 +3458,34 @@ def _hilbert_oracle_sql(order: int = 16) -> str:
     return f"SELECT id, hd AS hkey FROM ({inner}) f ORDER BY id"
 
 
+def _q_emerging(spark, sf_dir):
+    """Emerging-hot-spot classification (osmspark/spatial/emerging.py)
+    over the 5° × weekly event cube at z_crit = 1.0 (fixture-chosen so
+    all 15 classes materialize on the synthetic field): Gi* space-time
+    z per bin, Mann-Kendall trend over each cell's z series
+    (y_type=double — signs of identical rounded floats), then the
+    fixed-order CASE cascade on integer censuses + portable float
+    compares. Oracle re-derives everything brute-force: 3-axis
+    Chebyshev cross join for Gi*, per-cell pair join for M-K, the
+    same CASE text."""
+    from osmspark.spatial.emerging import emerging_hotspots
+    pts = _event_points(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = pts.join(ev.select(F.col("event_id").alias("id"), "ts"), "id")
+    cube = (pts.groupBy(
+        F.floor(F.col("lon") / 5.0).cast("long").alias("cell_x"),
+        F.floor(F.col("lat") / 5.0).cast("long").alias("cell_y"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(604800000000)).cast("long").alias("tbin"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    return (emerging_hotspots(cube, z_crit=1.0)
+            .orderBy("cell_x", "cell_y"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "emerging_hotspots_5deg": _q_emerging,
         "hilbert_keys": _q_hilbert_keys,
         "pii_redacted": _q_pii_redacted,
         "bimoran_halfdeg": _q_bimoran,
@@ -3757,6 +3782,111 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # full brute-force re-derivation: Chebyshev Gi*, pair-join
+        # M-K over the z series, the same fixed-order CASE cascade
+        "emerging_hotspots_5deg": """
+          WITH bins AS (
+            SELECT CAST(floor((-180.0 + (event_id * 104729 % 36000)
+                               / 100.0) / 5.0) AS BIGINT) AS cx,
+                   CAST(floor((-90.0 + (event_id * 7919 % 18000)
+                               / 100.0) / 5.0) AS BIGINT) AS cy,
+                   epoch_us(ts) // 604800000000 AS tb,
+                   count(*) AS x
+            FROM events GROUP BY 1, 2, 3),
+          tot AS (SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS q
+                  FROM bins),
+          nbr AS (
+            SELECT a.cx, a.cy, a.tb, count(*) AS w_i, sum(b.x) AS l_sum
+            FROM bins a JOIN bins b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+                 AND abs(a.tb - b.tb) <= 1
+            GROUP BY 1, 2, 3),
+          zs AS (
+            SELECT c.cx, c.cy, c.tb,
+                   round(CAST(n * nbr.l_sum - s * nbr.w_i AS DOUBLE)
+                         / (sqrt(CAST(n * q - s * s AS DOUBLE))
+                            * sqrt(CAST(n * nbr.w_i - nbr.w_i * nbr.w_i
+                                        AS DOUBLE)
+                                   / CAST(n - 1 AS DOUBLE))), 9) AS z
+            FROM bins c
+            JOIN nbr ON c.cx = nbr.cx AND c.cy = nbr.cy
+                        AND c.tb = nbr.tb, tot
+            WHERE n > 1 AND n * nbr.w_i - nbr.w_i * nbr.w_i > 0
+              AND n * q - s * s > 0),
+          per AS (
+            SELECT cx, cy, count(*) AS n_bins,
+                   sum(CASE WHEN z >= 1.0 THEN 1 ELSE 0 END) AS n_hot,
+                   sum(CASE WHEN z <= -1.0 THEN 1 ELSE 0 END) AS n_cold,
+                   arg_max(z, tb) AS last_z
+            FROM zs GROUP BY 1, 2),
+          sstat AS (
+            SELECT a.cx, a.cy,
+                   sum(CASE WHEN b.z > a.z THEN 1
+                            WHEN b.z < a.z THEN -1 ELSE 0 END) AS s_stat
+            FROM zs a JOIN zs b
+              ON a.cx = b.cx AND a.cy = b.cy AND a.tb < b.tb
+            GROUP BY 1, 2),
+          ties AS (
+            SELECT cx, cy,
+                   sum(t_g * (t_g - 1) * (2 * t_g + 5)) AS tie_sum
+            FROM (SELECT cx, cy, z, count(*) AS t_g
+                  FROM zs GROUP BY 1, 2, 3)
+            GROUP BY 1, 2),
+          mk AS (
+            SELECT n.cx, n.cy,
+                   CASE WHEN n.np * (n.np - 1) * (2 * n.np + 5)
+                             - ties.tie_sum > 0 THEN
+                     round((CASE WHEN coalesce(s.s_stat, 0) > 0
+                                 THEN s.s_stat - 1
+                                 WHEN coalesce(s.s_stat, 0) < 0
+                                 THEN s.s_stat + 1 ELSE 0 END)
+                           / sqrt(CAST(n.np * (n.np - 1) * (2 * n.np + 5)
+                                       - ties.tie_sum AS DOUBLE)
+                                  / 18.0), 9)
+                   END AS mk_z
+            FROM (SELECT cx, cy, count(*) AS np FROM zs GROUP BY 1, 2) n
+            JOIN ties ON n.cx = ties.cx AND n.cy = ties.cy
+            LEFT JOIN s""" + """stat s ON n.cx = s.cx AND n.cy = s.cy),
+          j AS (
+            SELECT per.cx, per.cy, per.n_bins, per.n_hot, per.n_cold,
+                   per.last_z, mk.mk_z
+            FROM per LEFT JOIN mk ON per.cx = mk.cx AND per.cy = mk.cy)
+          SELECT cx AS cell_x, cy AS cell_y,
+                 CAST(n_bins AS BIGINT) AS n_bins,
+                 CAST(n_hot AS BIGINT) AS n_hot,
+                 CAST(n_cold AS BIGINT) AS n_cold,
+                 last_z, mk_z,
+                 CASE
+                   WHEN last_z >= 1.0 AND n_hot = 1 THEN 'new_hot'
+                   WHEN last_z >= 1.0 AND n_cold > 0
+                     THEN 'oscillating_hot'
+                   WHEN last_z >= 1.0 AND 10 * n_hot >= 9 * n_bins
+                        AND (mk_z IS NOT NULL AND mk_z >= 1.0)
+                     THEN 'intensifying_hot'
+                   WHEN last_z >= 1.0 AND 10 * n_hot >= 9 * n_bins
+                        AND (mk_z IS NOT NULL AND mk_z <= -1.0)
+                     THEN 'diminishing_hot'
+                   WHEN last_z >= 1.0 AND 10 * n_hot >= 9 * n_bins
+                     THEN 'persistent_hot'
+                   WHEN last_z >= 1.0 THEN 'sporadic_hot'
+                   WHEN last_z <= -1.0 AND n_cold = 1 THEN 'new_cold'
+                   WHEN last_z <= -1.0 AND n_hot > 0
+                     THEN 'oscillating_cold'
+                   WHEN last_z <= -1.0 AND 10 * n_cold >= 9 * n_bins
+                        AND (mk_z IS NOT NULL AND mk_z <= -1.0)
+                     THEN 'intensifying_cold'
+                   WHEN last_z <= -1.0 AND 10 * n_cold >= 9 * n_bins
+                        AND (mk_z IS NOT NULL AND mk_z >= 1.0)
+                     THEN 'diminishing_cold'
+                   WHEN last_z <= -1.0 AND 10 * n_cold >= 9 * n_bins
+                     THEN 'persistent_cold'
+                   WHEN last_z <= -1.0 THEN 'sporadic_cold'
+                   WHEN 2 * n_hot > n_bins THEN 'historical_hot'
+                   WHEN 2 * n_cold > n_bins THEN 'historical_cold'
+                   ELSE 'no_pattern'
+                 END AS pattern
+          FROM j ORDER BY cell_x, cell_y
+        """,
         # generated from the same hilbert_level_sql template the
         # engine stages — one nested subquery per level
         "hilbert_keys": _hilbert_oracle_sql(),

@@ -78,7 +78,7 @@ def activity_trend(points: DataFrame, cell_deg: float = 0.5,
 
 def mann_kendall(daily: DataFrame, y_col: str = "y",
                  cx_col: str = "cell_x", cy_col: str = "cell_y",
-                 t_col: str = "day") -> DataFrame:
+                 t_col: str = "day", y_type: str = "long") -> DataFrame:
     """Per-cell Mann-Kendall monotonic-trend test over a (cell, time,
     value) series — the nonparametric half of "emerging hot spot
     analysis" (``spacetime.gi_star_spacetime`` supplies the other):
@@ -90,8 +90,11 @@ def mann_kendall(daily: DataFrame, y_col: str = "y",
                                                      18·Var[S])
         z   = (S − sgn(S)) / sqrt(V18 / 18)          (continuity corr.)
 
-    S, n and V18 are exact integers (sgn compares integers; the tie
-    census groups by the exact value); z is the only float — two IEEE
+    S, n and V18 are exact integers (sgn compares values exactly; the
+    tie census groups by the exact value — ``y_type="double"`` admits
+    float series such as Gi* z-scores, still engine-portable because
+    both sign and equality act on IDENTICAL rounded doubles); z is
+    the only new float — two IEEE
     ops (divide by 18.0, sqrt) on identical exact operands then one
     division, rounded 9 dp, engine-portable. NULL z when V18 = 0
     (n < 2 or a completely tied series).
@@ -106,7 +109,7 @@ def mann_kendall(daily: DataFrame, y_col: str = "y",
     base = daily.select(F.col(cx_col).alias("cx"),
                         F.col(cy_col).alias("cy"),
                         F.col(t_col).alias("t"),
-                        F.col(y_col).cast("long").alias("y"))
+                        F.col(y_col).cast(y_type).alias("y"))
     a = base.select("cx", "cy", F.col("t").alias("ti"),
                     F.col("y").alias("yi"))
     b = base.select("cx", "cy", F.col("t").alias("tj"),
