@@ -3482,9 +3482,25 @@ def _q_emerging(spark, sf_dir):
             .orderBy("cell_x", "cell_y"))
 
 
+def _q_textrank(spark, sf_dir):
+    """TextRank keywords (osmspark/pipeline/keywords.py): word
+    co-occurrence graph (window 2 over the token sequence, df ≥ 2
+    vocabulary bound) ranked by weighted integer-mass PageRank — a
+    pure composition of the winnow tokenizer discipline, the index
+    df census, and graph.pagerank_mass, so every stage is already
+    individually hash-pinned. Top-20 cut is total-ordered by
+    (mass desc, word). Oracle replays the same derivation with the
+    weighted recursive-CTE PageRank."""
+    from osmspark.pipeline.keywords import textrank_keywords
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(docs, window=2, min_df=2, n_iter=4,
+                             top_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "textrank_top20": _q_textrank,
         "emerging_hotspots_5deg": _q_emerging,
         "hilbert_keys": _q_hilbert_keys,
         "pii_redacted": _q_pii_redacted,
@@ -3782,6 +3798,63 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # same graph derivation + the weighted recursive-CTE pagerank
+        "textrank_top20": """
+          WITH RECURSIVE docs AS (
+            SELECT doc_id AS d,
+                   string_split_regex(trim(text), ' +') AS arr
+            FROM documents),
+          tk AS (SELECT d, unnest(range(len(arr))) AS pos, arr
+                 FROM docs),
+          toks AS (SELECT d, pos, arr[pos + 1] AS tok FROM tk
+                   WHERE arr[pos + 1] != ''),
+          dfc AS (SELECT tok, count(*) AS df FROM
+                    (SELECT DISTINCT d, tok FROM toks) GROUP BY tok),
+          kept AS (SELECT tok FROM dfc WHERE df >= 2),
+          pw AS (
+            SELECT tok AS a, lead(tok, 1) OVER win AS b FROM toks
+              WINDOW win AS (PARTITION BY d ORDER BY pos)
+            UNION ALL
+            SELECT tok AS a, lead(tok, 2) OVER win2 AS b FROM toks
+              WINDOW win2 AS (PARTITION BY d ORDER BY pos)),
+          und AS (
+            SELECT least(a, b) AS u, greatest(a, b) AS v FROM pw
+            WHERE b IS NOT NULL AND a != b),
+          ew AS (
+            SELECT u, v, count(*) AS w FROM und
+            JOIN kept ku ON ku.tok = und.u
+            JOIN kept kv ON kv.tok = und.v
+            GROUP BY 1, 2),
+          e AS (SELECT u AS src, v AS dst, w FROM ew
+                UNION ALL SELECT v AS src, u AS dst, w FROM ew),
+          nodes AS (SELECT DISTINCT node FROM (
+                      SELECT src AS node FROM e
+                      UNION ALL SELECT dst FROM e) un),
+          deg AS (SELECT src AS node, sum(w) AS outw FROM e GROUP BY 1),
+          p AS (SELECT count(*) AS n FROM nodes),
+          pr AS (
+            SELECT 0 AS it, node,
+                   CAST(1000000000000 // n AS BIGINT) AS mass
+            FROM nodes, p
+            UNION ALL
+            SELECT c_it + 1, node,
+                   CAST((3 * 1000000000000) // (20 * n)
+                        + (17 * in_mass) // 20 AS BIGINT) AS mass
+            FROM (
+              SELECT nn.node, max(c.it) AS c_it,
+                     coalesce(sum(c.share)
+                              FILTER (WHERE c.dst = nn.node), 0) AS in_mass
+              FROM (SELECT pr.it, e.dst,
+                           (pr.mass * e.w) // d.outw AS share
+                    FROM pr
+                    JOIN deg d USING (node)
+                    JOIN e ON e.src = pr.node
+                    WHERE pr.it < 4) c
+              CROSS JOIN nodes nn
+              GROUP BY nn.node), p)
+          SELECT node AS word, mass FROM pr WHERE it = 4
+          ORDER BY mass DESC, word LIMIT 20
+        """,
         # full brute-force re-derivation: Chebyshev Gi*, pair-join
         # M-K over the z series, the same fixed-order CASE cascade
         "emerging_hotspots_5deg": """
