@@ -3497,9 +3497,63 @@ def _q_textrank(spark, sf_dir):
                              top_k=20)
 
 
+def _q_regrid(spark, sf_dir):
+    """Exact area-weighted regridding (osmspark/spatial/mapalgebra.py:
+    regrid_cells) of the 0.5° event-count raster onto an 0.8° grid —
+    non-nesting pitches so real partial overlaps occur: integer µdeg
+    overlap geometry, decimal(38,0) weight sums, ONE integral division
+    per output cell. Oracle mirrors with HUGEINT, reusing the same
+    sign-correct floor-division SQL text."""
+    from osmspark.spatial.mapalgebra import regrid_cells
+    pts = _event_points(spark, sf_dir)
+    cells = (pts.groupBy(
+        F.floor(F.col("lon") / 0.5).cast("long").alias("cell_x"),
+        F.floor(F.col("lat") / 0.5).cast("long").alias("cell_y"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    return (regrid_cells(cells, 0.5, 0.8)
+            .orderBy("cell_x", "cell_y"))
+
+
+def _regrid_oracle_sql() -> str:
+    from osmspark.spatial.mapalgebra import _floordiv_sql
+    s, d = 500000, 800000
+    return f"""
+      WITH pts AS ({_EVENT_POINTS_SQL}),
+      cells AS (
+        SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+               CAST(floor(lat / 0.5) AS BIGINT) AS cy,
+               count(*) AS n
+        FROM pts GROUP BY 1, 2),
+      c2 AS (
+        SELECT cx, cy, n,
+               unnest(range({_floordiv_sql(f'cx * {s}', d)},
+                            {_floordiv_sql(f'(cx + 1) * {s} - 1', d)}
+                            + 1)) AS tx
+        FROM cells),
+      c3 AS (
+        SELECT cx, cy, n, tx,
+               unnest(range({_floordiv_sql(f'cy * {s}', d)},
+                            {_floordiv_sql(f'(cy + 1) * {s} - 1', d)}
+                            + 1)) AS ty
+        FROM c2),
+      agg AS (
+        SELECT tx, ty,
+               sum(n::HUGEINT
+                   * (least((cx + 1) * {s}, (tx + 1) * {d})
+                      - greatest(cx * {s}, tx * {d}))
+                   * (least((cy + 1) * {s}, (ty + 1) * {d})
+                      - greatest(cy * {s}, ty * {d}))) AS num
+        FROM c3 GROUP BY 1, 2)
+      SELECT tx AS cell_x, ty AS cell_y,
+             CAST(num // ({s}::HUGEINT * {s}) AS BIGINT) AS n
+      FROM agg ORDER BY cell_x, cell_y
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "regrid_05_to_08": _q_regrid,
         "textrank_top20": _q_textrank,
         "emerging_hotspots_5deg": _q_emerging,
         "hilbert_keys": _q_hilbert_keys,
@@ -3798,6 +3852,8 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # same floor-div text, HUGEINT weights, one // per output cell
+        "regrid_05_to_08": _regrid_oracle_sql(),
         # same graph derivation + the weighted recursive-CTE pagerank
         "textrank_top20": """
           WITH RECURSIVE docs AS (
