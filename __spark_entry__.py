@@ -3550,9 +3550,30 @@ def _regrid_oracle_sql() -> str:
     """
 
 
+def _q_harmonic(spark, sf_dir):
+    """Harmonic centrality + eccentricity from sampled roots
+    (osmspark/graph/centrality.py:harmonic_centrality) over the
+    101-node graph: the disconnection-robust closeness variant with
+    the harmonic sum QUANTIZED to exact integers (mass // dist per
+    reached node — no float op in the module at all) and the per-root
+    max-distance diameter probe. Same multi-source BFS state as
+    closeness_sample7; the oracle's recursive CTE applies the same
+    quantization."""
+    from osmspark.graph import harmonic_centrality
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.col("doc_id") % 101
+    d = (F.col("doc_id") * 31 + 7) % 101
+    edges = (docs.select(s.alias("src"), d.alias("dst"))
+             .filter((s % 10 != 0) & (s != d)).distinct())
+    roots = (edges.select(F.col("src").alias("root"))
+             .filter(F.col("root") % 7 == 1).distinct())
+    return harmonic_centrality(edges, roots).orderBy("root")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "harmonic_sample7": _q_harmonic,
         "regrid_05_to_08": _q_regrid,
         "textrank_top20": _q_textrank,
         "emerging_hotspots_5deg": _q_emerging,
@@ -3852,6 +3873,35 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # recursive-CTE BFS + the same mass // dist quantization
+        "harmonic_sample7": """
+          WITH RECURSIVE e0 AS (
+            SELECT DISTINCT doc_id % 101 AS src,
+                            (doc_id * 31 + 7) % 101 AS dst
+            FROM documents
+            WHERE (doc_id % 101) % 10 != 0
+              AND doc_id % 101 != (doc_id * 31 + 7) % 101),
+          e AS (SELECT src AS u, dst AS v FROM e0
+                UNION SELECT dst, src FROM e0),
+          roots AS (SELECT DISTINCT src AS root FROM e0 WHERE src % 7 = 1),
+          bfs AS (
+            SELECT root, root AS node, 0 AS dist FROM roots
+            UNION
+            SELECT bfs.root, e.v, bfs.dist + 1
+            FROM bfs JOIN e ON e.u = bfs.node
+            WHERE bfs.dist < 101),
+          md AS (SELECT root, node, min(dist) AS dist
+                 FROM bfs GROUP BY root, node)
+          SELECT root,
+                 CAST(count(*) FILTER (WHERE dist > 0) AS BIGINT)
+                   AS n_reached,
+                 CAST(coalesce(max(dist) FILTER (WHERE dist > 0), 0)
+                      AS BIGINT) AS eccentricity,
+                 CAST(coalesce(sum(1000000000 // dist)
+                               FILTER (WHERE dist > 0), 0)
+                      AS BIGINT) AS harmonic_mass
+          FROM md GROUP BY root ORDER BY root
+        """,
         # same floor-div text, HUGEINT weights, one // per output cell
         "regrid_05_to_08": _regrid_oracle_sql(),
         # same graph derivation + the weighted recursive-CTE pagerank

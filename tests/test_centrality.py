@@ -87,3 +87,41 @@ def test_duplicate_roots_deduplicated(frames, spark):
     dup = spark.createDataFrame(pd.DataFrame({"root": [0, 0, 0]}))
     out = closeness_centrality(edges, dup).collect()
     assert len(out) == 1 and int(out[0].root) == 0
+
+
+def test_harmonic_matches_python(frames):
+    from osmspark.graph.centrality import harmonic_centrality
+    edges, roots = frames
+    got = {int(r.root): (int(r.n_reached), int(r.eccentricity),
+                         int(r.harmonic_mass))
+           for r in harmonic_centrality(edges, roots).collect()}
+    M = 10 ** 9
+    exp = {}
+    for root in ROOTS:
+        d = {n: dd for n, dd in _bfs(root).items() if dd > 0}
+        exp[root] = (len(d), max(d.values(), default=0),
+                     sum(M // dd for dd in d.values()))
+    assert got == exp
+
+
+def test_harmonic_isolated_root_zero(frames):
+    from osmspark.graph.centrality import harmonic_centrality
+    edges, roots = frames
+    got = {int(r.root): int(r.harmonic_mass)
+           for r in harmonic_centrality(edges, roots).collect()}
+    assert got[99] == 0
+
+
+def test_harmonic_ranks_align_with_closeness_on_component(frames):
+    # inside one connected component harmonic and closeness agree on
+    # the extreme ranks (harmonic is the robust generalization)
+    from osmspark.graph.centrality import (closeness_centrality,
+                                           harmonic_centrality)
+    edges, roots = frames
+    h = {int(r.root): int(r.harmonic_mass)
+         for r in harmonic_centrality(edges, roots).collect()}
+    c = {int(r.root): (r.closeness or 0.0)
+         for r in closeness_centrality(edges, roots).collect()}
+    comp = [0, 3, 6]     # roots inside the big component
+    assert max(comp, key=h.get) == max(comp, key=c.get)
+    assert min(comp, key=h.get) == min(comp, key=c.get)
