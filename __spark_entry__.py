@@ -3570,9 +3570,29 @@ def _q_harmonic(spark, sf_dir):
     return harmonic_centrality(edges, roots).orderBy("root")
 
 
+def _q_burstiness(spark, sf_dir):
+    """Per-cell Fano-factor burstiness (osmspark/spatial/trend.py:
+    burstiness) over the 2° × daily event census: the temporal
+    index-of-dispersion companion to the spatial autocorr family —
+    exact N-scaled integer variance/mean ratio, one 9-dp division.
+    Oracle mirrors the moment algebra in HUGEINT."""
+    from osmspark.spatial.trend import burstiness
+    pts = _event_points(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = pts.join(ev.select(F.col("event_id").alias("id"), "ts"), "id")
+    daily = (pts.groupBy(
+        F.floor(F.col("lon") / 2.0).cast("long").alias("cell_x"),
+        F.floor(F.col("lat") / 2.0).cast("long").alias("cell_y"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("long").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y")))
+    return burstiness(daily).orderBy("cell_x", "cell_y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "burstiness_2deg": _q_burstiness,
         "harmonic_sample7": _q_harmonic,
         "regrid_05_to_08": _q_regrid,
         "textrank_top20": _q_textrank,
@@ -3873,6 +3893,29 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # HUGEINT moment mirror, one division
+        "burstiness_2deg": """
+          WITH pts AS (""" + _EVENT_POINTS_SQL + """),
+          daily AS (
+            SELECT CAST(floor(p.lon / 2.0) AS BIGINT) AS cx,
+                   CAST(floor(p.lat / 2.0) AS BIGINT) AS cy,
+                   epoch_us(e.ts) // 86400000000 AS d,
+                   count(*) AS y
+            FROM pts p JOIN events e ON e.event_id = p.id
+            GROUP BY 1, 2, 3),
+          g AS (
+            SELECT cx, cy, count(*) AS t, sum(y) AS s,
+                   sum(y::HUGEINT * y) AS q
+            FROM daily GROUP BY 1, 2)
+          SELECT cx AS cell_x, cy AS cell_y,
+                 CAST(t AS BIGINT) AS n_periods,
+                 CAST(s AS BIGINT) AS s_sum,
+                 CASE WHEN s > 0 THEN
+                   round(CAST(t::HUGEINT * q - s::HUGEINT * s AS DOUBLE)
+                         / CAST(t::HUGEINT * s AS DOUBLE), 9)
+                 END AS fano
+          FROM g ORDER BY cell_x, cell_y
+        """,
         # recursive-CTE BFS + the same mass // dist quantization
         "harmonic_sample7": """
           WITH RECURSIVE e0 AS (

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["activity_trend", "mann_kendall"]
+__all__ = ["activity_trend", "burstiness", "mann_kendall"]
 
 _US_PER_DAY = 86_400_000_000
 
@@ -144,3 +144,45 @@ def mann_kendall(daily: DataFrame, y_col: str = "y",
                     F.col("n").alias("n_periods"),
                     s_stat.alias("s_stat"), v18.alias("v18"),
                     z.alias("mk_z"))
+
+
+def burstiness(daily: DataFrame, y_col: str = "y",
+               cx_col: str = "cell_x", cy_col: str = "cell_y",
+               t_col: str = "day") -> DataFrame:
+    """Per-cell Fano factor over a (cell, time-bin, count) series —
+    the index-of-dispersion burstiness test (F ≈ 1 Poisson-random
+    arrivals, F > 1 bursty/clumped, F < 1 regular): the temporal
+    companion to the SPATIAL clustering statistics in autocorr.py.
+
+        F = Var[y] / E[y]  =  (T·Q − S²) / (T·S)
+
+    over the cell's T observed bins (population variance; S = Σy,
+    Q = Σy²). Both numerator and denominator are exact N-scaled
+    integers — Q in decimal(38,0) — and ONE IEEE division (rounded
+    9 dp) is the only float, the repo-wide discipline. NULL when
+    S = 0 (all-zero series).
+
+    ONE combinable aggregation on the cell key; input is the
+    (cell, bin) census, so cost is calendar-bounded like mann_kendall.
+    Output: (cell_x, cell_y, n_periods, s_sum, fano).
+    """
+    base = daily.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(y_col).cast("long").alias("y"))
+    g = (base.groupBy("cx", "cy")
+         .agg(F.count(F.lit(1)).alias("t"),
+              F.sum("y").alias("s"),
+              F.sum(F.col("y").cast("decimal(38,0)")
+                    * F.col("y").cast("decimal(38,0)")).alias("q")))
+    num = (F.col("t").cast("decimal(38,0)") * F.col("q")
+           - F.col("s").cast("decimal(38,0)")
+           * F.col("s").cast("decimal(38,0)"))
+    den = (F.col("t").cast("decimal(38,0)")
+           * F.col("s").cast("decimal(38,0)"))
+    fano = F.when(F.col("s") > 0,
+                  F.round(num.cast("double") / den.cast("double"), 9))
+    return g.select(F.col("cx").alias("cell_x"),
+                    F.col("cy").alias("cell_y"),
+                    F.col("t").alias("n_periods"),
+                    F.col("s").alias("s_sum"),
+                    fano.alias("fano"))

@@ -145,3 +145,35 @@ def test_no_cartesian(spark):
     plan = (emerging_hotspots(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------- burstiness
+
+def test_burstiness_matches_python(spark):
+    from osmspark.spatial.trend import burstiness
+    rows = [(0, 0, t, [5, 5, 5, 5][t]) for t in range(4)] \
+        + [(1, 0, t, [1, 1, 1, 17][t]) for t in range(4)] \
+        + [(2, 0, 0, 0), (2, 0, 1, 0)]
+    df = spark.createDataFrame(rows, "cell_x long, cell_y long, "
+                                     "day long, y long")
+    got = {(int(r.cell_x), int(r.cell_y)):
+           (int(r.n_periods), int(r.s_sum), r.fano)
+           for r in burstiness(df, t_col="day").collect()}
+
+    def fano(ys):
+        t, s, q = len(ys), sum(ys), sum(v * v for v in ys)
+        return round((t * q - s * s) / (t * s), 9) if s else None
+
+    assert got == {(0, 0): (4, 20, fano([5] * 4)),
+                   (1, 0): (4, 20, fano([1, 1, 1, 17])),
+                   (2, 0): (2, 0, None)}
+    # constant series → F = 0; bursty series → F ≫ 1
+    assert got[(0, 0)][2] == 0.0 and got[(1, 0)][2] > 1.0
+
+
+def test_burstiness_single_aggregation(spark):
+    from osmspark.spatial.trend import burstiness
+    df = spark.createDataFrame([(0, 0, 0, 3)],
+                               "cell_x long, cell_y long, day long, y long")
+    plan = burstiness(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and plan.count("Exchange") <= 2
