@@ -18,7 +18,7 @@ from .. import model
 from ..pbf.source import _nodes_fn
 
 __all__ = ["stream_pages", "stream_nodes", "stream_tile_counts",
-           "stream_windowed_tile_counts"]
+           "stream_windowed_tile_counts", "stream_dedup_pages"]
 
 
 def stream_pages(spark: SparkSession, path: str,
@@ -75,3 +75,24 @@ def stream_windowed_tile_counts(nodes_stream: DataFrame, res: int = 7,
             .select(F.col("window.start").alias("window_start"),
                     F.col("window.end").alias("window_end"),
                     "cell", "n_points"))
+
+
+def stream_dedup_pages(pages_stream: DataFrame,
+                       watermark: str = "30 minutes",
+                       keys: tuple[str, ...] = ("url",)) -> DataFrame:
+    """Streaming seen-set dedup over the crawl stream — the re-fetch
+    suppressor a rolling crawl runs before any downstream work: the
+    first page per ``keys`` within the event-time horizon passes, later
+    duplicates are dropped, and ``dropDuplicatesWithinWatermark``
+    EVICTS each key's state once the watermark passes it — state is
+    bounded by the horizon's key arrival rate, not crawl history (the
+    unbounded-history variant is the batch exact-dedup / the Bloom
+    seen-set sketch; this is the streaming member of that family).
+
+    Works in append mode; ``warc_ts`` must carry the event time.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return (pages_stream
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
