@@ -36,13 +36,28 @@ __all__ = ["kcore_hindex"]
 
 
 def kcore_hindex(edges: DataFrame, n_iter: int = 16,
-                 src: str = "src", dst: str = "dst") -> DataFrame:
+                 src: str = "src", dst: str = "dst",
+                 materialize: bool = True) -> DataFrame:
     """Core-number estimates after ``n_iter`` h-index iterations:
     (node, core) with core int64 — exact core numbers once ``n_iter``
     reaches the convergence depth (monotone, so overshooting is safe).
 
     Input is an undirected edge list in any shape — duplicates, both
     directions, self-loops all tolerated (canonicalized first).
+
+    ``materialize`` (default) repartitions the symmetrized edge table
+    on the JOIN key (``nbr``) and local-checkpoints it: the join key
+    never changes across iterations, so every round's estimate join
+    becomes exchange-free on BOTH sides (the estimate table exits each
+    round hash-partitioned on the node id, which the alias-aware
+    planner matches to the edge side), leaving exactly ONE edge-scale
+    shuffle per round — the window's node partitioning. Measured 2→8
+    scaling on the 25M-edge suite graph motivated this: the uncached
+    plan re-shuffled the edge table every round. Same
+    ``localCheckpoint`` trade-off as ``dedup.lsh_candidate_pairs`` —
+    pass ``materialize=False`` on a multi-executor cluster where an
+    executor loss must recompute instead of failing, or when the edge
+    table is already bucketed on node id in the warehouse.
     """
     canon = (edges.select(
         F.least(F.col(src), F.col(dst)).alias("a"),
@@ -54,6 +69,9 @@ def kcore_hindex(edges: DataFrame, n_iter: int = 16,
                                F.col("a").alias("nbr"))))
     est = (sym.groupBy("node")
            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    if materialize:
+        sym = (sym.repartition(F.col("nbr"))
+               .localCheckpoint(eager=False))
     w = Window.partitionBy("node").orderBy(F.desc("nc"), F.asc("nbr"))
     for _ in range(n_iter):
         nb = sym.join(est.select(F.col("node").alias("nbr"),
