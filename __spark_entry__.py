@@ -3589,9 +3589,24 @@ def _q_burstiness(spark, sf_dir):
     return burstiness(daily).orderBy("cell_x", "cell_y")
 
 
+def _q_colocation(spark, sf_dir):
+    """Colocation participation index (osmspark/spatial/colocation.py)
+    over event points with cat = id % 5, 2° cells: the Shekhar-Huang
+    prevalence measure — distinct has-a-neighbor censuses per ordered
+    category pair (9-offset cell cover, never all-pairs), one rounded
+    division per ratio, PI = least of both. Oracle derives the near
+    relation by the brute |Δ| ≤ 1 cell join."""
+    from osmspark.spatial.colocation import colocation_pi
+    pts = _event_points(spark, sf_dir)
+    pts = pts.withColumn("cat", (F.col("id") % 5).cast("long"))
+    return (colocation_pi(pts, cell_deg=2.0)
+            .orderBy("cat_a", "cat_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "colocation_pi_2deg": _q_colocation,
         "burstiness_2deg": _q_burstiness,
         "harmonic_sample7": _q_harmonic,
         "regrid_05_to_08": _q_regrid,
@@ -3893,6 +3908,53 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # brute cell-adjacency near relation, same censuses/divisions
+        "colocation_pi_2deg": """
+          WITH pts AS (""" + _EVENT_POINTS_SQL + """),
+          inst AS (
+            SELECT id AS iid, id % 5 AS cat,
+                   CAST(floor(lon / 2.0) AS BIGINT) AS cx,
+                   CAST(floor(lat / 2.0) AS BIGINT) AS cy
+            FROM pts),
+          totals AS (SELECT cat, count(*) AS n FROM inst GROUP BY 1),
+          near AS (
+            SELECT DISTINCT a.iid, a.cat AS cat_i, b.cat AS cat_j
+            FROM inst a JOIN inst b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+                 AND a.cat != b.cat),
+          prc AS (SELECT cat_i, cat_j, count(*) AS n_near
+                  FROM near GROUP BY 1, 2),
+          ab AS (SELECT cat_i AS cat_a, cat_j AS cat_b,
+                        n_near AS n_a_near_b
+                 FROM prc WHERE cat_i < cat_j),
+          ba AS (SELECT cat_j AS cat_a, cat_i AS cat_b,
+                        n_near AS n_b_near_a
+                 FROM prc WHERE cat_i > cat_j),
+          pairs AS (
+            SELECT coalesce(ab.cat_a, ba.cat_a) AS cat_a,
+                   coalesce(ab.cat_b, ba.cat_b) AS cat_b,
+                   CAST(coalesce(n_a_near_b, 0) AS BIGINT)
+                     AS n_a_near_b,
+                   CAST(coalesce(n_b_near_a, 0) AS BIGINT)
+                     AS n_b_near_a
+            FROM ab FULL OUTER JOIN ba
+              ON ab.cat_a = ba.cat_a AND ab.cat_b = ba.cat_b)
+          SELECT p.cat_a, p.cat_b,
+                 CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+                 p.n_a_near_b, p.n_b_near_a,
+                 round(CAST(p.n_a_near_b AS DOUBLE)
+                       / CAST(ta.n AS DOUBLE), 9) AS pr_ab,
+                 round(CAST(p.n_b_near_a AS DOUBLE)
+                       / CAST(tb.n AS DOUBLE), 9) AS pr_ba,
+                 least(round(CAST(p.n_a_near_b AS DOUBLE)
+                             / CAST(ta.n AS DOUBLE), 9),
+                       round(CAST(p.n_b_near_a AS DOUBLE)
+                             / CAST(tb.n AS DOUBLE), 9)) AS pi
+          FROM pairs p
+          JOIN totals ta ON ta.cat = p.cat_a
+          JOIN totals tb ON tb.cat = p.cat_b
+          ORDER BY cat_a, cat_b
+        """,
         # HUGEINT moment mirror, one division
         "burstiness_2deg": """
           WITH pts AS (""" + _EVENT_POINTS_SQL + """),
