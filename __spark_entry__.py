@@ -3603,9 +3603,31 @@ def _q_colocation(spark, sf_dir):
             .orderBy("cat_a", "cat_b"))
 
 
+def _q_corpus_report(spark, sf_dir):
+    """Dataset-card summary row (osmspark/pipeline/report.py:
+    corpus_report) over the pii_counts-injected corpus: exact
+    combinable censuses (tokens, non-space chars, md5 distinct texts,
+    any-PII docs) and one rounded division per rate. The oracle
+    re-derives every column in SQL."""
+    from osmspark.pipeline.textstats import redact_pii  # noqa: F401
+    from osmspark.pipeline.report import corpus_report
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    injected = docs.select(
+        "doc_id", "lang",
+        F.concat(
+            F.col("text"),
+            F.when(i % 3 == 0, F.lit(" contact bob@example.com now"))
+            .otherwise(F.lit("")),
+            F.when(i % 4 == 0, F.lit(" from 192.168.10.1 seen"))
+            .otherwise(F.lit(""))).alias("text"))
+    return corpus_report(injected)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "corpus_report": _q_corpus_report,
         "colocation_pi_2deg": _q_colocation,
         "burstiness_2deg": _q_burstiness,
         "harmonic_sample7": _q_harmonic,
@@ -3908,6 +3930,54 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # per-column SQL re-derivation of the dataset-card row
+        "corpus_report": r"""
+          WITH injected AS (
+            SELECT doc_id, lang,
+                   text ||
+                   CASE WHEN doc_id % 3 = 0
+                        THEN ' contact bob@example.com now' ELSE '' END ||
+                   CASE WHEN doc_id % 4 = 0
+                        THEN ' from 192.168.10.1 seen' ELSE '' END AS text
+            FROM documents),
+          per AS (
+            SELECT lang,
+                   len(string_split_regex(trim(text), ' +')) AS n_tokens,
+                   length(replace(text, ' ', '')) AS n_chars,
+                   md5(text) AS h,
+                   CASE WHEN len(regexp_extract_all(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                          > 0
+                        OR len(regexp_extract_all(text,
+                          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                          > 0
+                        OR len(regexp_extract_all(text,
+                          '\+[0-9]{7,12}')) > 0
+                        THEN 1 ELSE 0 END AS has_pii
+            FROM injected),
+          agg AS (
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT lang) AS n_langs,
+                   sum(n_tokens) AS total_tokens,
+                   sum(n_chars) AS total_chars,
+                   count(DISTINCT h) AS n_distinct_texts,
+                   sum(has_pii) AS n_pii_docs
+            FROM per)
+          SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_langs AS BIGINT) AS n_langs,
+                 CAST(total_tokens AS BIGINT) AS total_tokens,
+                 CAST(total_chars AS BIGINT) AS total_chars,
+                 CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+                 CAST(n_docs - n_distinct_texts AS BIGINT) AS n_dup_docs,
+                 round(CAST(n_docs - n_distinct_texts AS DOUBLE)
+                       / CAST(n_docs AS DOUBLE), 9) AS dup_rate,
+                 CAST(n_pii_docs AS BIGINT) AS n_pii_docs,
+                 round(CAST(n_pii_docs AS DOUBLE)
+                       / CAST(n_docs AS DOUBLE), 9) AS pii_rate,
+                 round(CAST(total_tokens AS DOUBLE)
+                       / CAST(n_docs AS DOUBLE), 9) AS mean_doc_tokens
+          FROM agg
+        """,
         # brute cell-adjacency near relation, same censuses/divisions
         "colocation_pi_2deg": """
           WITH pts AS (""" + _EVENT_POINTS_SQL + """),

@@ -456,3 +456,42 @@ def test_pii_counts_patterns(spark):
     assert got[1] == (2, 1, 1)
     assert got[2] == (0, 0, 0)
     assert got[3] == (0, 2, 1)
+
+
+def test_corpus_report_matches_python(spark):
+    import hashlib
+    import re as _re
+
+    from osmspark.pipeline.report import corpus_report
+    from osmspark.pipeline.textstats import PII_PATTERNS
+
+    docs = [(0, "en", "alpha beta gamma"),
+            (1, "en", "alpha beta gamma"),          # exact dup of 0
+            (2, "de", "mail bob@example.com here"),
+            (3, "fr", ""),
+            (4, "en", "delta epsilon")]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, "
+                                     "text string")
+    r = corpus_report(df).collect()[0]
+
+    texts = [t for _, _, t in docs]
+    n = len(texts)
+    toks = [len(t.strip().split()) if t.strip() else 1 for t in texts]
+    chars = [len(t.replace(" ", "")) for t in texts]
+    distinct = len({hashlib.md5(t.encode()).hexdigest() for t in texts})
+    pii = sum(1 for t in texts
+              if any(_re.search(p, t) for p in PII_PATTERNS.values()))
+    assert (r.n_docs, r.n_langs, r.total_tokens, r.total_chars) \
+        == (n, 3, sum(toks), sum(chars))
+    assert (r.n_distinct_texts, r.n_dup_docs) == (distinct, n - distinct)
+    assert r.dup_rate == round((n - distinct) / n, 9)
+    assert (r.n_pii_docs, r.pii_rate) == (pii, round(pii / n, 9))
+    assert r.mean_doc_tokens == round(sum(toks) / n, 9)
+
+
+def test_corpus_report_single_aggregate_plan(spark):
+    from osmspark.pipeline.report import corpus_report
+    df = spark.createDataFrame([(0, "en", "x y")],
+                               "doc_id long, lang string, text string")
+    plan = corpus_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Python" not in plan
