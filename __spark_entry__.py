@@ -3624,9 +3624,28 @@ def _q_corpus_report(spark, sf_dir):
     return corpus_report(injected)
 
 
+def _q_fence_dwell(spark, sf_dir):
+    """Per-(trip, fence) dwell times (osmspark/spatial/geofence.py:
+    fence_dwell_times) over the synthetic walks and the same four
+    overlapping fences as geofence_transitions: left-continuous
+    interval attribution (the segment to the next observation belongs
+    to the fences containing the current one), exact integer µs sums,
+    one window + explode + census. Oracle joins points against a
+    fences VALUES table and lags ts — the per-(trip, fence)
+    formulation vs the engine's array path."""
+    from osmspark.spatial.geofence import fence_dwell_times
+    pts = _trip_points(spark, sf_dir, 30)
+    return (fence_dwell_times(pts, _FENCES, trip_col="trip_id",
+                              ts_col="ts_us", id_col="id")
+            .select(F.col("trip").alias("user_id"), "fence_id",
+                    "dwell", "n_intervals")
+            .orderBy("user_id", "fence_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "fence_dwell_30": _q_fence_dwell,
         "corpus_report": _q_corpus_report,
         "colocation_pi_2deg": _q_colocation,
         "burstiness_2deg": _q_burstiness,
@@ -3930,6 +3949,27 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # per-(trip, fence) lead-window formulation vs the array path
+        "fence_dwell_30": """
+          WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=30) + """),
+          nxt AS (
+            SELECT trip, pid, ts, lat, lon,
+                   lead(ts) OVER (PARTITION BY trip
+                                  ORDER BY ts, pid) AS ts2
+            FROM pts),
+          f(fence_id, min_lat, max_lat, min_lon, max_lon) AS
+            (VALUES """ + fences_sql + """),
+          seg AS (
+            SELECT n.trip, f.fence_id, n.ts2 - n.ts AS dt
+            FROM nxt n JOIN f
+              ON n.lat >= f.min_lat AND n.lat <= f.max_lat
+                 AND n.lon >= f.min_lon AND n.lon <= f.max_lon
+            WHERE n.ts2 IS NOT NULL)
+          SELECT trip AS user_id, fence_id,
+                 CAST(sum(dt) AS BIGINT) AS dwell,
+                 CAST(count(*) AS BIGINT) AS n_intervals
+          FROM seg GROUP BY 1, 2 ORDER BY user_id, fence_id
+        """,
         # per-column SQL re-derivation of the dataset-card row
         "corpus_report": r"""
           WITH injected AS (

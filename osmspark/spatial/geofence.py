@@ -40,7 +40,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["geofence_transitions"]
+__all__ = ["geofence_transitions", "fence_dwell_times"]
 
 
 def geofence_transitions(points: DataFrame,
@@ -96,3 +96,50 @@ def geofence_transitions(points: DataFrame,
     return moved.select("trip", "ts", "pid",
                         F.col("_t.fence_id").alias("fence_id"),
                         F.col("_t.kind").alias("kind"))
+
+
+def fence_dwell_times(points: DataFrame,
+                      fences: Sequence[dict],
+                      trip_col: str = "trip_id", ts_col: str = "ts",
+                      id_col: str = "id", lat_col: str = "lat",
+                      lon_col: str = "lon") -> DataFrame:
+    """(trip, fence_id, dwell, n_intervals) — total time each device
+    spent inside each fence, the billing/exposure metric downstream of
+    :func:`geofence_transitions`.
+
+    Left-continuous convention: the interval to the NEXT observation
+    is attributed to the fences containing the CURRENT one (a device
+    observed inside at t_i "stays" until t_{i+1}); each trip's last
+    observation closes no interval. Dwell is an exact integer sum in
+    the caller's ts unit — no transition pairing logic, so missing
+    exits cannot corrupt totals.
+
+    Same scale shape as the transition operator: codegen fence-set
+    per point, ONE trip-keyed window (lead), one explode of the
+    containing set, one combinable census keyed (trip, fence).
+    """
+    if not fences:
+        raise ValueError("fence_dwell_times needs >= 1 fence")
+    fence_lit = F.array(*[
+        F.struct(F.lit(int(f["fence_id"])).cast("long").alias("fid"),
+                 F.lit(float(f["min_lat"])).alias("min_lat"),
+                 F.lit(float(f["max_lat"])).alias("max_lat"),
+                 F.lit(float(f["min_lon"])).alias("min_lon"),
+                 F.lit(float(f["max_lon"])).alias("max_lon"))
+        for f in fences])
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    inside = F.filter(
+        fence_lit,
+        lambda f: (lat >= f["min_lat"]) & (lat <= f["max_lat"])
+        & (lon >= f["min_lon"]) & (lon <= f["max_lon"]))
+    pts = points.select(
+        F.col(trip_col).alias("trip"), F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("pid"),
+        F.transform(inside, lambda f: f["fid"]).alias("cur"))
+    w = Window.partitionBy("trip").orderBy("ts", "pid")
+    seg = (pts.withColumn("dt", F.lead("ts").over(w) - F.col("ts"))
+           .filter(F.col("dt").isNotNull())
+           .select("trip", "dt", F.explode("cur").alias("fence_id")))
+    return (seg.groupBy("trip", "fence_id")
+            .agg(F.sum("dt").cast("long").alias("dwell"),
+                 F.count(F.lit(1)).cast("long").alias("n_intervals")))

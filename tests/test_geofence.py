@@ -90,3 +90,46 @@ def test_single_exchange_plan(points):
 def test_empty_fences_rejected(points):
     with pytest.raises(ValueError):
         geofence_transitions(points, [])
+
+
+def test_dwell_matches_python(spark):
+    from osmspark.spatial.geofence import fence_dwell_times
+    fences = [{"fence_id": 1, "min_lat": 0.0, "max_lat": 10.0,
+               "min_lon": 0.0, "max_lon": 10.0},
+              {"fence_id": 2, "min_lat": 5.0, "max_lat": 15.0,
+               "min_lon": 5.0, "max_lon": 15.0}]
+    # trip 7: outside → f1 → overlap(f1∩f2) → f2 → outside (uneven dts)
+    rows = [(7, 100, 1, -5.0, -5.0),
+            (7, 200, 2, 2.0, 2.0),     # f1       for 300 (until 500)
+            (7, 500, 3, 7.0, 7.0),     # f1+f2    for 250
+            (7, 750, 4, 12.0, 12.0),   # f2       for 150
+            (7, 900, 5, 20.0, 20.0)]   # outside, closes nothing
+    df = spark.createDataFrame(rows, "trip_id long, ts long, id long, "
+                                     "lat double, lon double")
+    got = {(int(r.trip), int(r.fence_id)): (int(r.dwell),
+                                            int(r.n_intervals))
+           for r in fence_dwell_times(df, fences, ts_col="ts").collect()}
+    assert got == {(7, 1): (300 + 250, 2), (7, 2): (250 + 150, 2)}
+
+
+def test_dwell_last_point_open(spark):
+    from osmspark.spatial.geofence import fence_dwell_times
+    fences = [{"fence_id": 1, "min_lat": 0.0, "max_lat": 10.0,
+               "min_lon": 0.0, "max_lon": 10.0}]
+    # a single observation inside closes no interval → no row
+    df = spark.createDataFrame([(1, 100, 1, 5.0, 5.0)],
+                               "trip_id long, ts long, id long, "
+                               "lat double, lon double")
+    assert fence_dwell_times(df, fences, ts_col="ts").count() == 0
+
+
+def test_dwell_single_window_plan(spark):
+    from osmspark.spatial.geofence import fence_dwell_times
+    fences = [{"fence_id": 1, "min_lat": 0.0, "max_lat": 10.0,
+               "min_lon": 0.0, "max_lon": 10.0}]
+    df = spark.createDataFrame([(1, 100, 1, 5.0, 5.0)],
+                               "trip_id long, ts long, id long, "
+                               "lat double, lon double")
+    plan = (fence_dwell_times(df, fences, ts_col="ts")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Window") == 1
