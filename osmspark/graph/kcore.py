@@ -37,7 +37,7 @@ __all__ = ["kcore_hindex"]
 
 def kcore_hindex(edges: DataFrame, n_iter: int = 16,
                  src: str = "src", dst: str = "dst",
-                 materialize: bool = True) -> DataFrame:
+                 materialize: bool = False) -> DataFrame:
     """Core-number estimates after ``n_iter`` h-index iterations:
     (node, core) with core int64 — exact core numbers once ``n_iter``
     reaches the convergence depth (monotone, so overshooting is safe).
@@ -45,19 +45,22 @@ def kcore_hindex(edges: DataFrame, n_iter: int = 16,
     Input is an undirected edge list in any shape — duplicates, both
     directions, self-loops all tolerated (canonicalized first).
 
-    ``materialize`` (default) repartitions the symmetrized edge table
-    on the JOIN key (``nbr``) and local-checkpoints it: the join key
-    never changes across iterations, so every round's estimate join
-    becomes exchange-free on BOTH sides (the estimate table exits each
-    round hash-partitioned on the node id, which the alias-aware
-    planner matches to the edge side), leaving exactly ONE edge-scale
-    shuffle per round — the window's node partitioning. Measured 2→8
-    scaling on the 25M-edge suite graph motivated this: the uncached
-    plan re-shuffled the edge table every round. Same
-    ``localCheckpoint`` trade-off as ``dedup.lsh_candidate_pairs`` —
-    pass ``materialize=False`` on a multi-executor cluster where an
-    executor loss must recompute instead of failing, or when the edge
-    table is already bucketed on node id in the warehouse.
+    ``materialize`` repartitions the symmetrized edge table on the
+    JOIN key (``nbr``) and local-checkpoints it, making every round's
+    estimate join exchange-free on both sides (the estimate table
+    exits each round hash-partitioned on the node id, which the
+    alias-aware planner matches to the edge side) — exactly ONE
+    edge-scale shuffle per round remains, the window's node
+    partitioning. Default OFF on measurement: at the scaling suite's
+    n_iter=3 / 25M edges the one-time checkpoint write cost exceeded
+    the saved shuffles (level-8 kcore 73 s → 211 s with it on — the
+    RDD-storage write serializes and the checkpointed scan loses
+    whole-stage fusion with the join). Worth enabling only when
+    n_iter is large enough to amortize one materialization against
+    n_iter saved edge shuffles, or when the edge lineage is itself
+    expensive to recompute; a warehouse table BUCKETED on the node id
+    gets the same exchange-free join with none of the cost — the
+    100 TB answer (see pagerank_mass's docstring, same contract).
     """
     canon = (edges.select(
         F.least(F.col(src), F.col(dst)).alias("a"),
