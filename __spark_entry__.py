@@ -3642,9 +3642,21 @@ def _q_fence_dwell(spark, sf_dir):
             .orderBy("user_id", "fence_id"))
 
 
+def _q_chunks(spark, sf_dir):
+    """Sliding-window RAG chunking (osmspark/pipeline/packing.py:
+    chunk_documents) at 12-token windows / stride 6: exact integer
+    chunk-start arithmetic, pure-SQL slice + concat, no shuffle.
+    Oracle re-derives via DuckDB 1-based inclusive list slicing."""
+    from osmspark.pipeline.packing import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (chunk_documents(docs, chunk_tokens=12, stride=6)
+            .orderBy("doc_id", "chunk_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "chunks_12_6": _q_chunks,
         "fence_dwell_30": _q_fence_dwell,
         "corpus_report": _q_corpus_report,
         "colocation_pi_2deg": _q_colocation,
@@ -3949,6 +3961,28 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # 1-based inclusive list slices mirror slice(arr, start, len)
+        "chunks_12_6": """
+          WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), ' +') AS arr
+            FROM documents),
+          k AS (
+            SELECT doc_id, arr,
+                   (greatest(0, len(arr) - 12) + 5) // 6 AS kk
+            FROM t),
+          c AS (
+            SELECT doc_id, arr,
+                   unnest(range(0, kk + 1)) AS chunk_idx
+            FROM k)
+          SELECT doc_id, chunk_idx,
+                 CAST(chunk_idx * 6 AS BIGINT) AS start_tok,
+                 CAST(len(arr[chunk_idx * 6 + 1 : chunk_idx * 6 + 12])
+                      AS BIGINT) AS n_chunk_tokens,
+                 array_to_string(arr[chunk_idx * 6 + 1
+                                     : chunk_idx * 6 + 12], ' ')
+                   AS text_chunk
+          FROM c ORDER BY doc_id, chunk_idx
+        """,
         # per-(trip, fence) lead-window formulation vs the array path
         "fence_dwell_30": """
           WITH pts AS (""" + _TRIP_POINTS_SQL.format(max_user=30) + """),

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["prefix_sum", "pack_sequences"]
+__all__ = ["prefix_sum", "pack_sequences", "chunk_documents"]
 
 
 def prefix_sum(df: DataFrame, val_col: str, order_col: str = "doc_id",
@@ -104,3 +104,43 @@ def pack_sequences(docs: DataFrame, seq_len: int,
                     .cast("long"))
         .withColumn("n_seqs", F.col("seq_last") - F.col("seq_first") + 1)
         .drop("_last_tok"))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    stride: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking — the RETRIEVAL-side
+    counterpart to :func:`pack_sequences` (training packs documents
+    INTO sequences; retrieval splits documents into overlapping
+    chunks): windows of ``chunk_tokens`` whitespace tokens starting
+    every ``stride`` tokens, the standard RAG/embedding-index shape.
+
+    Chunk-start arithmetic is exact integer: K = ceil(max(0,
+    n − chunk)/stride) extra starts beyond the first, so every token
+    lands in ≥ 1 chunk, the final chunk ends at the document end, and
+    a doc with n ≤ chunk_tokens yields exactly one chunk. Pure SQL —
+    one posexplode-free map pass (sequence + slice + concat_ws), no
+    shuffle, no Python; output (doc_id, chunk_idx, start_tok,
+    n_chunk_tokens, text_chunk) is deterministic per row.
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    n = F.size(toks)
+    extra = F.greatest(F.lit(0), n - F.lit(chunk_tokens))
+    # K = ceil(extra / stride) as exact integer arithmetic
+    k = ((extra + F.lit(stride - 1))
+         - (extra + F.lit(stride - 1)) % F.lit(stride)) / F.lit(stride)
+    out = (docs.select(F.col(id_col).alias("doc_id"),
+                       toks.alias("_toks"),
+                       k.cast("long").alias("_k"))
+           .select("doc_id", "_toks",
+                   F.explode(F.sequence(F.lit(0).cast("long"),
+                                        F.col("_k"))).alias("chunk_idx")))
+    start = F.col("chunk_idx") * F.lit(stride)
+    chunk = F.slice(F.col("_toks"), start + 1, chunk_tokens)
+    return out.select(
+        "doc_id", "chunk_idx",
+        start.cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("text_chunk"))

@@ -65,3 +65,48 @@ def test_prefix_sum_plan_shape(docs):
     assert "BroadcastHashJoin" in plan
     # exactly one single-partition exchange — the bucket-totals window
     assert plan.count("SinglePartition") == 1
+
+
+def test_chunk_documents_matches_python(spark):
+    from osmspark.pipeline.packing import chunk_documents
+    docs = [(0, " ".join(f"t{i}" for i in range(20))),   # 20 toks
+            (1, "a b c"),                                # fits in one
+            (2, ""),                                     # empty → ['']
+            (3, " ".join(f"u{i}" for i in range(8)))]    # exact chunk
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(int(r.doc_id), int(r.chunk_idx)):
+           (int(r.start_tok), int(r.n_chunk_tokens), r.text_chunk)
+           for r in chunk_documents(df, chunk_tokens=8,
+                                    stride=4).collect()}
+    exp = {}
+    for d, t in docs:
+        toks = t.strip().split(" ") if True else []
+        toks = t.strip().split(" ")  # '' -> ['']
+        n = len(toks)
+        kk = (max(0, n - 8) + 3) // 4
+        for i in range(kk + 1):
+            sl = toks[i * 4:i * 4 + 8]
+            exp[(d, i)] = (i * 4, len(sl), " ".join(sl))
+    assert got == exp
+    # coverage: every token of doc 0 appears in >= 1 chunk and the
+    # final chunk reaches the document end
+    assert got[(0, 3)][0] + got[(0, 3)][1] == 20
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from osmspark.pipeline.packing import chunk_documents
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = (chunk_documents(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from osmspark.pipeline.packing import chunk_documents
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, stride=0)
