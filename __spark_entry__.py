@@ -3653,9 +3653,32 @@ def _q_chunks(spark, sf_dir):
             .orderBy("doc_id", "chunk_idx"))
 
 
+def _q_scc(spark, sf_dir):
+    """Strongly connected components (osmspark/graph/scc.py) over a
+    60-node graph of six 10-cycles plus sparse cross links (every
+    5th doc contributes an inter-decade edge, merging some cycles
+    into larger SCCs and leaving others one-way-reachable — both the
+    settle-immediately and the peel-another-phase paths execute):
+    deterministic FW-BW-min peeling, equality of forward/backward min
+    labels as the mutual-reachability proof. Oracle: full recursive
+    transitive closure + mutual-pair min — a completely independent
+    formulation."""
+    from osmspark.graph.scc import scc_labels
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.col("doc_id") % 60
+    cyc = docs.select(
+        v.alias("src"),
+        ((v - v % 10) + ((v % 10 + 1) % 10)).alias("dst"))
+    cross = (docs.filter(F.col("doc_id") % 5 == 0)
+             .select(v.alias("src"),
+                     ((F.col("doc_id") * 13 + 3) % 60).alias("dst")))
+    return scc_labels(cyc.union(cross)).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "scc_decades": _q_scc,
         "chunks_12_6": _q_chunks,
         "fence_dwell_30": _q_fence_dwell,
         "corpus_report": _q_corpus_report,
@@ -3961,6 +3984,33 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # independent formulation: recursive closure + mutual-pair min
+        "scc_decades": """
+          WITH RECURSIVE e AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT doc_id % 60 AS src,
+                     ((doc_id % 60) - (doc_id % 60) % 10)
+                       + (((doc_id % 60) % 10 + 1) % 10) AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id % 60 AS src, (doc_id * 13 + 3) % 60 AS dst
+              FROM documents WHERE doc_id % 5 = 0) u
+            WHERE src != dst),
+          nodes AS (SELECT DISTINCT node FROM (
+                      SELECT src AS node FROM e
+                      UNION ALL SELECT dst FROM e) un),
+          r AS (
+            SELECT src AS u, dst AS v FROM e
+            UNION
+            SELECT r.u, e.dst FROM r JOIN e ON e.src = r.v),
+          mutual AS (
+            SELECT a.u, a.v FROM r a JOIN r b
+              ON a.u = b.v AND a.v = b.u
+            UNION ALL
+            SELECT node, node FROM nodes)
+          SELECT u AS node, CAST(min(v) AS BIGINT) AS scc_id
+          FROM mutual GROUP BY u ORDER BY node
+        """,
         # 1-based inclusive list slices mirror slice(arr, start, len)
         "chunks_12_6": """
           WITH t AS (

@@ -1,0 +1,110 @@
+"""Strongly connected components — deterministic FW-BW-min peeling.
+
+The directed-graph condensation primitive (link-farm detection, crawl
+frontier cycle analysis, dependency clustering): u and v share an SCC
+iff each reaches the other. Tarjan's sequential algorithm is a DFS —
+inherently serial — so the distributed form is the classic
+forward-backward minimum peel (the Pregel/coloring family): per phase
+
+1. ``f(u)`` = min node id reachable FORWARD from u (min-label
+   propagation to fixpoint, signature-checked like ``cc_labels``),
+2. ``b(u)`` = the same over REVERSED edges,
+3. every node with ``f(u) = b(u) = a`` is settled into SCC ``a``:
+   u reaches a and a reaches u, so the pair equality is a PROOF of
+   mutual reachability — never a heuristic; label = min member id,
+   the ``cc_labels`` convention,
+4. settled nodes leave the graph and the next phase peels the rest.
+
+Each phase settles at least the SCC of the smallest remaining id (its
+own f and b are provably itself), so phases ≤ #SCC-layers; random and
+web-shaped graphs settle the bulk in the first phase (every SCC whose
+min id is not forward-reachable from a smaller id settles
+immediately). Both propagation loops are edge equi-joins + combinable
+min aggregations — one shuffle pair per round, nothing driver-side but
+the convergence signature scalar (the cc.py contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["scc_labels"]
+
+
+def _min_reach(nodes: DataFrame, edges: DataFrame, forward: bool,
+               max_rounds: int) -> DataFrame:
+    """(node, l): min id reachable from node along the edge direction
+    (forward: follow s→d; backward: d→s). Self always included."""
+    s, d = ("s", "d") if forward else ("d", "s")
+    lab = (nodes.select("node", F.col("node").alias("l"))
+           .localCheckpoint(eager=False))
+
+    def sig(df: DataFrame) -> tuple:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("node", "l").cast("decimal(38,0)"))
+            .alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = sig(lab)
+    for _ in range(max_rounds):
+        cand = (edges.join(lab.select(F.col("node").alias(d),
+                                      F.col("l").alias("dl")), d)
+                .select(F.col(s).alias("node"), F.col("dl").alias("l")))
+        new = (lab.unionByName(cand)
+               .groupBy("node").agg(F.min("l").alias("l"))
+               .localCheckpoint(eager=False))
+        nxt = sig(new)
+        stable = nxt == cur
+        lab, cur = new, nxt
+        if stable:
+            return lab
+    raise RuntimeError(
+        f"scc min-label propagation did not converge in {max_rounds} "
+        "rounds (label signature still moving)")
+
+
+def scc_labels(edges: DataFrame, src: str = "src", dst: str = "dst",
+               max_phases: int = 16,
+               max_rounds: int = 64) -> DataFrame:
+    """(node, scc_id) for every node of the DIRECTED edge list,
+    scc_id = min member id. Self-loops tolerated; singleton SCCs (no
+    cycle through the node) label themselves. Raises if ``max_phases``
+    peels or ``max_rounds`` propagation rounds are exhausted first.
+    """
+    e0 = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+          .filter(F.col("s") != F.col("d"))
+          .distinct().localCheckpoint(eager=False))
+    remaining = (e0.select(F.col("s").alias("node"))
+                 .union(e0.select(F.col("d").alias("node")))
+                 .distinct().localCheckpoint(eager=False))
+    e = e0
+    settled_parts: list[DataFrame] = []
+    for _ in range(max_phases):
+        if remaining.limit(1).count() == 0:
+            break
+        f = _min_reach(remaining, e, True, max_rounds)
+        b = _min_reach(remaining, e, False, max_rounds)
+        settled = (f.join(b.select("node", F.col("l").alias("bl")),
+                          "node")
+                   .filter(F.col("l") == F.col("bl"))
+                   .select("node", F.col("l").alias("scc_id"))
+                   .localCheckpoint(eager=False))
+        settled_parts.append(settled)
+        remaining = (remaining.join(settled, "node", "left_anti")
+                     .localCheckpoint(eager=False))
+        keep = remaining.select(F.col("node"))
+        e = (e.join(keep.select(F.col("node").alias("s")), "s")
+             .join(keep.select(F.col("node").alias("d")), "d")
+             .localCheckpoint(eager=False))
+    else:
+        raise RuntimeError(
+            f"scc_labels did not settle every node in "
+            f"max_phases={max_phases}")
+    if not settled_parts:                       # edgeless input
+        return remaining.select("node",
+                                F.col("node").alias("scc_id"))
+    out = settled_parts[0]
+    for p in settled_parts[1:]:
+        out = out.unionByName(p)
+    return out
