@@ -3655,13 +3655,14 @@ def _q_chunks(spark, sf_dir):
 
 def _q_scc(spark, sf_dir):
     """Strongly connected components (osmspark/graph/scc.py) over a
-    60-node graph of six 10-cycles plus sparse cross links (every
-    5th doc contributes an inter-decade edge, merging some cycles
-    into larger SCCs and leaving others one-way-reachable — both the
-    settle-immediately and the peel-another-phase paths execute):
-    deterministic FW-BW-min peeling, equality of forward/backward min
-    labels as the mutual-reachability proof. Oracle: full recursive
-    transitive closure + mutual-pair min — a completely independent
+    60-node graph of six 10-cycles plus chord edges (every 5th doc
+    contributes v → v+3, which lands inside v's own decade — so the
+    six cycles stay six separate SCCs and the chords exercise the
+    duplicate/intra-SCC edge paths): deterministic FW-BW-min peeling,
+    equality of forward/backward min labels as the
+    mutual-reachability proof. The inter-decade variant lives in
+    scc_condensation_levels. Oracle: full recursive transitive
+    closure + mutual-pair min — a completely independent
     formulation."""
     from osmspark.graph.scc import scc_labels
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -3675,9 +3676,35 @@ def _q_scc(spark, sf_dir):
     return scc_labels(cyc.union(cross)).orderBy("node")
 
 
+def _q_scc_levels(spark, sf_dir):
+    """Condensation DAG + topological levels (osmspark/graph/scc.py:
+    condense, topo_levels) over the scc_decades graph: SCCs contract
+    to single nodes, then longest-path max-relaxation layers the DAG
+    into crawl waves. Oracle recomputes SCC labels via the closure,
+    contracts, and layers with a recursive longest-path CTE —
+    independent all the way down."""
+    from osmspark.graph.scc import condense, scc_labels, topo_levels
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.col("doc_id") % 60
+    cyc = docs.select(
+        v.alias("src"),
+        ((v - v % 10) + ((v % 10 + 1) % 10)).alias("dst"))
+    w = (F.col("doc_id") * 17 + 7) % 60
+    cross = (docs.filter((F.col("doc_id") % 5 == 0)
+                         & ((w / 10).cast("long")
+                            > (v / 10).cast("long")))
+             .select(v.alias("src"), w.alias("dst")))
+    edges = cyc.union(cross)
+    labels = scc_labels(edges)
+    return (topo_levels(condense(edges, labels))
+            .select(F.col("node").alias("scc_id"), "level")
+            .orderBy("scc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "scc_condensation_levels": _q_scc_levels,
         "scc_decades": _q_scc,
         "chunks_12_6": _q_chunks,
         "fence_dwell_30": _q_fence_dwell,
@@ -3984,6 +4011,55 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # closure -> mutual-min labels -> contracted edges -> a
+        # recursive longest-path layering; nodes with no inter-SCC
+        # edge drop out exactly as the engine's edge-derived node set
+        "scc_condensation_levels": """
+          WITH RECURSIVE e AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT doc_id % 60 AS src,
+                     ((doc_id % 60) - (doc_id % 60) % 10)
+                       + (((doc_id % 60) % 10 + 1) % 10) AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id % 60 AS src, (doc_id * 17 + 7) % 60 AS dst
+              FROM documents
+              WHERE doc_id % 5 = 0
+                AND ((doc_id * 17 + 7) % 60) // 10 > (doc_id % 60) // 10
+              ) u
+            WHERE src != dst),
+          nodes AS (SELECT DISTINCT node FROM (
+                      SELECT src AS node FROM e
+                      UNION ALL SELECT dst FROM e) un),
+          r AS (
+            SELECT src AS u, dst AS v FROM e
+            UNION
+            SELECT r.u, e.dst FROM r JOIN e ON e.src = r.v),
+          mutual AS (
+            SELECT a.u, a.v FROM r a JOIN r b
+              ON a.u = b.v AND a.v = b.u
+            UNION ALL
+            SELECT node, node FROM nodes),
+          lab AS (SELECT u AS node, min(v) AS scc_id
+                  FROM mutual GROUP BY u),
+          ce AS (
+            SELECT DISTINCT ls.scc_id AS src, ld.scc_id AS dst
+            FROM e
+            JOIN lab ls ON ls.node = e.src
+            JOIN lab ld ON ld.node = e.dst
+            WHERE ls.scc_id != ld.scc_id),
+          cn AS (SELECT DISTINCT node FROM (
+                   SELECT src AS node FROM ce
+                   UNION ALL SELECT dst FROM ce) un),
+          lv AS (
+            SELECT node, 0 AS l FROM cn
+            UNION
+            SELECT ce.dst, lv.l + 1 FROM lv
+            JOIN ce ON ce.src = lv.node
+            WHERE lv.l < 60)
+          SELECT node AS scc_id, CAST(max(l) AS BIGINT) AS level
+          FROM lv GROUP BY node ORDER BY scc_id
+        """,
         # independent formulation: recursive closure + mutual-pair min
         "scc_decades": """
           WITH RECURSIVE e AS (

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["scc_labels"]
+__all__ = ["scc_labels", "condense", "topo_levels"]
 
 
 def _min_reach(nodes: DataFrame, edges: DataFrame, forward: bool,
@@ -108,3 +108,70 @@ def scc_labels(edges: DataFrame, src: str = "src", dst: str = "dst",
     for p in settled_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def condense(edges: DataFrame, labels: DataFrame,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """The condensation DAG: map both endpoints through the SCC
+    labels of :func:`scc_labels` and keep distinct inter-SCC edges
+    (self-loops collapse away). Output (src, dst) over scc_ids —
+    acyclic by construction, the graph crawl schedulers and
+    dependency analyzers actually traverse. Two broadcast-or-hash
+    equi-joins + one distinct."""
+    lab_s = labels.select(F.col("node").alias("s"),
+                          F.col("scc_id").alias("cs"))
+    lab_d = labels.select(F.col("node").alias("d"),
+                          F.col("scc_id").alias("cd"))
+    return (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .join(lab_s, "s").join(lab_d, "d")
+            .filter(F.col("cs") != F.col("cd"))
+            .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .distinct())
+
+
+def topo_levels(dag: DataFrame, src: str = "src", dst: str = "dst",
+                max_rounds: int = 64) -> DataFrame:
+    """(node, level) longest-path layering of a DAG — level 0 for
+    sources, else 1 + max predecessor level: the "wave" schedule a
+    crawl/dependency executor runs (everything in one level is
+    mutually independent given earlier levels).
+
+    Iterative max-relaxation with the cc.py signature-convergence
+    contract; rounds = DAG depth. Exact integers; raises on
+    non-convergence — which on a CYCLIC input manifests as levels
+    climbing past ``max_rounds``, so feeding a non-condensed graph
+    fails loudly instead of looping forever.
+    """
+    e = (dag.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s") != F.col("d"))
+         .distinct().localCheckpoint(eager=False))
+    nodes = (e.select(F.col("s").alias("node"))
+             .union(e.select(F.col("d").alias("node")))
+             .distinct())
+    lab = (nodes.select("node", F.lit(0).cast("long").alias("lv"))
+           .localCheckpoint(eager=False))
+
+    def sig(df: DataFrame) -> tuple:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("node", "lv").cast("decimal(38,0)"))
+            .alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = sig(lab)
+    for _ in range(max_rounds):
+        cand = (e.join(lab.select(F.col("node").alias("s"),
+                                  F.col("lv").alias("sl")), "s")
+                .select(F.col("d").alias("node"),
+                        (F.col("sl") + 1).alias("lv")))
+        new = (lab.unionByName(cand)
+               .groupBy("node").agg(F.max("lv").alias("lv"))
+               .localCheckpoint(eager=False))
+        nxt = sig(new)
+        stable = nxt == cur
+        lab, cur = new, nxt
+        if stable:
+            return lab.select("node", F.col("lv").alias("level"))
+    raise RuntimeError(
+        f"topo_levels did not converge in {max_rounds} rounds — "
+        "input likely contains a cycle (condense() it first)")

@@ -116,3 +116,23 @@ def test_pure_cycle_single_scc(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {int(r.node): int(r.scc_id) for r in scc_labels(df).collect()}
     assert set(got.values()) == {0} and len(got) == 7
+
+
+def test_condense_and_levels(spark):
+    from osmspark.graph.scc import condense, scc_labels, topo_levels
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    labels = scc_labels(df)
+    dag = condense(df, labels)
+    got_edges = {(int(r.src), int(r.dst)) for r in dag.collect()}
+    # condensation of the fixture: {0..3} -> {10..13}, {0..3} -> {5,6},
+    # {5,6} -> 7 -> 8
+    assert got_edges == {(0, 10), (0, 5), (5, 7), (7, 8)}
+    lv = {int(r.node): int(r.level) for r in topo_levels(dag).collect()}
+    assert lv == {0: 0, 10: 1, 5: 1, 7: 2, 8: 3}
+
+
+def test_topo_levels_rejects_cycle(spark):
+    from osmspark.graph.scc import topo_levels
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with pytest.raises(RuntimeError):
+        topo_levels(df, max_rounds=8)
