@@ -124,9 +124,13 @@ def harmonic_centrality(edges: DataFrame, roots: DataFrame,
            .groupBy("root")
            .agg(F.count(F.lit(1)).alias("n_reached"),
                 F.max(F.col("dist").cast("long")).alias("eccentricity"),
-                F.sum((F.lit(mass) - F.lit(mass)
-                       % F.col("dist").cast("long"))
-                      / F.col("dist").cast("long"))
+                # cast each quotient to long BEFORE the sum: a raw
+                # long/long Divide is a DOUBLE, and a double sum past
+                # 2^53 (roots reaching >~9e6 nodes) would be inexact
+                # and partition-order dependent
+                F.sum(((F.lit(mass) - F.lit(mass)
+                        % F.col("dist").cast("long"))
+                       / F.col("dist").cast("long")).cast("long"))
                 .cast("long").alias("harmonic_mass")))
     base = hops.select("root").distinct()
     return (base.join(agg, "root", "left")

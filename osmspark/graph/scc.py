@@ -31,6 +31,19 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["scc_labels", "condense", "topo_levels"]
 
 
+def _sig(df: DataFrame, a: str, b: str) -> tuple:
+    """Convergence signature, the cc.py discipline: count + TWO
+    independent order-insensitive hash sums — a false "stable" needs
+    a simultaneous collision of both 64-bit sums AND the count
+    (~2^-128), vs ~2^-64 for a single sum."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(a, b).cast("decimal(38,0)")).alias("h1"),
+        F.sum(F.xxhash64(b, a, F.lit(7))
+              .cast("decimal(38,0)")).alias("h2")).collect()[0]
+    return (row["n"], row["h1"], row["h2"])
+
+
 def _min_reach(nodes: DataFrame, edges: DataFrame, forward: bool,
                max_rounds: int) -> DataFrame:
     """(node, l): min id reachable from node along the edge direction
@@ -38,15 +51,7 @@ def _min_reach(nodes: DataFrame, edges: DataFrame, forward: bool,
     s, d = ("s", "d") if forward else ("d", "s")
     lab = (nodes.select("node", F.col("node").alias("l"))
            .localCheckpoint(eager=False))
-
-    def sig(df: DataFrame) -> tuple:
-        row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("node", "l").cast("decimal(38,0)"))
-            .alias("h")).collect()[0]
-        return (row["n"], row["h"])
-
-    cur = sig(lab)
+    cur = _sig(lab, "node", "l")
     for _ in range(max_rounds):
         cand = (edges.join(lab.select(F.col("node").alias(d),
                                       F.col("l").alias("dl")), d)
@@ -54,7 +59,7 @@ def _min_reach(nodes: DataFrame, edges: DataFrame, forward: bool,
         new = (lab.unionByName(cand)
                .groupBy("node").agg(F.min("l").alias("l"))
                .localCheckpoint(eager=False))
-        nxt = sig(new)
+        nxt = _sig(new, "node", "l")
         stable = nxt == cur
         lab, cur = new, nxt
         if stable:
@@ -67,10 +72,15 @@ def _min_reach(nodes: DataFrame, edges: DataFrame, forward: bool,
 def scc_labels(edges: DataFrame, src: str = "src", dst: str = "dst",
                max_phases: int = 16,
                max_rounds: int = 64) -> DataFrame:
-    """(node, scc_id) for every node of the DIRECTED edge list,
-    scc_id = min member id. Self-loops tolerated; singleton SCCs (no
-    cycle through the node) label themselves. Raises if ``max_phases``
-    peels or ``max_rounds`` propagation rounds are exhausted first.
+    """(node, scc_id) for every endpoint of a NON-self edge,
+    scc_id = min member id. Self-loop edges are dropped during
+    canonicalization, so a node whose ONLY edges are self-loops is
+    absent from the output (the edge-derived node-set convention the
+    other graph operators use — pass such nodes through a union
+    downstream if they must appear as singletons; test-pinned).
+    Singleton SCCs (no cycle through the node) label themselves.
+    Raises if ``max_phases`` peels or ``max_rounds`` propagation
+    rounds are exhausted first.
     """
     e0 = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
           .filter(F.col("s") != F.col("d"))
@@ -80,8 +90,10 @@ def scc_labels(edges: DataFrame, src: str = "src", dst: str = "dst",
                  .distinct().localCheckpoint(eager=False))
     e = e0
     settled_parts: list[DataFrame] = []
+    done = False
     for _ in range(max_phases):
         if remaining.limit(1).count() == 0:
+            done = True
             break
         f = _min_reach(remaining, e, True, max_rounds)
         b = _min_reach(remaining, e, False, max_rounds)
@@ -97,7 +109,10 @@ def scc_labels(edges: DataFrame, src: str = "src", dst: str = "dst",
         e = (e.join(keep.select(F.col("node").alias("s")), "s")
              .join(keep.select(F.col("node").alias("d")), "d")
              .localCheckpoint(eager=False))
-    else:
+    # the emptiness probe sits at the TOP of the loop, so a graph
+    # settling in exactly max_phases phases exits by exhaustion with
+    # everything done — re-check after the loop, don't for/else-raise
+    if not done and remaining.limit(1).count() > 0:
         raise RuntimeError(
             f"scc_labels did not settle every node in "
             f"max_phases={max_phases}")
@@ -150,15 +165,7 @@ def topo_levels(dag: DataFrame, src: str = "src", dst: str = "dst",
              .distinct())
     lab = (nodes.select("node", F.lit(0).cast("long").alias("lv"))
            .localCheckpoint(eager=False))
-
-    def sig(df: DataFrame) -> tuple:
-        row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("node", "lv").cast("decimal(38,0)"))
-            .alias("h")).collect()[0]
-        return (row["n"], row["h"])
-
-    cur = sig(lab)
+    cur = _sig(lab, "node", "lv")
     for _ in range(max_rounds):
         cand = (e.join(lab.select(F.col("node").alias("s"),
                                   F.col("lv").alias("sl")), "s")
@@ -167,7 +174,7 @@ def topo_levels(dag: DataFrame, src: str = "src", dst: str = "dst",
         new = (lab.unionByName(cand)
                .groupBy("node").agg(F.max("lv").alias("lv"))
                .localCheckpoint(eager=False))
-        nxt = sig(new)
+        nxt = _sig(new, "node", "lv")
         stable = nxt == cur
         lab, cur = new, nxt
         if stable:

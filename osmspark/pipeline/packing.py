@@ -125,6 +125,11 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
     """
     if chunk_tokens <= 0 or stride <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError(
+            "stride > chunk_tokens would leave uncovered token gaps "
+            "(the every-token-covered invariant needs stride <= "
+            "chunk_tokens)")
     toks = F.split(F.trim(F.col(text_col)), " +")
     n = F.size(toks)
     extra = F.greatest(F.lit(0), n - F.lit(chunk_tokens))

@@ -91,8 +91,6 @@ def stream_dedup_pages(pages_stream: DataFrame,
 
     Works in append mode; ``warc_ts`` must carry the event time.
     """
-    from pyspark.sql import functions as F  # noqa: F401
-
     return (pages_stream
             .withWatermark("warc_ts", watermark)
             .dropDuplicatesWithinWatermark(list(keys)))

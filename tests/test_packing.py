@@ -110,3 +110,12 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, chunk_tokens=0)
     with _pytest.raises(ValueError):
         chunk_documents(df, stride=0)
+
+
+def test_chunk_documents_rejects_gap_stride(spark):
+    import pytest as _pytest
+
+    from osmspark.pipeline.packing import chunk_documents
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, stride=20)

@@ -136,3 +136,14 @@ def test_topo_levels_rejects_cycle(spark):
     df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
     with pytest.raises(RuntimeError):
         topo_levels(df, max_rounds=8)
+
+
+def test_settles_in_exactly_max_phases(spark):
+    # 3-layer chain of 2-cycles with max_phases=3: completion must be
+    # detected by the post-loop check, not a spurious raise
+    edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (3, 4),
+             (4, 5), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {int(r.node): int(r.scc_id)
+           for r in scc_labels(df, max_phases=3).collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4}
