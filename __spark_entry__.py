@@ -3701,9 +3701,28 @@ def _q_scc_levels(spark, sf_dir):
             .orderBy("scc_id"))
 
 
+def _q_lag_acf(spark, sf_dir):
+    """Per-cell lag-1 autocorrelation (osmspark/spatial/trend.py:
+    lag_autocorr) over the 2° × daily event census: N-scaled exact
+    integer deviations, rank-based lag pairing, one 9-dp division.
+    Oracle mirrors with a row_number window + HUGEINT products."""
+    from osmspark.spatial.trend import lag_autocorr
+    pts = _event_points(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = pts.join(ev.select(F.col("event_id").alias("id"), "ts"), "id")
+    daily = (pts.groupBy(
+        F.floor(F.col("lon") / 2.0).cast("long").alias("cell_x"),
+        F.floor(F.col("lat") / 2.0).cast("long").alias("cell_y"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("long").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y")))
+    return lag_autocorr(daily, lag=1).orderBy("cell_x", "cell_y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "lag_acf_2deg": _q_lag_acf,
         "scc_condensation_levels": _q_scc_levels,
         "scc_decades": _q_scc,
         "chunks_12_6": _q_chunks,
@@ -4011,6 +4030,47 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # row_number lag pairing + HUGEINT moment mirror
+        "lag_acf_2deg": """
+          WITH pts AS (""" + _EVENT_POINTS_SQL + """),
+          daily AS (
+            SELECT CAST(floor(p.lon / 2.0) AS BIGINT) AS cx,
+                   CAST(floor(p.lat / 2.0) AS BIGINT) AS cy,
+                   epoch_us(e.ts) // 86400000000 AS d,
+                   count(*) AS y
+            FROM pts p JOIN events e ON e.event_id = p.id
+            GROUP BY 1, 2, 3),
+          tot AS (SELECT cx, cy, count(*) AS tn, sum(y) AS s
+                  FROM daily GROUP BY 1, 2),
+          dev AS (
+            SELECT d.cx, d.cy, d.d, t.tn,
+                   (t.tn * d.y - t.s) AS dev,
+                   row_number() OVER (PARTITION BY d.cx, d.cy
+                                      ORDER BY d.d) AS r
+            FROM daily d JOIN tot t ON t.cx = d.cx AND t.cy = d.cy),
+          num AS (
+            SELECT a.cx, a.cy,
+                   sum(a.dev::HUGEINT * b.dev) AS num_d
+            FROM dev a JOIN dev b
+              ON a.cx = b.cx AND a.cy = b.cy AND b.r = a.r + 1
+            GROUP BY 1, 2),
+          den AS (
+            SELECT cx, cy, count(*) AS np,
+                   sum(dev::HUGEINT * dev) AS den_d
+            FROM dev GROUP BY 1, 2)
+          SELECT den.cx AS cell_x, den.cy AS cell_y,
+                 CAST(den.np AS BIGINT) AS n_periods,
+                 CAST(coalesce(num.num_d, 0) AS BIGINT) AS num,
+                 CAST(den.den_d AS BIGINT) AS den,
+                 CASE WHEN den.den_d != 0 AND num.num_d IS NOT NULL
+                           AND den.np > 1 THEN
+                   round(CAST(num.num_d AS DOUBLE)
+                         / CAST(den.den_d AS DOUBLE), 9)
+                 END AS acf
+          FROM den LEFT JOIN num
+            ON num.cx = den.cx AND num.cy = den.cy
+          ORDER BY cell_x, cell_y
+        """,
         # closure -> mutual-min labels -> contracted edges -> a
         # recursive longest-path layering; nodes with no inter-SCC
         # edge drop out exactly as the engine's edge-derived node set

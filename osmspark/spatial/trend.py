@@ -24,9 +24,10 @@ day-skew (a viral tile) stays map-side combinable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["activity_trend", "burstiness", "mann_kendall"]
+__all__ = ["activity_trend", "burstiness", "lag_autocorr",
+           "mann_kendall"]
 
 _US_PER_DAY = 86_400_000_000
 
@@ -186,3 +187,68 @@ def burstiness(daily: DataFrame, y_col: str = "y",
                     F.col("t").alias("n_periods"),
                     F.col("s").alias("s_sum"),
                     fano.alias("fano"))
+
+
+def lag_autocorr(daily: DataFrame, lag: int = 1, y_col: str = "y",
+                 cx_col: str = "cell_x", cy_col: str = "cell_y",
+                 t_col: str = "day") -> DataFrame:
+    """Per-cell lag-k autocorrelation over a (cell, time-bin, count)
+    series — the seasonality/persistence statistic completing the
+    time-series family (OLS trend: direction, Mann-Kendall:
+    monotonicity, Fano: dispersion, this: memory):
+
+        r_k = Σ (dev_t · dev_{t+k}) / Σ dev²     (dev = T·y − S)
+
+    over the cell's T observed bins, pairing bins exactly ``lag``
+    STEPS apart in bin order (calendar gaps allowed — ranks, not
+    timestamps, define the lag; the census input makes T
+    calendar-bounded). The N-scaled deviations are exact integers, so
+    numerator and denominator are exact decimal(38,0) sums and ONE
+    9-dp division is the only float (NULL when the series is constant
+    or shorter than lag+1).
+
+    Scale shape: one per-cell census for (T, S), one broadcast-free
+    join back, one rank window on the cell key (the mann_kendall
+    Exchange), one self-join on (cell, rank+lag), two combinable
+    sums. Output: (cell_x, cell_y, n_periods, num, den, acf).
+    """
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    base = daily.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(t_col).alias("t"),
+                        F.col(y_col).cast("long").alias("y"))
+    tot = (base.groupBy("cx", "cy")
+           .agg(F.count(F.lit(1)).alias("tn"), F.sum("y").alias("s")))
+    dev = (base.join(tot, ["cx", "cy"])
+           .select("cx", "cy", "t", "tn",
+                   (F.col("tn") * F.col("y") - F.col("s")).alias("dev")))
+    w = Window.partitionBy("cx", "cy").orderBy("t")
+    ranked = dev.withColumn("r", F.row_number().over(w))
+    a = ranked.select("cx", "cy", "tn", "r", F.col("dev").alias("di"))
+    b = ranked.select("cx", "cy", (F.col("r") - F.lit(lag)).alias("r"),
+                      F.col("dev").alias("dj"))
+    num = (a.join(b, ["cx", "cy", "r"])
+           .groupBy("cx", "cy")
+           .agg(F.coalesce(
+               F.sum(F.col("di").cast("decimal(38,0)")
+                     * F.col("dj").cast("decimal(38,0)")),
+               F.lit(0).cast("decimal(38,0)")).alias("num_d")))
+    den = (dev.groupBy("cx", "cy")
+           .agg(F.sum(F.col("dev").cast("decimal(38,0)")
+                      * F.col("dev").cast("decimal(38,0)"))
+                .alias("den_d"),
+                F.count(F.lit(1)).alias("np")))
+    j = den.join(num, ["cx", "cy"], "left")
+    acf = F.when((F.col("den_d") != 0) & F.col("num_d").isNotNull()
+                 & (F.col("np") > lag),
+                 F.round(F.col("num_d").cast("double")
+                         / F.col("den_d").cast("double"), 9))
+    return j.select(F.col("cx").alias("cell_x"),
+                    F.col("cy").alias("cell_y"),
+                    F.col("np").alias("n_periods"),
+                    F.coalesce(F.col("num_d"),
+                               F.lit(0).cast("decimal(38,0)"))
+                    .cast("long").alias("num"),
+                    F.col("den_d").cast("long").alias("den"),
+                    acf.alias("acf"))

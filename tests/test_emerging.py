@@ -177,3 +177,46 @@ def test_burstiness_single_aggregation(spark):
                                "cell_x long, cell_y long, day long, y long")
     plan = burstiness(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and plan.count("Exchange") <= 2
+
+
+# ------------------------------------------------------------- lag autocorr
+
+def test_lag_autocorr_matches_python(spark):
+    from osmspark.spatial.trend import lag_autocorr
+    series = {(0, 0): [3, 7, 3, 7, 3, 7],     # alternating → acf ≈ -1
+              (1, 0): [1, 2, 3, 4, 5, 6],     # ramp → positive
+              (2, 0): [5, 5, 5],              # constant → NULL (den 0)
+              (3, 0): [4]}                    # single bin → NULL
+    rows = [(cx, cy, t, y) for (cx, cy), ys in series.items()
+            for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "cell_x long, cell_y long, "
+                                     "day long, y long")
+    got = {(int(r.cell_x), int(r.cell_y)):
+           (int(r.n_periods), int(r.num), int(r.den), r.acf)
+           for r in lag_autocorr(df, lag=1, t_col="day").collect()}
+
+    def oracle(ys):
+        t, s = len(ys), sum(ys)
+        dev = [t * y - s for y in ys]
+        num = sum(dev[i] * dev[i + 1] for i in range(t - 1))
+        den = sum(d * d for d in dev)
+        acf = round(num / den, 9) if den and t > 1 else None
+        return (t, num, den, acf)
+
+    assert got == {k: oracle(v) for k, v in series.items()}
+    assert got[(0, 0)][3] < -0.8 and got[(1, 0)][3] >= 0.5
+    assert got[(2, 0)][3] is None and got[(3, 0)][3] is None
+
+
+def test_lag_autocorr_lag2_and_validation(spark):
+    import pytest as _pytest
+
+    from osmspark.spatial.trend import lag_autocorr
+    ys = [3, 9, 3, 9, 3, 9]                    # period 2 → lag-2 acf +1
+    rows = [(0, 0, t, y) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "cell_x long, cell_y long, "
+                                     "day long, y long")
+    r = lag_autocorr(df, lag=2, t_col="day").collect()[0]
+    assert r.acf > 0.6
+    with _pytest.raises(ValueError):
+        lag_autocorr(df, lag=0)
