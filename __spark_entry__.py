@@ -3719,9 +3719,27 @@ def _q_lag_acf(spark, sf_dir):
     return lag_autocorr(daily, lag=1).orderBy("cell_x", "cell_y")
 
 
+def _q_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between language groups
+    (osmspark/pipeline/textstats.py:vocab_overlap): distinct
+    (group, token) census, token-keyed pair join (never a vocab cross
+    join), exact counts, one 9-dp division. Oracle re-derives in SQL."""
+    from osmspark.pipeline.textstats import vocab_overlap
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # salt tokens per doc bucket so group vocabularies genuinely
+    # differ (the raw corpus shares one tiny vocab across langs)
+    salted = docs.select(
+        "lang",
+        F.concat(F.col("text"), F.lit(" marker_"),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"))
+    return (vocab_overlap(salted)
+            .orderBy("group_a", "group_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "vocab_overlap_lang": _q_vocab_overlap,
         "lag_acf_2deg": _q_lag_acf,
         "scc_condensation_levels": _q_scc_levels,
         "scc_decades": _q_scc,
@@ -4030,6 +4048,37 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # same distinct census + token-keyed pair join in SQL
+        "vocab_overlap_lang": """
+          WITH salted AS (
+            SELECT lang,
+                   text || ' marker_' || CAST(doc_id % 7 AS VARCHAR)
+                     AS text
+            FROM documents),
+          toks AS (
+            SELECT DISTINCT lang AS g, tok FROM (
+              SELECT lang,
+                     unnest(string_split_regex(trim(text), ' +')) AS tok
+              FROM salted) u
+            WHERE tok != ''),
+          sizes AS (SELECT g, count(*) AS v FROM toks GROUP BY 1),
+          shared AS (
+            SELECT a.g AS ga, b.g AS gb, count(*) AS v_shared
+            FROM toks a JOIN toks b
+              ON a.tok = b.tok AND a.g < b.g
+            GROUP BY 1, 2)
+          SELECT s.ga AS group_a, s.gb AS group_b,
+                 CAST(sa.v AS BIGINT) AS v_a,
+                 CAST(sb.v AS BIGINT) AS v_b,
+                 CAST(s.v_shared AS BIGINT) AS v_shared,
+                 round(CAST(s.v_shared AS DOUBLE)
+                       / CAST(sa.v + sb.v - s.v_shared AS DOUBLE), 9)
+                   AS jaccard
+          FROM shared s
+          JOIN sizes sa ON sa.g = s.ga
+          JOIN sizes sb ON sb.g = s.gb
+          ORDER BY group_a, group_b
+        """,
         # row_number lag pairing + HUGEINT moment mirror
         "lag_acf_2deg": """
           WITH pts AS (""" + _EVENT_POINTS_SQL + """),

@@ -495,3 +495,38 @@ def test_corpus_report_single_aggregate_plan(spark):
                                "doc_id long, lang string, text string")
     plan = corpus_report(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Python" not in plan
+
+
+def test_vocab_overlap_matches_python(spark):
+    from osmspark.pipeline.textstats import vocab_overlap
+    docs = [(0, "en", "alpha beta gamma"),
+            (1, "en", "beta delta"),
+            (2, "de", "alpha beta epsilon"),
+            (3, "fr", "zeta eta"),          # disjoint from en/de
+            (4, "de", "beta")]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, "
+                                     "text string")
+    got = {(r.group_a, r.group_b): (int(r.v_a), int(r.v_b),
+                                    int(r.v_shared), r.jaccard)
+           for r in vocab_overlap(df).collect()}
+    vocab = {}
+    for _, g, t in docs:
+        vocab.setdefault(g, set()).update(t.split())
+    exp = {}
+    for a in vocab:
+        for b in vocab:
+            if a < b and vocab[a] & vocab[b]:
+                i = len(vocab[a] & vocab[b])
+                u = len(vocab[a] | vocab[b])
+                exp[(a, b)] = (len(vocab[a]), len(vocab[b]), i,
+                               round(i / u, 9))
+    assert got == exp
+    assert ("en", "fr") not in got           # disjoint pair absent
+
+
+def test_vocab_overlap_no_cartesian(spark):
+    from osmspark.pipeline.textstats import vocab_overlap
+    df = spark.createDataFrame([(0, "en", "x")],
+                               "doc_id long, lang string, text string")
+    plan = vocab_overlap(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
