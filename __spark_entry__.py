@@ -3736,9 +3736,23 @@ def _q_vocab_overlap(spark, sf_dir):
             .orderBy("group_a", "group_b"))
 
 
+def _q_robust_stats(spark, sf_dir):
+    """Robust per-language length statistics (osmspark/pipeline/
+    textstats.py:robust_stats): median + MAD via two stacked
+    histogram-quantile passes, integer-exact outlier census at
+    3·MAD — no float column anywhere. Oracle uses the naive raw-row
+    row_number formulation for BOTH medians: different algorithm,
+    same nearest-rank answer."""
+    from osmspark.pipeline.textstats import robust_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (robust_stats(docs, "n_chars", "lang", k_mad=3)
+            .orderBy("lang"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "robust_stats_lang": _q_robust_stats,
         "vocab_overlap_lang": _q_vocab_overlap,
         "lag_acf_2deg": _q_lag_acf,
         "scc_condensation_levels": _q_scc_levels,
@@ -4048,6 +4062,50 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # naive row_number nearest-rank for both medians; integer
+        # 3-MAD outlier census
+        "robust_stats_lang": """
+          WITH r AS (
+            SELECT lang, n_chars, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents),
+          med AS (
+            SELECT lang, max(n) AS n,
+                   min(CASE WHEN rn = ceil(0.5 * n::DOUBLE)::BIGINT
+                            THEN n_chars END) AS median
+            FROM r GROUP BY lang),
+          dev AS (
+            SELECT d.lang, d.doc_id,
+                   abs(d.n_chars - m.median) AS adev
+            FROM documents d JOIN med m ON m.lang = d.lang),
+          r2 AS (
+            SELECT lang, adev,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY adev, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM dev),
+          mad AS (
+            SELECT lang,
+                   min(CASE WHEN rn = ceil(0.5 * n::DOUBLE)::BIGINT
+                            THEN adev END) AS mad
+            FROM r2 GROUP BY lang),
+          outl AS (
+            SELECT d.lang,
+                   sum(CASE WHEN d.adev > 3 * mad.mad
+                            THEN 1 ELSE 0 END) AS n_outliers
+            FROM dev d JOIN mad ON mad.lang = d.lang
+            GROUP BY d.lang)
+          SELECT med.lang, CAST(med.n AS BIGINT) AS n,
+                 CAST(med.median AS BIGINT) AS median,
+                 CAST(mad.mad AS BIGINT) AS mad,
+                 CAST(outl.n_outliers AS BIGINT) AS n_outliers
+          FROM med
+          JOIN mad ON mad.lang = med.lang
+          JOIN outl ON outl.lang = med.lang
+          ORDER BY med.lang
+        """,
         # same distinct census + token-keyed pair join in SQL
         "vocab_overlap_lang": """
           WITH salted AS (

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["with_token_count", "with_quality", "with_lang_guess",
            "with_fingerprint", "top_terms_tfidf", "exact_quantiles",
-           "vocab_overlap", "STOPWORDS"]
+           "vocab_overlap", "robust_stats", "STOPWORDS"]
 
 STOPWORDS = ["the", "a"]
 
@@ -391,3 +391,45 @@ def vocab_overlap(df: DataFrame, group_col: str = "lang",
                       "v_shared",
                       F.round(F.col("v_shared").cast("double")
                               / den.cast("double"), 9).alias("jaccard"))
+
+
+def robust_stats(df: DataFrame, value_col: str, group_col: str,
+                 k_mad: int = 3) -> DataFrame:
+    """Robust center/spread per group — median + MAD (median absolute
+    deviation) + the |x − med| > k·MAD outlier census: the
+    outlier-resistant alternative to mean/stddev that length/quality
+    thresholds at corpus scale should key on (one 10^9-token document
+    moves a mean; it moves a median not at all).
+
+    Everything is exact: both medians come from
+    :func:`exact_quantiles`'s histogram formulation (nearest-rank
+    ceil over the (group, value) census — never a raw-row window),
+    deviations are exact integer |x − med|, and the outlier test
+    ``|x − med| > k·mad`` is an integer compare — the module-wide
+    no-float discipline, so there is NO rounded column at all here.
+
+    Scale shape: two stacked histogram-quantile passes (each bounded
+    by distinct values per group, not rows) + one broadcastable
+    per-group median attach + one combinable outlier census.
+    Output: (group, n, median, mad, n_outliers).
+    """
+    med = (exact_quantiles(df, value_col, group_col, qs=(0.5,))
+           .select(F.col(group_col), F.col("n"),
+                   F.col("q_50").alias("median")))
+    dev = (df.select(F.col(group_col),
+                     F.col(value_col).cast("long").alias("x"))
+           .join(med.select(group_col, "median"), group_col)
+           .select(F.col(group_col),
+                   F.abs(F.col("x") - F.col("median")).alias("adev")))
+    mad = (exact_quantiles(dev, "adev", group_col, qs=(0.5,))
+           .select(F.col(group_col), F.col("q_50").alias("mad")))
+    out_census = (dev.join(mad, group_col)
+                  .groupBy(group_col)
+                  .agg(F.sum((F.col("adev")
+                              > F.lit(k_mad) * F.col("mad"))
+                             .cast("long")).alias("n_outliers")))
+    return (med.join(mad, group_col).join(out_census, group_col)
+            .select(F.col(group_col), F.col("n").cast("long").alias("n"),
+                    F.col("median").cast("long").alias("median"),
+                    F.col("mad").cast("long").alias("mad"),
+                    F.col("n_outliers").cast("long").alias("n_outliers")))

@@ -530,3 +530,38 @@ def test_vocab_overlap_no_cartesian(spark):
                                "doc_id long, lang string, text string")
     plan = vocab_overlap(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_robust_stats_matches_python(spark):
+    from osmspark.pipeline.textstats import robust_stats
+    vals = {"a": [1, 2, 3, 4, 100],          # outlier 100
+            "b": [7, 7, 7],                  # constant → mad 0
+            "c": [10, 20]}                   # tiny group
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    got = {r.lang: (int(r.n), int(r.median), int(r.mad),
+                    int(r.n_outliers))
+           for r in robust_stats(df, "n_chars", "lang").collect()}
+
+    def oracle(vs, k=3):
+        import math
+        s = sorted(vs)
+        med = s[math.ceil(0.5 * len(s)) - 1]
+        devs = sorted(abs(v - med) for v in vs)
+        mad = devs[math.ceil(0.5 * len(devs)) - 1]
+        return (len(vs), med, mad,
+                sum(abs(v - med) > k * mad for v in vs))
+
+    assert got == {g: oracle(vs) for g, vs in vals.items()}
+    # the 100 outlier: median 3, mad 1, |100-3| > 3 → flagged; with a
+    # CONSTANT group every deviation > 3*0 iff nonzero → none flagged
+    assert got["a"] == (5, 3, 1, 1)
+    assert got["b"] == (3, 7, 0, 0)
+
+
+def test_robust_stats_histogram_not_rawrow_window(spark):
+    from osmspark.pipeline.textstats import robust_stats
+    df = spark.createDataFrame([("a", 1)], "lang string, n_chars long")
+    plan = (robust_stats(df, "n_chars", "lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
