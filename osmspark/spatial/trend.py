@@ -202,15 +202,24 @@ def lag_autocorr(daily: DataFrame, lag: int = 1, y_col: str = "y",
     over the cell's T observed bins, pairing bins exactly ``lag``
     STEPS apart in bin order (calendar gaps allowed — ranks, not
     timestamps, define the lag; the census input makes T
-    calendar-bounded). The N-scaled deviations are exact integers, so
-    numerator and denominator are exact decimal(38,0) sums and ONE
-    9-dp division is the only float (NULL when the series is constant
-    or shorter than lag+1).
+    calendar-bounded). Input must be a CENSUS — one row per
+    (cell, bin); duplicate bins would make the rank pairing depend on
+    intra-tie row order (every other operator in this module is
+    order-insensitive, this one pairs by position).
 
-    Scale shape: one per-cell census for (T, S), one broadcast-free
-    join back, one rank window on the cell key (the mann_kendall
-    Exchange), one self-join on (cell, rank+lag), two combinable
-    sums. Output: (cell_x, cell_y, n_periods, num, den, acf).
+    The N-scaled deviations are exact integers, so numerator and
+    denominator are exact decimal(38,0) sums and ONE 9-dp division is
+    the only float (NULL when the series is constant or shorter than
+    lag+1). The diagnostic ``num``/``den`` OUTPUT columns cast those
+    decimals to int64 — exact while den = Σdev² < 2^63 (≈ a cell
+    averaging 5·10^5 events/bin over a year); past that the internal
+    decimals (and therefore ``acf``) stay exact while the cast
+    overflows to NULL in non-ANSI Spark — visible, never a wrap (the
+    morans_i envelope convention).
+
+    Scale shape: one per-cell census for (T, S), one join back, ONE
+    lag window on the cell key, two combinable sums. Output:
+    (cell_x, cell_y, n_periods, num, den, acf).
     """
     if lag < 1:
         raise ValueError("lag must be >= 1")
@@ -221,30 +230,21 @@ def lag_autocorr(daily: DataFrame, lag: int = 1, y_col: str = "y",
     tot = (base.groupBy("cx", "cy")
            .agg(F.count(F.lit(1)).alias("tn"), F.sum("y").alias("s")))
     dev = (base.join(tot, ["cx", "cy"])
-           .select("cx", "cy", "t", "tn",
+           .select("cx", "cy", "t",
                    (F.col("tn") * F.col("y") - F.col("s")).alias("dev")))
     w = Window.partitionBy("cx", "cy").orderBy("t")
-    ranked = dev.withColumn("r", F.row_number().over(w))
-    a = ranked.select("cx", "cy", "tn", "r", F.col("dev").alias("di"))
-    b = ranked.select("cx", "cy", (F.col("r") - F.lit(lag)).alias("r"),
-                      F.col("dev").alias("dj"))
-    num = (a.join(b, ["cx", "cy", "r"])
-           .groupBy("cx", "cy")
-           .agg(F.coalesce(
-               F.sum(F.col("di").cast("decimal(38,0)")
-                     * F.col("dj").cast("decimal(38,0)")),
-               F.lit(0).cast("decimal(38,0)")).alias("num_d")))
-    den = (dev.groupBy("cx", "cy")
-           .agg(F.sum(F.col("dev").cast("decimal(38,0)")
-                      * F.col("dev").cast("decimal(38,0)"))
-                .alias("den_d"),
-                F.count(F.lit(1)).alias("np")))
-    j = den.join(num, ["cx", "cy"], "left")
+    paired = dev.withColumn("dj", F.lead("dev", lag).over(w))
+    g = (paired.groupBy("cx", "cy")
+         .agg(F.count(F.lit(1)).alias("np"),
+              F.sum(F.col("dev").cast("decimal(38,0)")
+                    * F.col("dj").cast("decimal(38,0)")).alias("num_d"),
+              F.sum(F.col("dev").cast("decimal(38,0)")
+                    * F.col("dev").cast("decimal(38,0)")).alias("den_d")))
     acf = F.when((F.col("den_d") != 0) & F.col("num_d").isNotNull()
                  & (F.col("np") > lag),
                  F.round(F.col("num_d").cast("double")
                          / F.col("den_d").cast("double"), 9))
-    return j.select(F.col("cx").alias("cell_x"),
+    return g.select(F.col("cx").alias("cell_x"),
                     F.col("cy").alias("cell_y"),
                     F.col("np").alias("n_periods"),
                     F.coalesce(F.col("num_d"),

@@ -565,3 +565,8 @@ def test_robust_stats_histogram_not_rawrow_window(spark):
     plan = (robust_stats(df, "n_chars", "lang")
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
+    # the histogram formulation walks cumulative SUMs over (group,
+    # value) aggregates — a raw-row nearest-rank rewrite would need
+    # row_number over the unaggregated rows (the anti-pattern the
+    # docstring forbids)
+    assert "row_number" not in plan
