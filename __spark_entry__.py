@@ -3749,9 +3749,58 @@ def _q_robust_stats(spark, sf_dir):
             .orderBy("lang"))
 
 
+def _hydro_cells(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cx = F.col("doc_id") % 40
+    cy = (F.col("doc_id") / 40).cast("long") % 25
+    return (docs.select(cx.alias("cell_x"), cy.alias("cell_y"))
+            .distinct()
+            .select("cell_x", "cell_y",
+                    ((F.abs(F.col("cell_x") - 20)
+                      + F.abs(F.col("cell_y") - 12)) * 10
+                     + (F.col("cell_x") * 7 + F.col("cell_y") * 13) % 4)
+                    .alias("elev")))
+
+
+_HYDRO_CELLS_SQL = """
+  SELECT cell_x, cell_y,
+         (abs(cell_x - 20) + abs(cell_y - 12)) * 10
+           + (cell_x * 7 + cell_y * 13) % 4 AS elev
+  FROM (SELECT DISTINCT doc_id % 40 AS cell_x,
+               (doc_id // 40) % 25 AS cell_y
+        FROM documents) g
+"""
+
+
+def _q_d8_flow(spark, sf_dir):
+    """D8 flow directions (osmspark/spatial/hydro.py:d8_flow) over a
+    synthetic valley raster: steepest strictly-lower 8-neighbor via
+    the exact integer rank drop²·(2 for cardinals) — the
+    cross-multiplied drop/distance comparison — with a fixed
+    offset-order tie-break. Oracle recomputes with a row_number
+    argmin over the brute 8-neighbor join."""
+    from osmspark.spatial.hydro import d8_flow
+    return (d8_flow(_hydro_cells(spark, sf_dir))
+            .orderBy("cell_x", "cell_y"))
+
+
+def _q_flow_accum(spark, sf_dir):
+    """Flow accumulation (osmspark/spatial/hydro.py:
+    flow_accumulation): upstream-cell counts over the D8 forest by
+    iterated exact inflow sums (signature-converged). Oracle counts
+    each cell's ancestors through the recursive upstream closure —
+    an entirely different evaluation order, same exact counts."""
+    from osmspark.spatial.hydro import d8_flow, flow_accumulation
+    cells = _hydro_cells(spark, sf_dir)
+    return (flow_accumulation(cells, d8_flow(cells))
+            .orderBy("cell_x", "cell_y"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "d8_flow_grid": _q_d8_flow,
+        "flow_accum_grid": _q_flow_accum,
         "robust_stats_lang": _q_robust_stats,
         "vocab_overlap_lang": _q_vocab_overlap,
         "lag_acf_2deg": _q_lag_acf,
@@ -4062,6 +4111,74 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # brute 8-neighbor join + row_number argmin on the same
+        # exact integer rank and offset-order tie-break
+        "d8_flow_grid": f"""
+          WITH cells AS ({_HYDRO_CELLS_SQL}),
+          offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                  (1,-1),(1,0),(1,1)),
+          cand AS (
+            SELECT a.cell_x AS ox, a.cell_y AS oy,
+                   b.cell_x AS tx, b.cell_y AS ty,
+                   a.elev - b.elev AS drop_,
+                   (a.elev - b.elev) * (a.elev - b.elev)
+                     * (CASE WHEN o.dx * o.dx + o.dy * o.dy = 1
+                             THEN 2 ELSE 1 END) AS rank_,
+                   CASE WHEN (o.dx + 1) * 3 + (o.dy + 1) > 4
+                        THEN (o.dx + 1) * 3 + (o.dy + 1) - 1
+                        ELSE (o.dx + 1) * 3 + (o.dy + 1) END AS oi
+            FROM cells a
+            JOIN offs o ON TRUE
+            JOIN cells b ON b.cell_x = a.cell_x + o.dx
+                        AND b.cell_y = a.cell_y + o.dy
+            WHERE b.elev < a.elev),
+          picked AS (
+            SELECT ox, oy, tx, ty, drop_,
+                   row_number() OVER (PARTITION BY ox, oy
+                                      ORDER BY rank_ DESC, oi) AS rn
+            FROM cand)
+          SELECT ox AS cell_x, oy AS cell_y, tx AS to_x, ty AS to_y,
+                 CAST(drop_ AS BIGINT) AS drop
+          FROM picked WHERE rn = 1 ORDER BY cell_x, cell_y
+        """,
+        # ancestor counting through the recursive upstream closure
+        "flow_accum_grid": f"""
+          WITH RECURSIVE cells AS ({_HYDRO_CELLS_SQL}),
+          offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                  (1,-1),(1,0),(1,1)),
+          cand AS (
+            SELECT a.cell_x AS ox, a.cell_y AS oy,
+                   b.cell_x AS tx, b.cell_y AS ty,
+                   (a.elev - b.elev) * (a.elev - b.elev)
+                     * (CASE WHEN o.dx * o.dx + o.dy * o.dy = 1
+                             THEN 2 ELSE 1 END) AS rank_,
+                   CASE WHEN (o.dx + 1) * 3 + (o.dy + 1) > 4
+                        THEN (o.dx + 1) * 3 + (o.dy + 1) - 1
+                        ELSE (o.dx + 1) * 3 + (o.dy + 1) END AS oi
+            FROM cells a
+            JOIN offs o ON TRUE
+            JOIN cells b ON b.cell_x = a.cell_x + o.dx
+                        AND b.cell_y = a.cell_y + o.dy
+            WHERE b.elev < a.elev),
+          flow AS (
+            SELECT ox, oy, tx, ty FROM (
+              SELECT ox, oy, tx, ty,
+                     row_number() OVER (PARTITION BY ox, oy
+                                        ORDER BY rank_ DESC, oi) AS rn
+              FROM cand) p WHERE rn = 1),
+          up AS (
+            SELECT ox AS ax, oy AS ay, tx AS vx, ty AS vy FROM flow
+            UNION
+            SELECT up.ax, up.ay, f.tx, f.ty
+            FROM up JOIN flow f ON f.ox = up.vx AND f.oy = up.vy)
+          SELECT c.cell_x, c.cell_y,
+                 CAST(1 + coalesce(u.n_up, 0) AS BIGINT) AS acc
+          FROM cells c
+          LEFT JOIN (SELECT vx, vy, count(*) AS n_up
+                     FROM up GROUP BY 1, 2) u
+            ON u.vx = c.cell_x AND u.vy = c.cell_y
+          ORDER BY c.cell_x, c.cell_y
+        """,
         # naive row_number nearest-rank for both medians; integer
         # 3-MAD outlier census
         "robust_stats_lang": """

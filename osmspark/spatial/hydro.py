@@ -1,0 +1,133 @@
+"""Raster hydrology — D8 flow direction + flow accumulation.
+
+The classic terrain pair (watershed delineation, drainage density,
+runoff modeling): every cell of an elevation raster drains to its
+steepest DOWNHILL 8-neighbor (D8), and a cell's accumulation is the
+number of cells whose flow path passes through it — the upstream-area
+statistic hydrologists threshold to extract stream networks.
+
+Determinism discipline: steepness comparisons are EXACT integers —
+drop/distance ranks via cross-multiplied squares (drop² · dist²_other,
+valid because drops are nonnegative and squaring is monotone there;
+dist² ∈ {1, 2} for cardinal/diagonal) — and ties break by a fixed
+(drop², then offset index) order, so the flow forest is bit-identical
+on any engine. Cells with no lower neighbor are SINKS (no out-edge);
+no depression filling is performed (documented — filling is a separate
+iterative conditioning pass).
+
+Scale shape: D8 is one 8-offset explode equi-join on the cell key +
+one min(struct) argmin — the autocorr/k-ring neighborhood pattern,
+never an all-pairs join. Accumulation iterates
+``acc(v) ← 1 + Σ_{u→v} acc(u)`` (exact int64; converges in flow-path
+depth, signature-checked like cc.py) — each round one equi-join of the
+O(cells) accumulator onto the flow forest + one combinable sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["d8_flow", "flow_accumulation"]
+
+_OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         if not (dx == 0 and dy == 0)]
+
+
+def d8_flow(cells: DataFrame, elev_col: str = "elev",
+            cx_col: str = "cell_x", cy_col: str = "cell_y") -> DataFrame:
+    """(cell_x, cell_y, to_x, to_y, drop) — one row per NON-sink cell,
+    pointing at its steepest strictly-lower 8-neighbor. ``drop`` is
+    the integer elevation difference. Absent neighbors (raster edge,
+    nodata holes) simply aren't candidates.
+    """
+    base = cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(elev_col).cast("long").alias("e"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(i).alias("oi"),
+                 F.lit(dx * dx + dy * dy).alias("d2"))
+        for i, (dx, dy) in enumerate(_OFFS)])
+    left = (base.select("cx", "cy", "e", F.explode(offs).alias("o"))
+            .select(F.col("cx").alias("ox"), F.col("cy").alias("oy"),
+                    F.col("e").alias("oe"), F.col("o.oi").alias("oi"),
+                    F.col("o.d2").alias("d2"),
+                    (F.col("cx") + F.col("o.dx")).alias("cx"),
+                    (F.col("cy") + F.col("o.dy")).alias("cy")))
+    nbrs = (left.join(base, ["cx", "cy"])
+            .filter(F.col("e") < F.col("oe")))
+    drop = F.col("oe") - F.col("e")
+    # rank steepness drop/dist by the exact integer key drop²·d2_other:
+    # maximize drop²/d2 ⇔ minimize d2/drop² ⇔ min over the struct
+    # (−drop²·(3−d2) … ) — simplest exact form: compare via
+    # drop² · (2 if other is diagonal) cross-multiplied; implemented
+    # as min(struct(neg_rank, oi, …)) with neg_rank = −drop²·(3−d2)?
+    # Clearer: steeper ⇔ larger drop²/d2 ⇔ larger drop²·(2/d2) ⇔
+    # larger drop²·2/d2 — use exact rational via drop²·(d2 == 1 ? 2 : 1)
+    rank = drop * drop * F.when(F.col("d2") == 1, F.lit(2)) \
+        .otherwise(F.lit(1))
+    pick = (nbrs.select(
+        F.col("ox"), F.col("oy"),
+        F.struct((-rank).alias("nr"), F.col("oi").alias("oi"),
+                 F.col("cx").alias("tx"), F.col("cy").alias("ty"),
+                 drop.alias("drop")).alias("cand"))
+        .groupBy("ox", "oy")
+        .agg(F.min("cand").alias("best")))
+    return pick.select(F.col("ox").alias("cell_x"),
+                       F.col("oy").alias("cell_y"),
+                       F.col("best.tx").alias("to_x"),
+                       F.col("best.ty").alias("to_y"),
+                       F.col("best.drop").cast("long").alias("drop"))
+
+
+def flow_accumulation(cells: DataFrame, flows: DataFrame,
+                      cx_col: str = "cell_x", cy_col: str = "cell_y",
+                      max_rounds: int = 64) -> DataFrame:
+    """(cell_x, cell_y, acc) — acc = number of cells draining THROUGH
+    each cell (its own cell included, the standard convention), over
+    the D8 flow forest from :func:`d8_flow`. Converges in flow-path
+    depth; raises if the accumulator signature still moves after
+    ``max_rounds`` (a cyclic "flow" input — impossible from d8_flow,
+    whose edges strictly descend — would manifest that way).
+    """
+    base = cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"))
+    e = flows.select(F.col("cell_x").alias("ux"),
+                     F.col("cell_y").alias("uy"),
+                     F.col("to_x").alias("vx"),
+                     F.col("to_y").alias("vy"))
+    acc = (base.select("cx", "cy", F.lit(1).cast("long").alias("acc"))
+           .localCheckpoint(eager=False))
+
+    def sig(df: DataFrame) -> tuple:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("cx", "cy", "acc").cast("decimal(38,0)"))
+            .alias("h1"),
+            F.sum(F.xxhash64("acc", "cy", "cx", F.lit(7))
+                  .cast("decimal(38,0)")).alias("h2")).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    cur = sig(acc)
+    for _ in range(max_rounds):
+        inflow = (e.join(acc.select(F.col("cx").alias("ux"),
+                                    F.col("cy").alias("uy"),
+                                    F.col("acc").alias("ua")),
+                         ["ux", "uy"])
+                  .groupBy(F.col("vx").alias("cx"),
+                           F.col("vy").alias("cy"))
+                  .agg(F.sum("ua").alias("inflow")))
+        new = (base.join(inflow, ["cx", "cy"], "left")
+               .select("cx", "cy",
+                       (F.lit(1) + F.coalesce(F.col("inflow"),
+                                              F.lit(0).cast("long")))
+                       .cast("long").alias("acc"))
+               .localCheckpoint(eager=False))
+        nxt = sig(new)
+        stable = nxt == cur
+        acc, cur = new, nxt
+        if stable:
+            return acc.select(F.col("cx").alias("cell_x"),
+                              F.col("cy").alias("cell_y"), "acc")
+    raise RuntimeError(
+        f"flow_accumulation did not converge in {max_rounds} rounds")

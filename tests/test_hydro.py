@@ -1,0 +1,95 @@
+"""d8_flow / flow_accumulation: Python oracle (same exact-integer
+steepness ranking), basin mass conservation, sink structure."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from osmspark.spatial.hydro import _OFFS, d8_flow, flow_accumulation
+
+# a 7x5 "valley": elevation falls toward (3, 2) with a deterministic
+# ripple so diagonal-vs-cardinal ranking and ties both exercise
+CELLS = {(x, y): (abs(x - 3) + abs(y - 2)) * 10
+         + (x * 7 + y * 13) % 4
+         for x in range(7) for y in range(5)}
+
+
+def _py_d8():
+    out = {}
+    for (x, y), e in CELLS.items():
+        best = None
+        for oi, (dx, dy) in enumerate(_OFFS):
+            ne = CELLS.get((x + dx, y + dy))
+            if ne is None or ne >= e:
+                continue
+            drop = e - ne
+            d2 = dx * dx + dy * dy
+            rank = drop * drop * (2 if d2 == 1 else 1)
+            key = (-rank, oi)
+            if best is None or key < best[0]:
+                best = (key, (x + dx, y + dy), drop)
+        if best is not None:
+            out[(x, y)] = (best[1], best[2])
+    return out
+
+
+def _py_acc():
+    flows = _py_d8()
+    children = defaultdict(list)
+    for u, (v, _) in flows.items():
+        children[v].append(u)
+    acc = {}
+
+    def size(v):
+        if v not in acc:
+            acc[v] = 1 + sum(size(u) for u in children[v])
+        return acc[v]
+
+    for c in CELLS:
+        size(c)
+    return acc
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rows = [(x, y, e) for (x, y), e in CELLS.items()]
+    cells = spark.createDataFrame(rows, "cell_x long, cell_y long, "
+                                        "elev long")
+    flows = d8_flow(cells)
+    return cells, flows
+
+
+def test_d8_matches_python(frames):
+    _, flows = frames
+    got = {(int(r.cell_x), int(r.cell_y)):
+           ((int(r.to_x), int(r.to_y)), int(r.drop))
+           for r in flows.collect()}
+    assert got == _py_d8()
+
+
+def test_sinks_have_no_outflow(frames):
+    _, flows = frames
+    got = {(int(r.cell_x), int(r.cell_y)) for r in flows.collect()}
+    sinks = set(CELLS) - set(_py_d8())
+    assert (3, 2) in sinks                   # the valley bottom
+    assert not (got & sinks)
+
+
+def test_accumulation_matches_python(frames):
+    cells, flows = frames
+    got = {(int(r.cell_x), int(r.cell_y)): int(r.acc)
+           for r in flow_accumulation(cells, flows).collect()}
+    assert got == _py_acc()
+    # mass conservation: summing acc over SINKS counts every cell of
+    # every basin exactly once
+    sinks = set(CELLS) - set(_py_d8())
+    assert sum(got[s] for s in sinks) == len(CELLS)
+
+
+def test_flow_strictly_descends(frames):
+    _, flows = frames
+    for r in flows.collect():
+        assert CELLS[(int(r.to_x), int(r.to_y))] \
+            < CELLS[(int(r.cell_x), int(r.cell_y))]
