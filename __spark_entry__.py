@@ -3796,9 +3796,22 @@ def _q_flow_accum(spark, sf_dir):
             .orderBy("cell_x", "cell_y"))
 
 
+def _q_watershed(spark, sf_dir):
+    """Watershed basin labels (osmspark/spatial/hydro.py:
+    watershed_labels): pointer JUMPING over the D8 forest — pointer ←
+    pointer's pointer each round, log₂(depth) convergence. Oracle
+    follows each flow path to its sink with a recursive CTE — linear
+    walking vs logarithmic jumping, identical fixpoint."""
+    from osmspark.spatial.hydro import d8_flow, watershed_labels
+    cells = _hydro_cells(spark, sf_dir)
+    return (watershed_labels(cells, d8_flow(cells))
+            .orderBy("cell_x", "cell_y"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "watershed_grid": _q_watershed,
         "d8_flow_grid": _q_d8_flow,
         "flow_accum_grid": _q_flow_accum,
         "robust_stats_lang": _q_robust_stats,
@@ -4111,6 +4124,48 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # linear recursive path-walk to the sink vs pointer jumping
+        "watershed_grid": f"""
+          WITH RECURSIVE cells AS ({_HYDRO_CELLS_SQL}),
+          offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                  (1,-1),(1,0),(1,1)),
+          cand AS (
+            SELECT a.cell_x AS ox, a.cell_y AS oy,
+                   b.cell_x AS tx, b.cell_y AS ty,
+                   (a.elev - b.elev) * (a.elev - b.elev)
+                     * (CASE WHEN o.dx * o.dx + o.dy * o.dy = 1
+                             THEN 2 ELSE 1 END) AS rank_,
+                   CASE WHEN (o.dx + 1) * 3 + (o.dy + 1) > 4
+                        THEN (o.dx + 1) * 3 + (o.dy + 1) - 1
+                        ELSE (o.dx + 1) * 3 + (o.dy + 1) END AS oi
+            FROM cells a
+            JOIN offs o ON TRUE
+            JOIN cells b ON b.cell_x = a.cell_x + o.dx
+                        AND b.cell_y = a.cell_y + o.dy
+            WHERE b.elev < a.elev),
+          flow AS (
+            SELECT ox, oy, tx, ty FROM (
+              SELECT ox, oy, tx, ty,
+                     row_number() OVER (PARTITION BY ox, oy
+                                        ORDER BY rank_ DESC, oi) AS rn
+              FROM cand) p WHERE rn = 1),
+          walk AS (
+            SELECT ox AS cx, oy AS cy, tx AS px, ty AS py FROM flow
+            UNION
+            SELECT w.cx, w.cy, f.tx, f.ty
+            FROM walk w JOIN flow f ON f.ox = w.px AND f.oy = w.py),
+          terminal AS (
+            SELECT w.cx, w.cy, w.px, w.py FROM walk w
+            LEFT JOIN flow f2 ON f2.ox = w.px AND f2.oy = w.py
+            WHERE f2.ox IS NULL)
+          SELECT c.cell_x, c.cell_y,
+                 CAST(coalesce(t.px, c.cell_x) AS BIGINT) AS sink_x,
+                 CAST(coalesce(t.py, c.cell_y) AS BIGINT) AS sink_y
+          FROM cells c
+          LEFT JOIN terminal t
+            ON t.cx = c.cell_x AND t.cy = c.cell_y
+          ORDER BY c.cell_x, c.cell_y
+        """,
         # brute 8-neighbor join + row_number argmin on the same
         # exact integer rank and offset-order tie-break
         "d8_flow_grid": f"""

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["d8_flow", "flow_accumulation"]
+__all__ = ["d8_flow", "flow_accumulation", "watershed_labels"]
 
 _OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
          if not (dx == 0 and dy == 0)]
@@ -57,13 +57,9 @@ def d8_flow(cells: DataFrame, elev_col: str = "elev",
     nbrs = (left.join(base, ["cx", "cy"])
             .filter(F.col("e") < F.col("oe")))
     drop = F.col("oe") - F.col("e")
-    # rank steepness drop/dist by the exact integer key drop²·d2_other:
-    # maximize drop²/d2 ⇔ minimize d2/drop² ⇔ min over the struct
-    # (−drop²·(3−d2) … ) — simplest exact form: compare via
-    # drop² · (2 if other is diagonal) cross-multiplied; implemented
-    # as min(struct(neg_rank, oi, …)) with neg_rank = −drop²·(3−d2)?
-    # Clearer: steeper ⇔ larger drop²/d2 ⇔ larger drop²·(2/d2) ⇔
-    # larger drop²·2/d2 — use exact rational via drop²·(d2 == 1 ? 2 : 1)
+    # steepness drop/√d2 ranked by the exact integer drop²·(2/d2):
+    # cardinals (d2=1) weight 2, diagonals (d2=2) weight 1 — the
+    # cross-multiplied square comparison, order-exact for drops ≥ 0
     rank = drop * drop * F.when(F.col("d2") == 1, F.lit(2)) \
         .otherwise(F.lit(1))
     pick = (nbrs.select(
@@ -131,3 +127,64 @@ def flow_accumulation(cells: DataFrame, flows: DataFrame,
                               F.col("cy").alias("cell_y"), "acc")
     raise RuntimeError(
         f"flow_accumulation did not converge in {max_rounds} rounds")
+
+
+def watershed_labels(cells: DataFrame, flows: DataFrame,
+                     cx_col: str = "cell_x", cy_col: str = "cell_y",
+                     max_rounds: int = 32) -> DataFrame:
+    """(cell_x, cell_y, sink_x, sink_y) — each cell labeled with the
+    SINK its flow path terminates at: the watershed/basin partition
+    (every drainage-area, pollutant-tracing and flood-zone query
+    groups by this label).
+
+    POINTER JUMPING, not step-by-step walking: each round replaces
+    every cell's pointer with its pointer's pointer (sinks point at
+    themselves), so path lengths halve per round and convergence takes
+    ⌈log₂ depth⌉ rounds — the classic parallel list-ranking shortcut,
+    vs flow-path-depth rounds for naive following. Per round ONE
+    equi-join of the O(cells) pointer table with itself on the
+    pointee key + the cc.py two-hash convergence signature.
+    """
+    ptr = (cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"))
+           .join(flows.select(F.col("cell_x").alias("cx"),
+                              F.col("cell_y").alias("cy"),
+                              F.col("to_x").alias("px"),
+                              F.col("to_y").alias("py")),
+                 ["cx", "cy"], "left")
+           .select("cx", "cy",
+                   F.coalesce(F.col("px"), F.col("cx")).alias("px"),
+                   F.coalesce(F.col("py"), F.col("cy")).alias("py"))
+           .localCheckpoint(eager=False))
+
+    def sig(df: DataFrame) -> tuple:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("cx", "cy", "px", "py")
+                  .cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64("py", "px", "cy", "cx", F.lit(7))
+                  .cast("decimal(38,0)")).alias("h2")).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    cur = sig(ptr)
+    for _ in range(max_rounds):
+        hop = ptr.select(F.col("cx").alias("px"),
+                         F.col("cy").alias("py"),
+                         F.col("px").alias("gx"),
+                         F.col("py").alias("gy"))
+        new = (ptr.join(hop, ["px", "py"])
+               .select("cx", "cy",
+                       F.col("gx").alias("px"),
+                       F.col("gy").alias("py"))
+               .localCheckpoint(eager=False))
+        nxt = sig(new)
+        stable = nxt == cur
+        ptr, cur = new, nxt
+        if stable:
+            return ptr.select(F.col("cx").alias("cell_x"),
+                              F.col("cy").alias("cell_y"),
+                              F.col("px").alias("sink_x"),
+                              F.col("py").alias("sink_y"))
+    raise RuntimeError(
+        f"watershed_labels did not converge in {max_rounds} "
+        "pointer-jumping rounds")

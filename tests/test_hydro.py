@@ -93,3 +93,26 @@ def test_flow_strictly_descends(frames):
     for r in flows.collect():
         assert CELLS[(int(r.to_x), int(r.to_y))] \
             < CELLS[(int(r.cell_x), int(r.cell_y))]
+
+
+def test_watershed_matches_python(frames):
+    from osmspark.spatial.hydro import watershed_labels
+    cells, flows = frames
+    got = {(int(r.cell_x), int(r.cell_y)): (int(r.sink_x), int(r.sink_y))
+           for r in watershed_labels(cells, flows).collect()}
+    fl = _py_d8()
+
+    def sink(c):
+        while c in fl:
+            c = fl[c][0]
+        return c
+
+    exp = {c: sink(c) for c in CELLS}
+    assert got == exp
+    # every sink labels itself; basin sizes agree with accumulation
+    sinks = set(CELLS) - set(fl)
+    assert all(got[s] == s for s in sinks)
+    from collections import Counter
+    basin = Counter(got.values())
+    acc = _py_acc()
+    assert all(basin[s] == acc[s] for s in sinks)
