@@ -3808,9 +3808,24 @@ def _q_watershed(spark, sf_dir):
             .orderBy("cell_x", "cell_y"))
 
 
+def _q_fill(spark, sf_dir):
+    """Planchon-Darboux depression filling (osmspark/spatial/hydro.py:
+    fill_depressions) over the valley raster: border cells pin their
+    elevation, interior water levels relax monotonically to
+    max(elev, min neighbor level) — exact integers to the fixpoint.
+    Oracle runs the SAME relaxation as a 64-round recursive CTE
+    (fixpoint reached far earlier; extra rounds are no-ops);
+    pytest separately pins the engine against an independent
+    priority-flood implementation."""
+    from osmspark.spatial.hydro import fill_depressions
+    return (fill_depressions(_hydro_cells(spark, sf_dir))
+            .orderBy("cell_x", "cell_y"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "fill_depressions_grid": _q_fill,
         "watershed_grid": _q_watershed,
         "d8_flow_grid": _q_d8_flow,
         "flow_accum_grid": _q_flow_accum,
@@ -4124,6 +4139,43 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # the same monotone relaxation, unrolled 64 recursive rounds
+        "fill_depressions_grid": f"""
+          WITH RECURSIVE cells0 AS ({_HYDRO_CELLS_SQL}),
+          offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                  (1,-1),(1,0),(1,1)),
+          nc AS (
+            SELECT a.cell_x, a.cell_y, count(*) AS n_nbrs
+            FROM cells0 a JOIN offs o ON TRUE
+            JOIN cells0 b ON b.cell_x = a.cell_x + o.dx
+                         AND b.cell_y = a.cell_y + o.dy
+            GROUP BY 1, 2),
+          cb AS (
+            SELECT c.cell_x AS cx, c.cell_y AS cy, c.elev,
+                   coalesce(nc.n_nbrs, 0) = 8 AS interior
+            FROM cells0 c LEFT JOIN nc
+              ON nc.cell_x = c.cell_x AND nc.cell_y = c.cell_y),
+          fill AS (
+            SELECT 0 AS it, cx, cy,
+                   CASE WHEN interior THEN CAST(1152921504606846976
+                        AS BIGINT) ELSE elev END AS w
+            FROM cb
+            UNION ALL
+            SELECT n.it + 1, c.cx, c.cy,
+                   CASE WHEN c.interior
+                        THEN greatest(c.elev, n.minw)
+                        ELSE c.elev END AS w
+            FROM (SELECT f.it, f.cx + o.dx AS cx, f.cy + o.dy AS cy,
+                         min(f.w) AS minw
+                  FROM fill f JOIN offs o ON TRUE
+                  WHERE f.it < 64 GROUP BY 1, 2, 3) n
+            JOIN cb c ON c.cx = n.cx AND c.cy = n.cy)
+          SELECT cx AS cell_x, cy AS cell_y,
+                 CAST(cb2.elev AS BIGINT) AS elev,
+                 CAST(f.w - cb2.elev AS BIGINT) AS filled
+          FROM fill f JOIN cb cb2 USING (cx, cy)
+          WHERE f.it = 64 ORDER BY cell_x, cell_y
+        """,
         # linear recursive path-walk to the sink vs pointer jumping
         "watershed_grid": f"""
           WITH RECURSIVE cells AS ({_HYDRO_CELLS_SQL}),

@@ -12,8 +12,8 @@ valid because drops are nonnegative and squaring is monotone there;
 dist² ∈ {1, 2} for cardinal/diagonal) — and ties break by a fixed
 (drop², then offset index) order, so the flow forest is bit-identical
 on any engine. Cells with no lower neighbor are SINKS (no out-edge);
-no depression filling is performed (documented — filling is a separate
-iterative conditioning pass).
+run :func:`fill_depressions` first when interior pits should drain
+to the border instead of terminating basins.
 
 Scale shape: D8 is one 8-offset explode equi-join on the cell key +
 one min(struct) argmin — the autocorr/k-ring neighborhood pattern,
@@ -27,7 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["d8_flow", "flow_accumulation", "watershed_labels"]
+__all__ = ["d8_flow", "flow_accumulation", "watershed_labels",
+           "fill_depressions"]
 
 _OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
          if not (dx == 0 and dy == 0)]
@@ -188,3 +189,90 @@ def watershed_labels(cells: DataFrame, flows: DataFrame,
     raise RuntimeError(
         f"watershed_labels did not converge in {max_rounds} "
         "pointer-jumping rounds")
+
+
+def fill_depressions(cells: DataFrame, elev_col: str = "elev",
+                     cx_col: str = "cell_x", cy_col: str = "cell_y",
+                     max_rounds: int = 128) -> DataFrame:
+    """(cell_x, cell_y, elev, filled) — the Planchon-Darboux (2002)
+    depression fill, the conditioning pass real DEM pipelines run
+    BEFORE :func:`d8_flow` (an unfilled pit swallows its basin's flow;
+    filling raises every interior depression to its spill level so
+    every cell drains to the raster border).
+
+    The parallel iteration: water level W starts at the cell's own
+    elevation on BORDER cells (any cell with < 8 present neighbors —
+    holes in the raster count as border, the standard convention) and
+    +∞ inside; each round every interior cell relaxes to
+
+        W(v) ← max(elev(v), min over 8-neighbors of W(u))
+
+    monotonically draining until the fixpoint — exact integers, the
+    cc.py two-hash signature detects convergence, rounds bounded by
+    the longest interior drainage path (``max_rounds`` guards flats).
+    Per round: one 8-offset scatter join of the O(cells) level table +
+    one combinable min + one static join — the flow_accumulation
+    shape. ``filled = W − elev`` isolates the poured depth.
+    """
+    base = cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(elev_col).cast("long").alias("e"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _OFFS])
+    scat = (base.select("cx", "cy", F.explode(offs).alias("o"))
+            .select(F.col("cx").alias("sx"), F.col("cy").alias("sy"),
+                    (F.col("cx") + F.col("o.dx")).alias("cx"),
+                    (F.col("cy") + F.col("o.dy")).alias("cy")))
+    ncount = (scat.join(base.select("cx", "cy"), ["cx", "cy"])
+              .groupBy(F.col("sx").alias("cx"), F.col("sy").alias("cy"))
+              .agg(F.count(F.lit(1)).alias("n_nbrs")))
+    big = F.lit(1 << 60).cast("long")
+    state = (base.join(ncount, ["cx", "cy"], "left")
+             .select("cx", "cy", "e",
+                     (F.coalesce(F.col("n_nbrs"), F.lit(0)) == 8)
+                     .alias("interior"))
+             .select("cx", "cy", "e", "interior",
+                     F.when(F.col("interior"), big)
+                     .otherwise(F.col("e")).alias("w"))
+             .localCheckpoint(eager=False))
+
+    def sig(df: DataFrame) -> tuple:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("cx", "cy", "w").cast("decimal(38,0)"))
+            .alias("h1"),
+            F.sum(F.xxhash64("w", "cy", "cx", F.lit(7))
+                  .cast("decimal(38,0)")).alias("h2")).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    cur = sig(state)
+    for _ in range(max_rounds):
+        nbr_min = (state.select(F.col("cx").alias("ox"),
+                                F.col("cy").alias("oy"),
+                                F.col("w"),
+                                F.explode(offs).alias("o"))
+                   .select((F.col("ox") + F.col("o.dx")).alias("cx"),
+                           (F.col("oy") + F.col("o.dy")).alias("cy"),
+                           "w")
+                   .groupBy("cx", "cy")
+                   .agg(F.min("w").alias("nw")))
+        new = (state.join(nbr_min, ["cx", "cy"], "left")
+               .select("cx", "cy", "e", "interior",
+                       F.when(F.col("interior"),
+                              F.greatest(F.col("e"),
+                                         F.coalesce(F.col("nw"), big)))
+                       .otherwise(F.col("e")).alias("w"))
+               .localCheckpoint(eager=False))
+        nxt = sig(new)
+        stable = nxt == cur
+        state, cur = new, nxt
+        if stable:
+            return state.select(
+                F.col("cx").alias("cell_x"),
+                F.col("cy").alias("cell_y"),
+                F.col("e").alias("elev"),
+                (F.col("w") - F.col("e")).cast("long").alias("filled"))
+    raise RuntimeError(
+        f"fill_depressions did not converge in {max_rounds} rounds "
+        "(very long interior drainage path or a flat plateau chain)")

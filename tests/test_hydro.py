@@ -116,3 +116,65 @@ def test_watershed_matches_python(frames):
     basin = Counter(got.values())
     acc = _py_acc()
     assert all(basin[s] == acc[s] for s in sinks)
+
+
+def _py_fill():
+    # INDEPENDENT oracle: priority-flood (Barnes et al.) — different
+    # algorithm family from the engine's Planchon-Darboux iteration
+    import heapq
+    interior = {c for c in CELLS
+                if sum((c[0] + dx, c[1] + dy) in CELLS
+                       for dx, dy in _OFFS) == 8}
+    w = {}
+    heap = []
+    for c, e in CELLS.items():
+        if c not in interior:
+            w[c] = e
+            heapq.heappush(heap, (e, c))
+    while heap:
+        lv, (x, y) = heapq.heappop(heap)
+        if w.get((x, y), 1 << 62) < lv:
+            continue
+        for dx, dy in _OFFS:
+            n = (x + dx, y + dy)
+            if n in CELLS and n not in w:
+                w[n] = max(CELLS[n], lv)
+                heapq.heappush(heap, (w[n], n))
+    return {c: w[c] - CELLS[c] for c in CELLS}
+
+
+def test_fill_matches_priority_flood(frames):
+    from osmspark.spatial.hydro import fill_depressions
+    cells, _ = frames
+    got = {(int(r.cell_x), int(r.cell_y)): int(r.filled)
+           for r in fill_depressions(cells).collect()}
+    exp = _py_fill()
+    assert got == exp
+    # the valley bottom is an interior pit → genuinely filled
+    assert got[(3, 2)] > 0
+    # border cells never fill
+    assert all(got[c] == 0 for c in CELLS
+               if not (1 <= c[0] <= 5 and 1 <= c[1] <= 3))
+
+
+def test_filled_dem_has_no_strict_interior_pits(frames):
+    # after filling, rerun D8 on the filled surface: no interior cell
+    # is a STRICT pit anymore — any remaining interior sink sits on a
+    # flat (has a neighbor at exactly its own filled elevation, the
+    # documented strict-descent limitation on spill plateaus)
+    from osmspark.spatial.hydro import d8_flow, fill_depressions
+    cells, _ = frames
+    fillmap = _py_fill()
+    felev = {c: CELLS[c] + fillmap[c] for c in CELLS}
+    filled = (fill_depressions(cells)
+              .selectExpr("cell_x", "cell_y", "elev + filled AS elev"))
+    flows2 = d8_flow(filled)
+    sinks2 = ({(x, y) for x, y in CELLS}
+              - {(int(r.cell_x), int(r.cell_y)) for r in flows2.collect()})
+    interior = {c for c in CELLS
+                if sum((c[0] + dx, c[1] + dy) in CELLS
+                       for dx, dy in _OFFS) == 8}
+    for (x, y) in sinks2 & interior:
+        nbrs = [felev[(x + dx, y + dy)] for dx, dy in _OFFS
+                if (x + dx, y + dy) in felev]
+        assert min(nbrs) == felev[(x, y)]     # flat, never a strict pit
