@@ -3752,7 +3752,7 @@ def _q_robust_stats(spark, sf_dir):
 def _hydro_cells(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cx = F.col("doc_id") % 40
-    cy = (F.col("doc_id") / 40).cast("long") % 25
+    cy = F.expr("doc_id DIV 40") % 25
     return (docs.select(cx.alias("cell_x"), cy.alias("cell_y"))
             .distinct()
             .select("cell_x", "cell_y",
@@ -4170,11 +4170,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM fill f JOIN offs o ON TRUE
                   WHERE f.it < 64 GROUP BY 1, 2, 3) n
             JOIN cb c ON c.cx = n.cx AND c.cy = n.cy)
-          SELECT cx AS cell_x, cy AS cell_y,
+          SELECT cb2.cx AS cell_x, cb2.cy AS cell_y,
                  CAST(cb2.elev AS BIGINT) AS elev,
-                 CAST(f.w - cb2.elev AS BIGINT) AS filled
-          FROM fill f JOIN cb cb2 USING (cx, cy)
-          WHERE f.it = 64 ORDER BY cell_x, cell_y
+                 CAST(coalesce(f.w, cb2.elev) - cb2.elev AS BIGINT)
+                   AS filled
+          FROM cb cb2
+          LEFT JOIN (SELECT cx, cy, w FROM fill WHERE it = 64) f
+            ON f.cx = cb2.cx AND f.cy = cb2.cy
+          ORDER BY cell_x, cell_y
         """,
         # linear recursive path-walk to the sink vs pointer jumping
         "watershed_grid": f"""

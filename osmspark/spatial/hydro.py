@@ -34,6 +34,19 @@ _OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
          if not (dx == 0 and dy == 0)]
 
 
+def _sig(df: DataFrame, cols: tuple[str, ...]) -> tuple:
+    """cc.py convergence signature: count + two independent
+    order-insensitive hash sums (simultaneous-collision odds
+    ~2^-128)."""
+    rev = tuple(reversed(cols))
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h1"),
+        F.sum(F.xxhash64(*rev, F.lit(7))
+              .cast("decimal(38,0)")).alias("h2")).collect()[0]
+    return (row["n"], row["h1"], row["h2"])
+
+
 def d8_flow(cells: DataFrame, elev_col: str = "elev",
             cx_col: str = "cell_x", cy_col: str = "cell_y") -> DataFrame:
     """(cell_x, cell_y, to_x, to_y, drop) — one row per NON-sink cell,
@@ -87,25 +100,20 @@ def flow_accumulation(cells: DataFrame, flows: DataFrame,
     ``max_rounds`` (a cyclic "flow" input — impossible from d8_flow,
     whose edges strictly descend — would manifest that way).
     """
-    base = cells.select(F.col(cx_col).alias("cx"),
-                        F.col(cy_col).alias("cy"))
-    e = flows.select(F.col("cell_x").alias("ux"),
-                     F.col("cell_y").alias("uy"),
-                     F.col("to_x").alias("vx"),
-                     F.col("to_y").alias("vy"))
+    # checkpoint the STATIC inputs: without it every convergence
+    # round re-executes the full upstream d8_flow plan (explode +
+    # join + argmin + scan) hanging off these frames
+    base = (cells.select(F.col(cx_col).alias("cx"),
+                         F.col(cy_col).alias("cy"))
+            .localCheckpoint(eager=False))
+    e = (flows.select(F.col("cell_x").alias("ux"),
+                      F.col("cell_y").alias("uy"),
+                      F.col("to_x").alias("vx"),
+                      F.col("to_y").alias("vy"))
+         .localCheckpoint(eager=False))
     acc = (base.select("cx", "cy", F.lit(1).cast("long").alias("acc"))
            .localCheckpoint(eager=False))
-
-    def sig(df: DataFrame) -> tuple:
-        row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("cx", "cy", "acc").cast("decimal(38,0)"))
-            .alias("h1"),
-            F.sum(F.xxhash64("acc", "cy", "cx", F.lit(7))
-                  .cast("decimal(38,0)")).alias("h2")).collect()[0]
-        return (row["n"], row["h1"], row["h2"])
-
-    cur = sig(acc)
+    cur = _sig(acc, ("cx", "cy", "acc"))
     for _ in range(max_rounds):
         inflow = (e.join(acc.select(F.col("cx").alias("ux"),
                                     F.col("cy").alias("uy"),
@@ -120,7 +128,7 @@ def flow_accumulation(cells: DataFrame, flows: DataFrame,
                                               F.lit(0).cast("long")))
                        .cast("long").alias("acc"))
                .localCheckpoint(eager=False))
-        nxt = sig(new)
+        nxt = _sig(new, ("cx", "cy", "acc"))
         stable = nxt == cur
         acc, cur = new, nxt
         if stable:
@@ -157,17 +165,7 @@ def watershed_labels(cells: DataFrame, flows: DataFrame,
                    F.coalesce(F.col("px"), F.col("cx")).alias("px"),
                    F.coalesce(F.col("py"), F.col("cy")).alias("py"))
            .localCheckpoint(eager=False))
-
-    def sig(df: DataFrame) -> tuple:
-        row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("cx", "cy", "px", "py")
-                  .cast("decimal(38,0)")).alias("h1"),
-            F.sum(F.xxhash64("py", "px", "cy", "cx", F.lit(7))
-                  .cast("decimal(38,0)")).alias("h2")).collect()[0]
-        return (row["n"], row["h1"], row["h2"])
-
-    cur = sig(ptr)
+    cur = _sig(ptr, ("cx", "cy", "px", "py"))
     for _ in range(max_rounds):
         hop = ptr.select(F.col("cx").alias("px"),
                          F.col("cy").alias("py"),
@@ -178,7 +176,7 @@ def watershed_labels(cells: DataFrame, flows: DataFrame,
                        F.col("gx").alias("px"),
                        F.col("gy").alias("py"))
                .localCheckpoint(eager=False))
-        nxt = sig(new)
+        nxt = _sig(new, ("cx", "cy", "px", "py"))
         stable = nxt == cur
         ptr, cur = new, nxt
         if stable:
@@ -236,17 +234,7 @@ def fill_depressions(cells: DataFrame, elev_col: str = "elev",
                      F.when(F.col("interior"), big)
                      .otherwise(F.col("e")).alias("w"))
              .localCheckpoint(eager=False))
-
-    def sig(df: DataFrame) -> tuple:
-        row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("cx", "cy", "w").cast("decimal(38,0)"))
-            .alias("h1"),
-            F.sum(F.xxhash64("w", "cy", "cx", F.lit(7))
-                  .cast("decimal(38,0)")).alias("h2")).collect()[0]
-        return (row["n"], row["h1"], row["h2"])
-
-    cur = sig(state)
+    cur = _sig(state, ("cx", "cy", "w"))
     for _ in range(max_rounds):
         nbr_min = (state.select(F.col("cx").alias("ox"),
                                 F.col("cy").alias("oy"),
@@ -264,7 +252,7 @@ def fill_depressions(cells: DataFrame, elev_col: str = "elev",
                                          F.coalesce(F.col("nw"), big)))
                        .otherwise(F.col("e")).alias("w"))
                .localCheckpoint(eager=False))
-        nxt = sig(new)
+        nxt = _sig(new, ("cx", "cy", "w"))
         stable = nxt == cur
         state, cur = new, nxt
         if stable:
