@@ -3822,9 +3822,21 @@ def _q_fill(spark, sf_dir):
             .orderBy("cell_x", "cell_y"))
 
 
+def _q_slope(spark, sf_dir):
+    """Horn slope/aspect derivatives (osmspark/spatial/hydro.py:
+    slope_aspect) over the valley raster: exact int64 3×3 gradients
+    per interior cell, one sqrt + one atan2 on identical integers
+    (the with_bearing trig precedent), 9 dp. Oracle recomputes the
+    weighted sums via the brute 8-neighbor join."""
+    from osmspark.spatial.hydro import slope_aspect
+    return (slope_aspect(_hydro_cells(spark, sf_dir))
+            .orderBy("cell_x", "cell_y"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "slope_aspect_grid": _q_slope,
         "fill_depressions_grid": _q_fill,
         "watershed_grid": _q_watershed,
         "d8_flow_grid": _q_d8_flow,
@@ -4139,6 +4151,35 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # brute 8-neighbor join recomputing the Horn weighted sums
+        "slope_aspect_grid": f"""
+          WITH cells AS ({_HYDRO_CELLS_SQL}),
+          offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                  (1,-1),(1,0),(1,1)),
+          nb AS (
+            SELECT a.cell_x AS cx, a.cell_y AS cy,
+                   o.dx, o.dy, b.elev AS ne_
+            FROM cells a
+            JOIN offs o ON TRUE
+            JOIN cells b ON b.cell_x = a.cell_x + o.dx
+                        AND b.cell_y = a.cell_y + o.dy),
+          g AS (
+            SELECT cx, cy, count(*) AS n_nbrs,
+                   sum(dx * (CASE WHEN dy = 0 THEN 2 ELSE 1 END)
+                       * ne_) AS gx,
+                   sum(dy * (CASE WHEN dx = 0 THEN 2 ELSE 1 END)
+                       * ne_) AS gy
+            FROM nb GROUP BY 1, 2)
+          SELECT cx AS cell_x, cy AS cell_y,
+                 CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+                 round(sqrt(CAST(gx AS DOUBLE) * CAST(gx AS DOUBLE)
+                            + CAST(gy AS DOUBLE) * CAST(gy AS DOUBLE)),
+                       9) AS slope,
+                 round(degrees(atan2(CAST(gy AS DOUBLE),
+                                     CAST(gx AS DOUBLE))), 9)
+                   AS aspect_deg
+          FROM g WHERE n_nbrs = 8 ORDER BY cell_x, cell_y
+        """,
         # the same monotone relaxation, unrolled 64 recursive rounds
         "fill_depressions_grid": f"""
           WITH RECURSIVE cells0 AS ({_HYDRO_CELLS_SQL}),

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["d8_flow", "flow_accumulation", "watershed_labels",
-           "fill_depressions"]
+           "fill_depressions", "slope_aspect"]
 
 _OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
          if not (dx == 0 and dy == 0)]
@@ -264,3 +264,54 @@ def fill_depressions(cells: DataFrame, elev_col: str = "elev",
     raise RuntimeError(
         f"fill_depressions did not converge in {max_rounds} rounds "
         "(very long interior drainage path or a flat plateau chain)")
+
+
+def slope_aspect(cells: DataFrame, elev_col: str = "elev",
+                 cx_col: str = "cell_x",
+                 cy_col: str = "cell_y") -> DataFrame:
+    """(cell_x, cell_y, gx, gy, slope, aspect_deg) — Horn's 3×3
+    finite-difference terrain derivatives (the hillshade/solar/erosion
+    input): per INTERIOR cell (all 8 neighbors present — the standard
+    raster-edge convention, documented)
+
+        gx = (e_ne + 2·e_e + e_se) − (e_nw + 2·e_w + e_sw)
+        gy = (e_nw + 2·e_n + e_ne) − (e_sw + 2·e_s + e_se)
+
+    both EXACT int64 (the 8× cell-size denominator is the caller's
+    unit scaling); ``slope`` = √(gx² + gy²) and ``aspect_deg`` =
+    atan2(gy, gx) in (−180, 180] are the only floats — fixed-shape
+    IEEE ops on identical integers (the with_bearing trig precedent),
+    rounded 9 dp. One 8-offset scatter join + one combinable
+    conditional-sum aggregation; the all-8 filter is the exact
+    n_nbrs = 8 census.
+    """
+    base = cells.select(F.col(cx_col).alias("cx"),
+                        F.col(cy_col).alias("cy"),
+                        F.col(elev_col).cast("long").alias("e"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _OFFS])
+    # scatter every cell's elevation to each neighbor, tagged with the
+    # RECEIVER-relative offset (the reverse of the scatter direction)
+    scat = (base.select("cx", "cy", "e", F.explode(offs).alias("o"))
+            .select((F.col("cx") + F.col("o.dx")).alias("cx"),
+                    (F.col("cy") + F.col("o.dy")).alias("cy"),
+                    (-F.col("o.dx")).alias("rdx"),
+                    (-F.col("o.dy")).alias("rdy"),
+                    F.col("e").alias("ne_")))
+    recv = scat.join(base.select("cx", "cy"), ["cx", "cy"])
+    wx = F.col("rdx") * F.when(F.col("rdy") == 0, 2).otherwise(1)
+    wy = F.col("rdy") * F.when(F.col("rdx") == 0, 2).otherwise(1)
+    g = (recv.groupBy("cx", "cy")
+         .agg(F.count(F.lit(1)).alias("n_nbrs"),
+              F.sum(wx * F.col("ne_")).alias("gx"),
+              F.sum(wy * F.col("ne_")).alias("gy"))
+         .filter(F.col("n_nbrs") == 8))
+    gxd = F.col("gx").cast("double")
+    gyd = F.col("gy").cast("double")
+    return g.select(
+        F.col("cx").alias("cell_x"), F.col("cy").alias("cell_y"),
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        F.round(F.sqrt(gxd * gxd + gyd * gyd), 9).alias("slope"),
+        F.round(F.degrees(F.atan2(gyd, gxd)), 9).alias("aspect_deg"))

@@ -178,3 +178,31 @@ def test_filled_dem_has_no_strict_interior_pits(frames):
         nbrs = [felev[(x + dx, y + dy)] for dx, dy in _OFFS
                 if (x + dx, y + dy) in felev]
         assert min(nbrs) == felev[(x, y)]     # flat, never a strict pit
+
+
+def test_slope_aspect_matches_python(frames):
+    import math
+
+    from osmspark.spatial.hydro import slope_aspect
+    cells, _ = frames
+    got = {(int(r.cell_x), int(r.cell_y)):
+           (int(r.gx), int(r.gy), r.slope, r.aspect_deg)
+           for r in slope_aspect(cells).collect()}
+    exp = {}
+    for (x, y) in CELLS:
+        nb = {(dx, dy): CELLS.get((x + dx, y + dy))
+              for dx, dy in _OFFS}
+        if any(v is None for v in nb.values()):
+            continue
+        gx = sum(dx * (2 if dy == 0 else 1) * nb[(dx, dy)]
+                 for dx, dy in _OFFS)
+        gy = sum(dy * (2 if dx == 0 else 1) * nb[(dx, dy)]
+                 for dx, dy in _OFFS)
+        exp[(x, y)] = (gx, gy,
+                       round(math.sqrt(gx * gx + gy * gy), 9),
+                       round(math.degrees(math.atan2(gy, gx)), 9))
+    assert got == exp
+    assert len(got) == 5 * 3             # interior of the 7x5 raster
+    # at (4, 2), just east of the valley bottom, the surface rises
+    # with x (east neighbors higher than west) → gx strictly positive
+    assert got[(4, 2)][0] > 0
