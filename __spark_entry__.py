@@ -3753,18 +3753,24 @@ def _hydro_cells(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cx = F.col("doc_id") % 40
     cy = F.expr("doc_id DIV 40") % 25
+    # TWO pits (a deep central valley and a shallow corner basin) so
+    # the watershed/basin queries exercise a genuine multi-basin
+    # partition; the ripple term varies diagonal-vs-cardinal ranks
     return (docs.select(cx.alias("cell_x"), cy.alias("cell_y"))
             .distinct()
             .select("cell_x", "cell_y",
-                    ((F.abs(F.col("cell_x") - 20)
-                      + F.abs(F.col("cell_y") - 12)) * 10
+                    (F.least(F.abs(F.col("cell_x") - 20)
+                             + F.abs(F.col("cell_y") - 12),
+                             F.abs(F.col("cell_x") - 5)
+                             + F.abs(F.col("cell_y") - 3)) * 10
                      + (F.col("cell_x") * 7 + F.col("cell_y") * 13) % 4)
                     .alias("elev")))
 
 
 _HYDRO_CELLS_SQL = """
   SELECT cell_x, cell_y,
-         (abs(cell_x - 20) + abs(cell_y - 12)) * 10
+         least(abs(cell_x - 20) + abs(cell_y - 12),
+               abs(cell_x - 5) + abs(cell_y - 3)) * 10
            + (cell_x * 7 + cell_y * 13) % 4 AS elev
   FROM (SELECT DISTINCT doc_id % 40 AS cell_x,
                (doc_id // 40) % 25 AS cell_y
@@ -3833,9 +3839,50 @@ def _q_slope(spark, sf_dir):
             .orderBy("cell_x", "cell_y"))
 
 
+def _q_tri(spark, sf_dir):
+    """Terrain ruggedness index (osmspark/spatial/hydro.py:
+    ruggedness_index): exact int64 neighbor-difference quadratic over
+    partial-edge 8-neighborhoods, one sqrt. Oracle via the brute
+    8-neighbor join."""
+    from osmspark.spatial.hydro import ruggedness_index
+    return (ruggedness_index(_hydro_cells(spark, sf_dir))
+            .orderBy("cell_x", "cell_y"))
+
+
+def _q_basin_stats(spark, sf_dir):
+    """Per-basin summary (composition: watershed_labels × the raster
+    × flow_accumulation) — the hydrology report table: cells per
+    basin, min/max elevation, relief, and the sink's accumulation
+    cross-checking the basin census (acc(sink) == n_cells by
+    construction, pinned here through two independent paths). Oracle
+    recomputes the whole chain via the recursive walk."""
+    from osmspark.spatial.hydro import (d8_flow, flow_accumulation,
+                                        watershed_labels)
+    cells = _hydro_cells(spark, sf_dir)
+    flows = d8_flow(cells)
+    labels = watershed_labels(cells, flows)
+    acc = flow_accumulation(cells, flows)
+    j = (labels.join(cells, ["cell_x", "cell_y"])
+         .groupBy("sink_x", "sink_y")
+         .agg(F.count(F.lit(1)).alias("n_cells"),
+              F.min("elev").alias("min_elev"),
+              F.max("elev").alias("max_elev")))
+    return (j.join(acc.select(F.col("cell_x").alias("sink_x"),
+                              F.col("cell_y").alias("sink_y"),
+                              F.col("acc").alias("sink_acc")),
+                   ["sink_x", "sink_y"])
+            .select("sink_x", "sink_y", "n_cells", "min_elev",
+                    "max_elev",
+                    (F.col("max_elev") - F.col("min_elev"))
+                    .alias("relief"), "sink_acc")
+            .orderBy("sink_x", "sink_y"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r5 additions (never driver-validated) first.
+        "tri_grid": _q_tri,
+        "basin_stats_grid": _q_basin_stats,
         "slope_aspect_grid": _q_slope,
         "fill_depressions_grid": _q_fill,
         "watershed_grid": _q_watershed,
@@ -4151,6 +4198,80 @@ def oracle_sql() -> dict[str, str]:
         f"({f['fence_id']}, {f['min_lat']}, {f['max_lat']}, "
         f"{f['min_lon']}, {f['max_lon']})" for f in _FENCES)
     return {
+        # brute 8-neighbor join, exact quadratic, one sqrt
+        "tri_grid": f"""
+          WITH cells AS ({_HYDRO_CELLS_SQL}),
+          offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                  (1,-1),(1,0),(1,1)),
+          nb AS (
+            SELECT a.cell_x AS cx, a.cell_y AS cy,
+                   (b.elev - a.elev) AS d
+            FROM cells a
+            JOIN offs o ON TRUE
+            JOIN cells b ON b.cell_x = a.cell_x + o.dx
+                        AND b.cell_y = a.cell_y + o.dy)
+          SELECT cx AS cell_x, cy AS cell_y,
+                 CAST(count(*) AS BIGINT) AS n_nbrs,
+                 CAST(sum(d * d) AS BIGINT) AS sq_sum,
+                 round(sqrt(CAST(sum(d * d) AS DOUBLE)), 9) AS tri
+          FROM nb GROUP BY 1, 2 ORDER BY cell_x, cell_y
+        """,
+        # recursive walk to sinks + upstream ancestor counts, grouped
+        "basin_stats_grid": f"""
+          WITH RECURSIVE cells AS ({_HYDRO_CELLS_SQL}),
+          offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                  (1,-1),(1,0),(1,1)),
+          cand AS (
+            SELECT a.cell_x AS ox, a.cell_y AS oy,
+                   b.cell_x AS tx, b.cell_y AS ty,
+                   (a.elev - b.elev) * (a.elev - b.elev)
+                     * (CASE WHEN o.dx * o.dx + o.dy * o.dy = 1
+                             THEN 2 ELSE 1 END) AS rank_,
+                   CASE WHEN (o.dx + 1) * 3 + (o.dy + 1) > 4
+                        THEN (o.dx + 1) * 3 + (o.dy + 1) - 1
+                        ELSE (o.dx + 1) * 3 + (o.dy + 1) END AS oi
+            FROM cells a
+            JOIN offs o ON TRUE
+            JOIN cells b ON b.cell_x = a.cell_x + o.dx
+                        AND b.cell_y = a.cell_y + o.dy
+            WHERE b.elev < a.elev),
+          flow AS (
+            SELECT ox, oy, tx, ty FROM (
+              SELECT ox, oy, tx, ty,
+                     row_number() OVER (PARTITION BY ox, oy
+                                        ORDER BY rank_ DESC, oi) AS rn
+              FROM cand) p WHERE rn = 1),
+          walk AS (
+            SELECT ox AS cx, oy AS cy, tx AS px, ty AS py FROM flow
+            UNION
+            SELECT w.cx, w.cy, f.tx, f.ty
+            FROM walk w JOIN flow f ON f.ox = w.px AND f.oy = w.py),
+          terminal AS (
+            SELECT w.cx, w.cy, w.px, w.py FROM walk w
+            LEFT JOIN flow f2 ON f2.ox = w.px AND f2.oy = w.py
+            WHERE f2.ox IS NULL),
+          lab AS (
+            SELECT c.cell_x, c.cell_y, c.elev,
+                   coalesce(t.px, c.cell_x) AS sx,
+                   coalesce(t.py, c.cell_y) AS sy
+            FROM cells c
+            LEFT JOIN terminal t
+              ON t.cx = c.cell_x AND t.cy = c.cell_y),
+          acc AS (
+            SELECT w.px AS vx, w.py AS vy, count(*) AS n_up
+            FROM walk w GROUP BY 1, 2)
+          SELECT lab.sx AS sink_x, lab.sy AS sink_y,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(min(lab.elev) AS BIGINT) AS min_elev,
+                 CAST(max(lab.elev) AS BIGINT) AS max_elev,
+                 CAST(max(lab.elev) - min(lab.elev) AS BIGINT)
+                   AS relief,
+                 CAST(1 + coalesce(max(acc.n_up), 0) AS BIGINT)
+                   AS sink_acc
+          FROM lab
+          LEFT JOIN acc ON acc.vx = lab.sx AND acc.vy = lab.sy
+          GROUP BY 1, 2 ORDER BY sink_x, sink_y
+        """,
         # brute 8-neighbor join recomputing the Horn weighted sums
         "slope_aspect_grid": f"""
           WITH cells AS ({_HYDRO_CELLS_SQL}),

@@ -206,3 +206,23 @@ def test_slope_aspect_matches_python(frames):
     # at (4, 2), just east of the valley bottom, the surface rises
     # with x (east neighbors higher than west) → gx strictly positive
     assert got[(4, 2)][0] > 0
+
+
+def test_tri_matches_python(frames):
+    import math
+
+    from osmspark.spatial.hydro import ruggedness_index
+    cells, _ = frames
+    got = {(int(r.cell_x), int(r.cell_y)):
+           (int(r.n_nbrs), int(r.sq_sum), r.tri)
+           for r in ruggedness_index(cells).collect()}
+    exp = {}
+    for (x, y), e in CELLS.items():
+        ds = [CELLS[(x + dx, y + dy)] - e for dx, dy in _OFFS
+              if (x + dx, y + dy) in CELLS]
+        sq = sum(d * d for d in ds)
+        exp[(x, y)] = (len(ds), sq, round(math.sqrt(sq), 9))
+    assert got == exp
+    # corners see 3 neighbors, edges 5, interior 8
+    assert got[(0, 0)][0] == 3 and got[(3, 0)][0] == 5 \
+        and got[(3, 2)][0] == 8
